@@ -1,0 +1,429 @@
+package graft
+
+/** DuckDB oracle SQL, one entry per oracle-checkable key in
+  * SparkEntry.queries. Discipline (SURVEY.md §2.c): identical ORDER BY on
+  * unique keys, identical DECIMAL casts before double sums, identical
+  * rounding points, integer aggregates cast to BIGINT/INT to match Spark's
+  * types (DuckDB's sum(int) is HUGEINT otherwise).
+  */
+object Oracles {
+
+  val sql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice LIMIT 1000""".stripMargin,
+
+    "q_scan_edge_text" ->
+      """SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+        |FROM (VALUES (0,1),(1,2),(0,2),(3,4),(4,5),(3,5),(2,3)) AS t(src, dst)
+        |ORDER BY src, dst""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice LIMIT 1000""".stripMargin,
+
+    "q_filter_in_null" ->
+      """SELECT o_orderkey, coalesce(o_orderpriority, 'none') AS priority, o_orderstatus
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH') OR o_orderstatus = 'P'
+        |ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "q_join_inner_hash" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT p_brand, s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_nationkey ORDER BY p_brand, s_nationkey""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey LIMIT 2000""".stripMargin,
+
+    "q_join_full" ->
+      """WITH c AS (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(nk_c, nk_s) AS nationkey, n_cust, n_supp
+        |FROM c FULL OUTER JOIN s ON nk_c = nk_s
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey LIMIT 2000""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey LIMIT 2000""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "q_join_theta_range" ->
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+        |ORDER BY s_suppkey, c_custkey LIMIT 2000""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT l.event_id, l.user_id, l.ts, max(r.ts) AS last_click_ts
+        |FROM events l LEFT JOIN events r
+        |  ON r.user_id = l.user_id AND r.event_type = 'click' AND r.ts < l.ts
+        |GROUP BY l.event_id, l.user_id, l.ts
+        |ORDER BY l.event_id LIMIT 2000""".stripMargin,
+
+    "q_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_minmax_by" ->
+      """WITH ranked AS (
+        |  SELECT c_nationkey, c_acctbal, c_custkey,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+        |  FROM customer)
+        |SELECT a.c_nationkey, a.c_acctbal AS max_bal, a.c_custkey AS max_custkey,
+        |       b.c_acctbal AS min_bal, b.c_custkey AS min_custkey
+        |FROM ranked a JOIN ranked b ON a.c_nationkey = b.c_nationkey
+        |WHERE a.rmax = 1 AND b.rmin = 1
+        |ORDER BY a.c_nationkey""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |       coalesce(l_linestatus, '(all)') AS linestatus,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, '(all)') AS segment,
+        |       coalesce(c_nationkey, -1) AS nationkey,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+        |ORDER BY segment, nationkey""".stripMargin,
+
+    "q_agg_stats" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus,
+        |    round(stddev_samp(o_totalprice), 2) AS sd,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_exact,
+        |    stddev_samp(o_totalprice) AS sd_raw,
+        |    var_samp(o_totalprice) AS var_raw,
+        |    min(o_totalprice) AS min_price,
+        |    max(o_totalprice) AS max_price,
+        |    count(*) AS cnt
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, sd,
+        |  round(sd_raw / mean_exact, 6) AS cv,
+        |  round(var_raw / (mean_exact * mean_exact), 6) AS var_rel,
+        |  min_price, max_price, cnt
+        |FROM base ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_scalar" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
+
+    "q_agg_array_sum" ->
+      """SELECT label, list(sv ORDER BY pos) AS vec FROM (
+        |  SELECT label, pos, round(sum(CAST(v AS DOUBLE)), 4) AS sv
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |  GROUP BY label, pos)
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+        |ORDER BY o_custkey, o_orderkey LIMIT 2000""".stripMargin,
+
+    "q_win_rownum" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders)
+        |ORDER BY o_custkey, rn LIMIT 2000""".stripMargin,
+
+    "q_win_running" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE)
+        |        / count(*) OVER w3, 6) AS mov_avg
+        |FROM events
+        |WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id LIMIT 2000""".stripMargin,
+
+    "q_win_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1, -1.0) OVER w AS prev_val,
+        |  lead(value, 1, -1.0) OVER w AS next_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id LIMIT 2000""".stripMargin,
+
+    "q_win_ntile" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INT) AS tile
+        |FROM customer
+        |ORDER BY c_mktsegment, tile, c_custkey LIMIT 2000""".stripMargin,
+
+    "q_sort_multi" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 500""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 2000""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT nationkey, count(*) AS n_rows FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_str_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up_name, substr(p_name, 1, 5) AS pfx,
+        |  CAST(length(p_name) AS INT) AS len,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  (p_name LIKE '%bolt%') AS has_bolt
+        |FROM part ORDER BY p_partkey LIMIT 2000""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(year(l_shipdate) AS INT) AS y,
+        |  CAST(month(l_shipdate) AS INT) AS m,
+        |  CAST(day(l_shipdate) AS INT) AS dom,
+        |  CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS INT) AS days_since
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, y, m, dom, days_since LIMIT 2000""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT o_orderkey,
+        |  round(abs(o_totalprice - 100000.0), 6) AS absdev,
+        |  round(sqrt(o_totalprice), 6) AS sq,
+        |  round(ln(o_totalprice + 1.0), 6) AS lg,
+        |  round(exp(o_totalprice / 200000.0), 6) AS ex,
+        |  round(least(greatest(o_totalprice / 1000.0, 0.0), 1000.0), 6) AS clipped
+        |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS n,
+        |  embedding[1] AS first_elem,
+        |  list_aggregate(embedding, 'max') AS max_v,
+        |  CAST(list_position(embedding, list_aggregate(embedding, 'max')) AS INT) AS argmax,
+        |  list_sort(embedding[1:5]) AS first5_sorted
+        |FROM embeddings ORDER BY vec_id LIMIT 2000""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT user_id, event_type, cnt,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN cnt END)
+        |       OVER (PARTITION BY user_id), 0) AS BIGINT) AS clicks
+        |FROM (SELECT user_id, event_type, count(*) AS cnt
+        |      FROM events GROUP BY user_id, event_type)
+        |ORDER BY user_id, event_type LIMIT 5000""".stripMargin,
+
+    "q_events_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts,
+        |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS dur_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id LIMIT 5000""".stripMargin,
+
+    "q_events_late_dedup" ->
+      """SELECT event_id, user_id, ts, event_type FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id, event_id ORDER BY ts, event_type) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_id LIMIT 2000""".stripMargin,
+
+    "q_graph_degree" ->
+      """WITH raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst FROM lineitem),
+        |edges AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw))
+        |SELECT src AS node, count(*) AS degree FROM edges
+        |GROUP BY src ORDER BY node LIMIT 5000""".stripMargin,
+
+    "q_graph_neighbors" ->
+      """WITH raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst FROM lineitem),
+        |edges AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw))
+        |SELECT src AS node, list(dst ORDER BY dst) AS neighbors
+        |FROM edges WHERE src < 100 GROUP BY src ORDER BY node""".stripMargin,
+
+    "q_graph_common_neighbors" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS src, l_suppkey + 100000 AS dst
+        |           FROM lineitem WHERE l_orderkey < 500)
+        |SELECT a.src AS u, b.src AS v, count(*) AS common
+        |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+        |GROUP BY a.src, b.src ORDER BY u, v LIMIT 5000""".stripMargin,
+
+    "q_graph_conductance" -> conductanceSql(
+      "SELECT node, cut, vol_s, vol_t, round(phi, 6) AS phi FROM phi_t ORDER BY node"),
+
+    "q_graph_seed_rank" -> conductanceSql(
+      """, closed AS (SELECT src AS node, dst AS member FROM edges
+        |             UNION ALL SELECT node, node FROM deg)
+        |, sel AS (SELECT c.node AS base, p.node AS seed, p.phi,
+        |            row_number() OVER (PARTITION BY c.node ORDER BY p.phi, p.node) AS rn
+        |          FROM closed c JOIN phi_t p ON p.node = c.member)
+        |, winners AS (SELECT DISTINCT seed, round(phi, 6) AS phi FROM sel WHERE rn = 1)
+        |, ranked AS (SELECT seed, phi,
+        |               CAST(row_number() OVER (ORDER BY phi, seed) AS INT) AS rank
+        |             FROM winners)
+        |SELECT seed, phi, rank FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin),
+
+    "q_text_tokenize" ->
+      """SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+        |  CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS len_ok,
+        |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY h LIMIT 5000""".stripMargin,
+
+    "q_dedup_shingle" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle FROM idx),
+        |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN freq f ON s.shingle = f.shingle
+        |         WHERE f.df BETWEEN 2 AND 10)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin,
+
+    "q_sim_cosine_topk" ->
+      """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                   generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+        |probes AS (SELECT * FROM ex WHERE vec_id < 100),
+        |dots AS (SELECT p.vec_id AS u, c.vec_id AS w, sum(p.v * c.v) AS dot
+        |         FROM probes p JOIN ex c
+        |           ON p.pos = c.pos AND p.label = c.label AND p.vec_id <> c.vec_id
+        |         GROUP BY p.vec_id, c.vec_id),
+        |cosd AS (SELECT u, w, round(dot / (nu.nrm * nw.nrm), 6) AS cosine
+        |         FROM dots JOIN norms nu ON nu.vec_id = u JOIN norms nw ON nw.vec_id = w),
+        |ranked AS (SELECT u, w, cosine,
+        |             row_number() OVER (PARTITION BY u ORDER BY cosine DESC, w) AS rn
+        |           FROM cosd)
+        |SELECT u AS vec_id, w AS neighbor_id, cosine, CAST(rn AS INT) AS rank
+        |FROM ranked WHERE rn <= 5 ORDER BY vec_id, rank""".stripMargin
+  )
+
+  /** Shared conductance CTE pipeline over the orderkey<2000 subgraph; the
+    * final SELECT (or additional CTEs + SELECT) is appended. */
+  private def conductanceSql(tail: String): String =
+    """WITH raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst
+      |             FROM lineitem WHERE l_orderkey < 2000),
+      |edges AS (SELECT DISTINCT src, dst FROM
+      |  (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)),
+      |deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY src),
+      |tot AS (SELECT CAST(sum(degree) AS BIGINT) AS total_deg FROM deg),
+      |members AS (SELECT src AS ego, dst AS member FROM edges
+      |            UNION ALL SELECT node, node FROM deg),
+      |expand AS (SELECT m.ego, e.dst AS x FROM members m JOIN edges e ON m.member = e.src),
+      |flags AS (SELECT ex.ego, CASE WHEN mm.member IS NULL THEN 1 ELSE 0 END AS outside
+      |          FROM expand ex LEFT JOIN members mm ON mm.ego = ex.ego AND mm.member = ex.x),
+      |stats AS (SELECT ego, CAST(count(*) AS BIGINT) AS vol_full,
+      |                 CAST(sum(outside) AS BIGINT) AS cut
+      |          FROM flags GROUP BY ego),
+      |cond AS (SELECT s.ego AS node, s.cut, s.vol_full - s.cut AS vol_s,
+      |                t.total_deg - (s.vol_full - s.cut) - 2 * s.cut AS vol_t
+      |         FROM stats s CROSS JOIN tot t),
+      |phi_t AS (SELECT node, cut, vol_s, vol_t,
+      |            CASE WHEN vol_s = 0 THEN 0.0 WHEN vol_t = 0 THEN 1.0
+      |                 ELSE CAST(cut AS DOUBLE) / least(vol_s, vol_t) END AS phi
+      |          FROM cond)
+      |""".stripMargin + tail
+}

@@ -1,0 +1,208 @@
+package graft.bigclam
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.graph.GraphOps
+import graft.ops.VectorOps
+
+/** BigCLAM (Yang & Leskovec, WSDM 2013) — overlapping community detection
+  * by nonnegative matrix factorization with projected gradient ascent and
+  * Armijo backtracking line search — rebuilt Spark-SQL-first.
+  *
+  * Semantics match the reference exactly:
+  *  - per-node log-likelihood  l(u) = Σ_{v∈N(u)} [log(1 − clip(exp(−Fu·Fv)))
+  *    + Fu·Fv] − Fu·sumF + Fu·Fu   (/root/reference/codes/Bigclamv2.scala:189-197)
+  *  - gradient ∇l(u) = Σ_{v∈N(u)} Fv/(1 − clip(exp(−Fu·Fv))) − sumF + Fu
+  *    (Bigclamv2.scala:121-132)
+  *  - clip constants MIN_P=1e-4, MAX_P=0.9999, F ∈ [0, 1000]
+  *    (Bigclamv2.scala:28-31,99-102)
+  *  - Armijo: steps t ∈ {β^0..β^15}, β=0.1, accept iff
+  *    l(clip(Fu+t∇)) ≥ l(Fu) + α·t·‖∇‖², α=0.05, take the largest accepted t
+  *    (Bigclamv2.scala:104-113,144-145)
+  *  - community threshold δ = sqrt(−log(1−ε)), ε = 2|E|/(|V|(|V|−1)), argmax
+  *    fallback (Bigclamv2.scala:223-229)
+  *
+  * Architecture differs deliberately (SURVEY.md §4): F lookups are JOINS on
+  * the edge table, not whole-matrix driver broadcasts (the reference's
+  * scalability ceiling at Bigclamv2.scala:34,118,156); the 16 line-search
+  * candidates ride along as an exploded column (one shuffle, no RDD
+  * `cartesian`); per-iteration `localCheckpoint` truncates lineage (the
+  * reference's unbounded filter.union chain at Bigclamv2.scala:152 is a bug
+  * we do not copy). Driver state is K doubles (sumF) + scalars only.
+  */
+object BigClam {
+
+  case class Params(
+      k: Int,
+      alpha: Double = 0.05,
+      beta: Double = 0.1,
+      maxBacktracks: Int = 15,
+      minP: Double = 1e-4,
+      maxP: Double = 0.9999,
+      minF: Double = 0.0,
+      maxF: Double = 1000.0,
+      tol: Double = 1e-4)
+
+  private val dot = VectorOps.dot _
+
+  private def clipP(c: Column, p: Params): Column =
+    least(greatest(c, lit(p.minP)), lit(p.maxP))
+
+  private def clipF(arr: Column, p: Params): Column =
+    transform(arr, x => least(greatest(x, lit(p.minF)), lit(p.maxF)))
+
+  private def litArr(a: Array[Double]): Column = array(a.map(lit).toIndexedSeq: _*)
+
+  /** Deterministic conductance-only init (no JVM Random — SURVEY.md §7):
+    * community c = closed neighborhood of the c-th locally-minimal-
+    * conductance seed; F(u)[c] = 1 iff u ∈ ego(seed_c). */
+  def init(edges: DataFrame, p: Params): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = GraphOps.seedRank(edges)
+      .withColumn("c", row_number().over(Window.orderBy(col("phi").asc, col("seed").asc)) - 1)
+      .filter(col("c") < p.k)
+      .select(col("seed"), col("c"))
+    val ego = edges.join(seeds, col("src") === col("seed"))
+      .select(col("c"), col("dst").as("member"))
+      .union(seeds.select(col("c"), col("seed").as("member")))
+      .distinct()
+    val memberships = ego.groupBy("member").agg(collect_set(col("c")).as("cs"))
+    GraphOps.degrees(edges).select(col("node").as("id"))
+      .join(memberships, col("id") === col("member"), "left")
+      .select(col("id"),
+        transform(sequence(lit(0), lit(p.k - 1)),
+          i => when(array_contains(coalesce(col("cs"), array().cast("array<int>")), i), 1.0)
+            .otherwise(0.0)).as("f"))
+  }
+
+  /** One gradient+LLH pass: per node (llh at F, gradient array, ‖∇‖²).
+    * sumF is the K-vector of column sums, passed as a literal (K doubles of
+    * driver state — the only non-distributed object in the loop). */
+  private def nodeState(edges: DataFrame, f: DataFrame, sumF: Array[Double], p: Params): DataFrame = {
+    val vsum = udaf(VectorOps.ArraySumAgg)
+    val fu = f.select(col("id").as("src"), col("f").as("fu"))
+    val fv = f.select(col("id").as("dst"), col("f").as("fv"))
+    val pairs = edges.join(fu, "src").join(fv, "dst")
+      .withColumn("dotv", dot(col("fu"), col("fv")))
+      .withColumn("pc", clipP(exp(-col("dotv")), p))
+    val sumFc = litArr(sumF)
+    pairs
+      .select(col("src").as("id"), col("fu"),
+        (log(lit(1.0) - col("pc")) + col("dotv")).as("llh_term"),
+        transform(col("fv"), x => x / (lit(1.0) - col("pc"))).as("grad_term"))
+      .groupBy("id")
+      .agg(first(col("fu")).as("fu"),
+        sum(col("llh_term")).as("llh_neigh"),
+        vsum(col("grad_term")).as("grad_neigh"))
+      .select(col("id"), col("fu"),
+        (col("llh_neigh") - dot(col("fu"), sumFc) + dot(col("fu"), col("fu"))).as("llh"),
+        zip_with(zip_with(col("grad_neigh"), sumFc, (g, sf) => g - sf), col("fu"),
+          (g, x) => g + x).as("grad"))
+      .withColumn("gnorm2", dot(col("grad"), col("grad")))
+  }
+
+  /** Armijo backtracking for every node at once: the 16 candidate steps are
+    * an exploded literal array (no cartesian shuffle); candidate LLH is
+    * evaluated against the OLD F of the neighbors, as the reference does. */
+  private def lineSearch(edges: DataFrame, f: DataFrame, state: DataFrame,
+      sumF: Array[Double], p: Params): DataFrame = {
+    val steps = (0 to p.maxBacktracks).map(i => math.pow(p.beta, i))
+    val sumFc = litArr(sumF)
+    val fv = f.select(col("id").as("dst"), col("f").as("fv"))
+    val cand = edges
+      .join(state.select(col("id").as("src"), col("fu"), col("grad"), col("llh"), col("gnorm2")), "src")
+      .join(fv, "dst")
+      .withColumn("t", explode(litArr(steps.toArray)))
+      .withColumn("fnew", clipF(zip_with(col("fu"), col("grad"), (x, g) => x + col("t") * g), p))
+      .withColumn("dotv", dot(col("fnew"), col("fv")))
+      .withColumn("pc", clipP(exp(-col("dotv")), p))
+      .withColumn("term", log(lit(1.0) - col("pc")) + col("dotv"))
+    cand.groupBy(col("src").as("id"), col("t"))
+      .agg(first(col("fnew")).as("fnew"), first(col("fu")).as("fu"),
+        first(col("llh")).as("llh_old"),
+        first(col("gnorm2")).as("gnorm2"), sum(col("term")).as("llh_neigh_new"))
+      // candidate background term uses sumF adjusted for this node's move:
+      // −fnew·(sumF − fu + fnew) + fnew·fnew = −fnew·sumF + fnew·fu
+      // (reference: sfT = sumF − fu + newfu, Bigclamv2.scala:141)
+      .withColumn("llh_new",
+        col("llh_neigh_new") - dot(col("fnew"), sumFc) + dot(col("fnew"), col("fu")))
+      .filter(col("llh_new") >= col("llh_old") + lit(p.alpha) * col("t") * col("gnorm2"))
+      .groupBy("id")
+      .agg(max(struct(col("t"), col("fnew"))).as("best"))
+      .select(col("id"), col("best.fnew").as("fnew"))
+  }
+
+  /** Column sums of F — K doubles to the driver (the only collect). */
+  def sumF(f: DataFrame, p: Params): Array[Double] = {
+    val vsum = udaf(VectorOps.ArraySumAgg)
+    val r = f.agg(vsum(col("f")).as("s")).collect()(0).getSeq[Double](0)
+    if (r == null || r.isEmpty) new Array[Double](p.k) else r.toArray
+  }
+
+  /** Fixed-iteration fit; returns (F, per-iteration total LLH history —
+    * history(i) is the LLH *before* iteration i's update, history(last) is
+    * the final LLH). Ascent + Armijo ⇒ history is non-decreasing. */
+  def fit(edges: DataFrame, p: Params, iterations: Int): (DataFrame, Seq[Double]) = {
+    var f = init(edges, p).localCheckpoint(true)
+    val history = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to iterations) {
+      val sf = sumF(f, p)
+      val state = nodeState(edges, f, sf, p).persist(StorageLevel.MEMORY_AND_DISK)
+      history += state.agg(sum(col("llh"))).collect()(0).getDouble(0)
+      val updates = lineSearch(edges, f, state, sf, p)
+      val next = f.join(updates, Seq("id"), "left")
+        .select(col("id"), coalesce(col("fnew"), col("f")).as("f"))
+        .localCheckpoint(true)
+      state.unpersist()
+      f = next
+    }
+    val finalState = nodeState(edges, f, sumF(f, p), p)
+    history += finalState.agg(sum(col("llh"))).collect()(0).getDouble(0)
+    (f, history.toSeq)
+  }
+
+  /** Threshold-δ + argmax community assignment (Bigclamv2.scala:223-229),
+    * output exploded (node, community). */
+  def communities(f: DataFrame, edges: DataFrame, p: Params): DataFrame = {
+    val nNodes = edges.select(col("src")).distinct().count()
+    val nUndirected = edges.count() / 2
+    val eps = 2.0 * nUndirected / (nNodes.toDouble * (nNodes - 1.0))
+    val delta = math.sqrt(-math.log(1.0 - eps))
+    f.select(col("id").as("node"), col("f"),
+        (array_position(col("f"), array_max(col("f"))) - 1).cast("int").as("argmax"),
+        array_max(col("f")).as("mx"))
+      .select(col("node"), col("argmax"), col("mx"), posexplode(col("f")).as(Seq("c", "v")))
+      .filter((col("v") >= delta) || (col("mx") < delta && col("c") === col("argmax")))
+      .select(col("node"), col("c").cast("int").as("community"))
+      .orderBy("node", "community")
+  }
+
+  // ---- declared queries (no-oracle; invariants asserted in scalatest) ----
+
+  private def smokeEdges(s: SparkSession, d: String): DataFrame =
+    GraphOps.symEdges(GraphOps.rawEdges(s, d, 500))
+
+  /** Both smoke queries need the same deterministic fit; memoized per sf dir
+    * so bigclam_communities doesn't pay for a second full fit in the same
+    * session (each declared query must still stand alone — a cold call
+    * simply computes it). */
+  private val smokeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def smokeFit(s: SparkSession, d: String): DataFrame =
+    smokeCache.computeIfAbsent(d, _ => {
+      val (f, _) = fit(smokeEdges(s, d), Params(k = 4), iterations = 3)
+      f.persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** [no-oracle] 3 fixed iterations, K=4, deterministic conductance seeds. */
+  def bigclam_fit_smoke(s: SparkSession, d: String): DataFrame =
+    smokeFit(s, d)
+      .select(col("id").as("node"), transform(col("f"), x => round(x, 4)).as("f"))
+      .orderBy("node")
+
+  /** [no-oracle] threshold+argmax memberships from the smoke fit. */
+  def bigclam_communities(s: SparkSession, d: String): DataFrame =
+    communities(smokeFit(s, d), smokeEdges(s, d), Params(k = 4))
+}

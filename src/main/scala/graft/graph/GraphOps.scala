@@ -1,0 +1,129 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph primitives over an edge DataFrame (src BIGINT, dst BIGINT) — the
+  * Spark-SQL re-expression of the reference's GraphX layer:
+  * edge ingestion + symmetrize (/root/reference/codes/Bigclamv2.scala:14-16),
+  * neighbor collection (Bigclamv2.scala:33), ego-net conductance with the
+  * 0/1 guards (Bigclamv2.scala:42-53), and locally-minimal-conductance seed
+  * ranking (Bigclamv2.scala:54-58, bigclamv3-7.scala:50-51).
+  *
+  * Divergence note: the reference's neighborhood-min at Bigclamv2.scala:56
+  * takes `.min` over `(id, phi)` tuples, i.e. lexicographic by *id* first —
+  * an apparent bug. We implement the intended semantics: per node, the
+  * neighborhood member (self included) minimizing (phi, id), ranked by phi
+  * ascending with id tiebreaks, which is deterministic and SQL-expressible.
+  *
+  * Scale stance: everything is join/agg based — no `collectAsMap`, no
+  * whole-graph broadcast (the reference's ceiling, Bigclamv2.scala:34).
+  * Declared queries run on a deterministic bounded subgraph (absolute
+  * orderkey cutoffs) so bench cost is scale-invariant; the operators
+  * themselves are linear in |E| and distribute by node key.
+  */
+object GraphOps {
+
+  /** Bipartite edges derived from lineitem (FIXTURES.md §A): orders on the
+    * left, suppliers offset by 100000 on the right. */
+  def rawEdges(s: SparkSession, d: String, maxOrderKey: Long = Long.MaxValue): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bounded = if (maxOrderKey == Long.MaxValue) li else li.filter(col("l_orderkey") < maxOrderKey)
+    bounded.select(col("l_orderkey").as("src"), (col("l_suppkey") + 100000L).as("dst"))
+  }
+
+  /** Undirected graph as both directed rows, deduped — the symmetrize step. */
+  def symEdges(raw: DataFrame): DataFrame =
+    raw.union(raw.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+
+  def degrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+
+  def q_graph_degree(s: SparkSession, d: String): DataFrame =
+    degrees(symEdges(rawEdges(s, d)))
+      .orderBy("node")
+      .limit(5000)
+
+  def q_graph_neighbors(s: SparkSession, d: String): DataFrame =
+    symEdges(rawEdges(s, d))
+      .filter(col("src") < 100)
+      .groupBy(col("src").as("node"))
+      .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
+      .orderBy("node")
+
+  /** Shared-supplier counts between order pairs (common-neighbor counting on
+    * the bipartite graph), bounded to orderkey<500 so the self-join stays
+    * constant-size across scale factors. */
+  def q_graph_common_neighbors(s: SparkSession, d: String): DataFrame = {
+    val e = rawEdges(s, d, 500).distinct()
+    val a = e.select(col("src").as("u"), col("dst"))
+    val b = e.select(col("src").as("v"), col("dst"))
+    a.join(b, Seq("dst")).filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common"))
+      .orderBy("u", "v")
+      .limit(5000)
+  }
+
+  /** Ego-net conductance for every node of the (bounded) graph, exactly the
+    * reference formula: S = {u} ∪ N(u); cut = boundary edges; vol_S = 2 ×
+    * internal edge-endpoints; vol_T = totalDeg − vol_S − 2·cut;
+    * φ = 0 if vol_S=0, 1 if vol_T=0, else cut/min(vol_S, vol_T). */
+  def conductance(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    // single-row total volume, broadcast-joined in (keeps the plan lazy —
+    // no driver-side collect, unlike the reference's sigmaDegres broadcast)
+    val tot = deg.agg(sum(col("degree")).as("total_deg"))
+    // ego membership (ego, member): self + neighbors
+    val members = edges.select(col("src").as("ego"), col("dst").as("member"))
+      .union(deg.select(col("node").as("ego"), col("node").as("member")))
+    // expand: every edge (w, x) with w ∈ S_ego
+    val expanded = members
+      .join(edges.select(col("src").as("member"), col("dst").as("x")), Seq("member"))
+    // outside flag: x ∉ S_ego
+    val flags = expanded
+      .join(members.select(col("ego"), col("member").as("x"), lit(1).as("inside")),
+        Seq("ego", "x"), "left")
+      .select(col("ego"), when(col("inside").isNull, 1L).otherwise(0L).as("outside"))
+    flags.groupBy("ego")
+      .agg(count(lit(1)).as("vol_full"), sum(col("outside")).as("cut"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("ego").as("node"), col("cut"),
+        (col("vol_full") - col("cut")).as("vol_s"),
+        (col("total_deg") - (col("vol_full") - col("cut")) - lit(2) * col("cut")).as("vol_t"))
+      .withColumn("phi",
+        when(col("vol_s") === 0, 0.0)
+          .when(col("vol_t") === 0, 1.0)
+          .otherwise(col("cut").cast("double") / least(col("vol_s"), col("vol_t"))))
+  }
+
+  def q_graph_conductance(s: SparkSession, d: String): DataFrame =
+    conductance(symEdges(rawEdges(s, d, 2000)))
+      .select(col("node"), col("cut"), col("vol_s"), col("vol_t"), round(col("phi"), 6).as("phi"))
+      .orderBy("node")
+
+  /** Locally-minimal-conductance seed ordering: per node the (phi, id)-min
+    * member of its closed neighborhood; distinct winners ranked ascending. */
+  def seedRank(edges: DataFrame): DataFrame = {
+    val phi = conductance(edges).select(col("node").as("member"), col("phi"))
+    val deg = degrees(edges)
+    val closed = edges.select(col("src").as("node"), col("dst").as("member"))
+      .union(deg.select(col("node"), col("node").as("member")))
+    closed.join(phi, Seq("member"))
+      .groupBy("node")
+      .agg(min(struct(col("phi"), col("member"))).as("best"))
+      .select(col("best.member").as("seed"), col("best.phi").as("phi"))
+      .distinct()
+  }
+
+  def q_graph_seed_rank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    seedRank(symEdges(rawEdges(s, d, 2000)))
+      .select(col("seed"), round(col("phi"), 6).as("phi"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("phi").asc, col("seed").asc)).cast("int"))
+      .filter(col("rank") <= 20)
+      .orderBy("rank")
+  }
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Relational.dsum
+
+/** Aggregation surface: hash aggs, distinct, min/max-by, multi-dim grouping,
+  * stats, scalar aggs, the BigCLAM-critical element-wise array sum, and the
+  * HLL sketch.
+  *
+  * All of these compile to partial+final hash aggregates (map-side combine),
+  * so the shuffle carries one row per group per input partition — the shape
+  * that survives a 100 TB fact table. Doubles that pass through `sum`/`avg`
+  * are cast to DECIMAL first so the result is order-independent and matches
+  * the DuckDB oracle exactly (SURVEY.md §2.c).
+  *
+  * Reference lineage: the element-wise array sum is the `sumF` / gradient
+  * kernel of BigCLAM (/root/reference/codes/Bigclamv2.scala:95,121-133); the
+  * scalar agg mirrors the total-volume reduce (Bigclamv2.scala:45).
+  */
+object Aggregates {
+
+  /** TPC-H Q1 shape — also the flagship `entry` query. */
+  def q_agg_hash(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("sum_disc"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q_agg_distinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** min/max-by via lexicographic struct min/max — deterministic under ties
+    * (ties broken by custkey), mirrored in the oracle by row_number windows. */
+  def q_agg_minmax_by(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(
+        max(struct(col("c_acctbal"), col("c_custkey"))).as("mx"),
+        min(struct(col("c_acctbal"), col("c_custkey"))).as("mn"))
+      .select(
+        col("c_nationkey"),
+        col("mx.c_acctbal").as("max_bal"), col("mx.c_custkey").as("max_custkey"),
+        col("mn.c_acctbal").as("min_bal"), col("mn.c_custkey").as("min_custkey"))
+      .orderBy("c_nationkey")
+
+  /** Grouping-null ambiguity sidestepped by coalescing to sentinels, so the
+    * oracle needs no NULLS FIRST/LAST gymnastics. */
+  def q_agg_rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("cnt"), col("total"))
+      .orderBy("status", "priority")
+
+  def q_agg_cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** GROUPING SETS goes through the SQL entry point (spark.sql). */
+  def q_agg_grouping_sets(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql("""
+      SELECT coalesce(c_mktsegment, '(all)') AS segment,
+             coalesce(c_nationkey, -1) AS nationkey,
+             count(*) AS cnt,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM customer
+      GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+      ORDER BY segment, nationkey
+    """)
+  }
+
+  /** Variance-family stats normalized by the (exact) mean so cross-engine
+    * last-ulp drift cannot flip the 6-dp rounding. */
+  def q_agg_stats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(stddev_samp(col("o_totalprice")), 2).as("sd"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("mean_exact"),
+        stddev_samp(col("o_totalprice")).as("sd_raw"),
+        var_samp(col("o_totalprice")).as("var_raw"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("o_orderstatus"), col("sd"),
+        round(col("sd_raw") / col("mean_exact"), 6).as("cv"),
+        round(col("var_raw") / (col("mean_exact") * col("mean_exact")), 6).as("var_rel"),
+        col("min_price"), col("max_price"), col("cnt"))
+      .orderBy("o_orderstatus")
+
+  def q_agg_scalar(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+
+  /** Element-wise sum of embedding vectors per label — the distributed form
+    * of BigCLAM's sumF/gradient kernel. posexplode + two-level regroup keeps
+    * it oracle-checkable; the fit loop itself uses the typed Aggregator
+    * (graft.ops.VectorOps.ArraySumAgg) which does the same in one shuffle. */
+  def q_agg_array_sum(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("label"), (col("pos0") + 1).as("pos"), col("v").cast("double").as("dv"))
+      .groupBy("label", "pos")
+      // plain double sum rounded to 4 dp: cross-engine sum-order drift is
+      // ~1e-13, far below the rounding grid (a DECIMAL cast would be exact
+      // but hits round-half-mode ties on floats' terminating expansions)
+      .agg(round(sum(col("dv")), 4).as("sv"))
+      .groupBy("label")
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("sv")))),
+        x => x.getField("sv")).as("vec"))
+      .orderBy("label")
+
+  /** [no-oracle] HLL sketch next to the exact count; tests assert <5% error. */
+  def q_agg_approx_distinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+}

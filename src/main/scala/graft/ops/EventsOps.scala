@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Streaming-semantics operators expressed in batch over the `events` table:
+  * tumbling/sliding windows, gap sessionization, and late-arrival dedup.
+  * The same transforms run verbatim under Structured Streaming (`readStream`
+  * + watermark); graft.streaming.StreamingOps wires that path and the tests
+  * exercise it on a MemoryStream. Timestamps are handled in microseconds
+  * (unix_micros / epoch_us) so Spark and DuckDB agree exactly.
+  */
+object EventsOps {
+
+  /** 1-day tumbling window via `window()` — the Structured Streaming
+    * grouping primitive — projected to a DATE key for the oracle. */
+  def q_events_tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_val"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"), col("cnt"), col("sum_val"))
+      .orderBy("day", "event_type")
+
+  /** [no-oracle] 1h window sliding every 30min — each event lands in two
+    * windows (duplicate-assignment semantics); invariant-tested instead. */
+  def q_events_sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("win_start"), col("cnt"))
+      .orderBy("win_start")
+      .limit(3000)
+
+  /** Gap-based sessionization (30 min), the islands-and-gaps form of
+    * `session_window`: lag → is_new flag → running sum = session id. */
+  def q_events_sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val gapUs = 1800L * 1000000L
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(lag(us, 1).over(w).isNull || (us - lag(us, 1).over(w)) > gapUs, 1)
+          .otherwise(0).as("is_new"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("session_id"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        (max(unix_micros(col("ts").cast("timestamp"))) -
+          min(unix_micros(col("ts").cast("timestamp")))).as("dur_us"))
+      .orderBy("user_id", "session_id")
+      .limit(5000)
+  }
+
+  /** Watermark-dedup analog: first row per (user_id, event_id) by ts. */
+  def q_events_late_dedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_id")
+      .orderBy(col("ts").asc, col("event_type").asc)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "ts", "event_type")
+      .orderBy("user_id", "event_id")
+      .limit(2000)
+  }
+}

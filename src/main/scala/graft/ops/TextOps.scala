@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** LLM-training-data text pipeline: tokenization, corpus stats, exact dedup,
+  * shingle near-dedup, MinHash/LSH bucketing.
+  *
+  * Scale stance (100 TB): dedup never goes all-pairs. Exact dedup is a
+  * hash-groupBy on md5(text); near-dup pairs are generated only through a
+  * bucketed self-join on *rare* shingles (document frequency bounded), which
+  * is the frequency-filtered blocking used by CommonCrawl-style pipelines —
+  * a hot shingle shared by millions of docs would otherwise produce a
+  * quadratic pair blow-up. MinHash bands reduce that further to constant
+  * buckets per doc.
+  */
+object TextOps {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** 5-gram word shingles of a token array (empty when <5 tokens). */
+  def shingles(t: Column): Column =
+    when(size(t) >= 5,
+      transform(sequence(lit(1), size(t) - 4), i => array_join(slice(t, i, lit(5)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** split+explode — the Generator (UDTF) surface. */
+  def q_text_tokenize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+      .orderBy("lang")
+
+  def q_text_stats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+        sum(when(length(col("text")) === col("n_chars"), 1L).otherwise(0L)).as("len_ok"),
+        round(sum(size(toks(col("text"))).cast("bigint")).cast("double") / count(lit(1)), 6)
+          .as("avg_tokens"))
+      .orderBy("source")
+
+  /** Exact-duplicate groups by content hash; keeper = min doc_id. */
+  def q_dedup_exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy("h")
+      .limit(5000)
+
+  /** Near-dup candidate pairs: docs sharing >=1 *rare* 5-gram shingle
+    * (2 <= doc-frequency <= 10) with a lower-id doc. The frequency filter is
+    * the blocking step that keeps the self-join linear-ish at scale. */
+  def q_dedup_shingle(s: SparkSession, d: String): DataFrame = {
+    // persisted: the (doc, shingle) relation feeds the frequency count AND
+    // both sides of the self-join — without it the tokenize+explode+distinct
+    // chain executes three times
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(toks(col("text")))).as("shingle"))
+      .distinct()
+      .persist()
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 10))
+    val blocked = sh.join(rare, "shingle")
+    val a = blocked.select(col("shingle"), col("doc_id").as("doc_a"))
+    val b = blocked.select(col("shingle"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_a", "doc_b")
+      .limit(5000)
+  }
+
+  /** [no-oracle] MinHash/LSH: 4 bands, bucket = min xxhash64(band, shingle)
+    * over the doc's shingles (seeded hash family via the band id column).
+    * Exact-duplicate texts share all 4 buckets (invariant-tested); docs
+    * sharing any (band, bucket) are the candidate near-dup pairs at scale. */
+  def q_minhash_lsh(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(toks(col("text")))).as("shingle"))
+      .groupBy("doc_id")
+      // all 4 band-minima in ONE map-side-combining aggregation (a per-band
+      // explode would shuffle 4x the rows for the same answer)
+      .agg(min(xxhash64(lit(0), col("shingle"))).as("b0"),
+        (1 until 4).map(b => min(xxhash64(lit(b), col("shingle"))).as(s"b$b")): _*)
+      .select(col("doc_id"), expr(
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, bucket)"))
+      .orderBy("doc_id", "band")
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.Encoders
+import graft.Tables
+
+/** Vector/similarity surface: dot products via codegen'd higher-order
+  * functions (`zip_with` + `aggregate` — no UDF in the scalar path), a typed
+  * Aggregator for element-wise array sums (BigCLAM's sumF/grad kernel,
+  * /root/reference/codes/Bigclamv2.scala:95,121-133), and blocked cosine
+  * top-k ANN.
+  *
+  * Scale stance: cosine top-k never does a bare crossJoin — candidates are
+  * blocked on `label` (stand-in for an IVF/LSH bucket id at 100 TB) and the
+  * probe side is a bounded deterministic subset, so the pair count is
+  * (probes × bucket size), not N².
+  */
+object VectorOps {
+
+  /** Element-wise sum of equal-length double arrays in ONE shuffle (vs the
+    * oracle-checkable posexplode+regroup form in q_agg_array_sum). */
+  object ArraySumAgg extends Aggregator[Array[Double], Array[Double], Array[Double]] {
+    def zero: Array[Double] = Array.emptyDoubleArray
+    def reduce(acc: Array[Double], x: Array[Double]): Array[Double] = merge(acc, x)
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else { val out = new Array[Double](a.length); var i = 0
+             while (i < a.length) { out(i) = a(i) + b(i); i += 1 }; out }
+    def finish(r: Array[Double]): Array[Double] = r
+    def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** dot(a, b) for array<double> columns — codegen'd HOF chain. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Blocked brute-force cosine top-5: probes (vec_id < 100) vs same-label
+    * candidates. Ranking happens on the 6-dp-rounded cosine with an id
+    * tiebreak so Spark and DuckDB order identically. */
+  def q_sim_cosine_topk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val withNorm = emb.select(col("vec_id"), col("label"), col("v"), l2norm(col("v")).as("nrm"))
+    val probes = withNorm.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("u"), col("label"), col("v").as("uv"), col("nrm").as("unrm"))
+    val cands = withNorm
+      .select(col("vec_id").as("w"), col("label"), col("v").as("wv"), col("nrm").as("wnrm"))
+    val pairs = probes.join(cands, Seq("label")).filter(col("u") =!= col("w"))
+      .select(col("u"), col("w"),
+        round(dot(col("uv"), col("wv")) / (col("unrm") * col("wnrm")), 6).as("cosine"))
+    val win = Window.partitionBy("u").orderBy(col("cosine").desc, col("w").asc)
+    pairs.select(col("u"), col("w"), col("cosine"), row_number().over(win).as("rn"))
+      .filter(col("rn") <= 5)
+      .select(col("u").as("vec_id"), col("w").as("neighbor_id"), col("cosine"),
+        col("rn").cast("int").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.bigclam.BigClam
+import graft.graph.GraphOps
+
+/** BigCLAM invariants (SURVEY.md §5.4): ascent with Armijo acceptance means
+  * total LLH is non-decreasing; projected updates keep F in [0, 1000];
+  * threshold+argmax assignment covers every node.
+  */
+class BigClamSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import s.implicits._
+
+  private lazy val edges = GraphOps.symEdges(
+    Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+      .toDF("src", "dst")).cache()
+
+  test("LLH is non-decreasing over fit iterations on the toy graph") {
+    val (_, history) = BigClam.fit(edges, BigClam.Params(k = 2), iterations = 3)
+    assert(history.size == 4)
+    history.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"LLH decreased: $history")
+    }
+  }
+
+  test("factor entries stay within [minF, maxF] and are finite") {
+    val (f, _) = BigClam.fit(edges, BigClam.Params(k = 2), iterations = 3)
+    val vals = f.select(explode(col("f"))).as[Double].collect()
+    assert(vals.nonEmpty)
+    assert(vals.forall(v => !v.isNaN && !v.isInfinite && v >= 0.0 && v <= 1000.0))
+  }
+
+  test("communities cover all nodes with ids < K and recover the planted split") {
+    val (f, _) = BigClam.fit(edges, BigClam.Params(k = 2), iterations = 5)
+    val com = BigClam.communities(f, edges, BigClam.Params(k = 2))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Int]("community"))
+    assert(com.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(com.map(_._2).forall(c => c >= 0 && c < 2))
+    // planted communities {0,1,2} / {3,4,5}: triangle interiors must not share
+    // every community with the opposite triangle's interior
+    val byNode = com.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byNode(0L).intersect(byNode(4L)).isEmpty ||
+      byNode(0L) != byNode(4L))
+  }
+
+  test("deterministic conductance-only init: no random padding") {
+    val f1 = BigClam.init(edges, BigClam.Params(k = 2)).orderBy("id").collect()
+    val f2 = BigClam.init(edges, BigClam.Params(k = 2)).orderBy("id").collect()
+    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
+    // community 0 = ego of seed 0 = {0,1,2}; community 1 = ego of seed 4 = {3,4,5}
+    val m = f1.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(m(0L) == Seq(1.0, 0.0) && m(1L) == Seq(1.0, 0.0) && m(2L) == Seq(1.0, 0.0))
+    assert(m(4L) == Seq(0.0, 1.0) && m(5L) == Seq(0.0, 1.0) && m(3L) == Seq(0.0, 1.0))
+  }
+}

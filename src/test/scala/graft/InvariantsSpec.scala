@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Aggregates, EventsOps, TextOps}
+
+/** Invariant checks for the [no-oracle] declared queries (SURVEY.md §2.b)
+  * plus a double-run determinism gate for representative queries.
+  */
+class InvariantsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q_agg_approx_distinct: HLL within 5% of exact") {
+    val rows = Aggregates.q_agg_approx_distinct(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"HLL off: $r")
+    }
+  }
+
+  test("q_events_sliding: every event lands in exactly two 1h/30min windows") {
+    val total = EventsOps.q_events_sliding(s, sf).agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val nEvents = graft.Tables.events(s, sf).count()
+    assert(total == 2 * nEvents)
+  }
+
+  test("q_minhash_lsh: 4 buckets per doc; identical texts share all buckets") {
+    import s.implicits._
+    val out = TextOps.q_minhash_lsh(s, sf)
+    val perDoc = out.groupBy("doc_id").count().select("count").distinct().as[Long].collect()
+    assert(perDoc.toSeq == Seq(4L))
+    // invariant by construction: bucket is a pure function of (band, shingle
+    // set); verify on a synthetic duplicate pair through the same transforms
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z w v u t s"))
+      .toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.shingles(split(col("text"), " "))).as("shingle"))
+      .crossJoin(s.range(4).select(col("id").cast("int").as("band")))
+      .groupBy("doc_id", "band")
+      .agg(min(xxhash64(col("band"), col("shingle"))).as("bucket"))
+    val b1 = sh.filter(col("doc_id") === 1).orderBy("band").select("bucket").as[Long].collect()
+    val b2 = sh.filter(col("doc_id") === 2).orderBy("band").select("bucket").as[Long].collect()
+    val b3 = sh.filter(col("doc_id") === 3).orderBy("band").select("bucket").as[Long].collect()
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.toSeq != b3.toSeq)
+  }
+
+  test("determinism: double-run byte-identical output for representative queries") {
+    for (name <- Seq("q_agg_hash", "q_win_running", "q_graph_conductance",
+        "q_sim_cosine_topk", "q_dedup_shingle")) {
+      val fn = SparkEntry.queries(name)
+      val a = fn(s, sf).collect().map(_.toString).toSeq
+      val b = fn(s, sf).collect().map(_.toString).toSeq
+      assert(a == b, s"$name not deterministic across runs")
+      assert(a.nonEmpty, s"$name returned no rows")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(s).count() > 0)
+  }
+}

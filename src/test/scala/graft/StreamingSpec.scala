@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.streaming.StreamingOps
+
+/** True Structured Streaming smoke: the StreamingOps transforms run on a
+  * MemoryStream and produce the same aggregates the batch forms would.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window aggregation over a MemoryStream") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, t("2024-01-01 01:00:00"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01 02:00:00"), 1, "click", 2.0),
+      Ev(3, t("2024-01-02 01:00:00"), 2, "view", 3.0))
+    val q = StreamingOps.tumbling(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM tumbling_out ORDER BY day_start, event_type").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("cnt") == 2 && rows(0).getAs[Double]("sum_val") == 3.0)
+      assert(rows(1).getAs[Long]("cnt") == 1)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops the late duplicate") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, t("2024-01-01 01:00:00"), 1, "click", 1.0),
+      Ev(1, t("2024-01-01 01:05:00"), 1, "click", 1.0), // duplicate (user_id, event_id)
+      Ev(2, t("2024-01-01 01:10:00"), 1, "view", 2.0))
+    val q = StreamingOps.dedup(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM dedup_out").count() == 2)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.GraphOps
+
+/** Paper-checkable facts on the two-triangles-plus-bridge graph
+  * (FIXTURES.md §C): edges {(0,1),(1,2),(0,2),(3,4),(4,5),(3,5),(2,3)}.
+  * Known: degrees {0:2,1:2,2:3,3:3,4:2,5:2}, total volume 14, φ(0)=1/6.
+  */
+class ToyGraphSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import s.implicits._
+
+  private lazy val edges = GraphOps.symEdges(
+    Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+      .toDF("src", "dst"))
+
+  test("degrees match hand computation") {
+    val deg = GraphOps.degrees(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg == Map(0L -> 2, 1L -> 2, 2L -> 3, 3L -> 3, 4L -> 2, 5L -> 2))
+  }
+
+  test("conductance of node 0 ego net is 1/6 and guards hold") {
+    val phi = GraphOps.conductance(edges)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("phi")).toMap
+    assert(math.abs(phi(0L) - 1.0 / 6.0) < 1e-12)
+    // symmetric graph: node 5 mirrors node 0
+    assert(math.abs(phi(5L) - 1.0 / 6.0) < 1e-12)
+    // ego of bridge endpoint 2 = {0,1,2,3}: cut=2 (3-4,3-5), internal
+    // endpoints vol_s=8, vol_t=14-8-4=2 -> phi=2/min(8,2)=1
+    assert(math.abs(phi(2L) - 1.0) < 1e-12)
+    assert(phi.values.forall(p => p >= 0.0 && p <= 1.0))
+  }
+
+  test("seed rank prefers the triangle interiors over the bridge") {
+    val ranked = GraphOps.seedRank(edges).orderBy(col("phi"), col("seed"))
+      .collect().map(_.getAs[Long]("seed"))
+    // all minimal-phi candidates are triangle nodes, not bridge endpoints 2/3
+    assert(ranked.nonEmpty)
+    assert(!Set(2L, 3L).contains(ranked.head))
+  }
+}
