@@ -88,7 +88,9 @@ object SparkEntry {
     "q_dedup_shingle" -> TextOps.q_dedup_shingle,
     "q_minhash_lsh" -> TextOps.q_minhash_lsh,
     // LLM-pipeline: vectors
-    "q_sim_cosine_topk" -> VectorOps.q_sim_cosine_topk
+    "q_sim_cosine_topk" -> VectorOps.q_sim_cosine_topk,
+    // LLM-pipeline: multimodal (binary media + stub decode)
+    "q_multimodal_features" -> graft.multimodal.MultimodalOps.q_multimodal_features
   )
 
   /** DuckDB oracle SQL per oracle-checkable query (graft.Oracles). */

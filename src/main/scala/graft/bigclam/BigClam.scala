@@ -133,6 +133,12 @@ object BigClam {
       .select(col("id"), col("best.fnew").as("fnew"))
   }
 
+  /** Per-node (llh, gradient, ‖∇‖²) at the current F — the distributed
+    * gradient/LLH kernel, exposed for property tests (brute-force LLH and
+    * finite-difference gradient checks in PropertySpec). */
+  def nodeStates(edges: DataFrame, f: DataFrame, p: Params): DataFrame =
+    nodeState(edges, f, sumF(f, p), p)
+
   /** Column sums of F — K doubles to the driver (the only collect). */
   def sumF(f: DataFrame, p: Params): Array[Double] = {
     val vsum = udaf(VectorOps.ArraySumAgg)
@@ -160,6 +166,67 @@ object BigClam {
     val finalState = nodeState(edges, f, sumF(f, p), p)
     history += finalState.agg(sum(col("llh"))).collect()(0).getDouble(0)
     (f, history.toSeq)
+  }
+
+  /** Convergence-driven fit: iterate full passes until the relative LLH
+    * change drops below tol — the reference's MBSGD loop
+    * (Bigclamv2.scala:203-219, |1 − LLHnew/LLHold| < 1e-4) — with a hard
+    * iteration cap as a distributed-job budget. Returns (F, LLH history). */
+  def fitConverged(edges: DataFrame, p: Params, maxIterations: Int = 50): (DataFrame, Seq[Double]) = {
+    var f = init(edges, p).localCheckpoint(true)
+    val history = scala.collection.mutable.ArrayBuffer[Double]()
+    var llhOld = 0.0 // v3 convention (bigclamv3-7.scala:207): iter 1 never converges spuriously
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      it += 1
+      val sf = sumF(f, p)
+      val state = nodeState(edges, f, sf, p).persist(StorageLevel.MEMORY_AND_DISK)
+      val llh = state.agg(sum(col("llh"))).collect()(0).getDouble(0)
+      history += llh
+      if (it > 1 && math.abs(1.0 - llh / llhOld) < p.tol) converged = true
+      else {
+        val next = f.join(lineSearch(edges, f, state, sf, p), Seq("id"), "left")
+          .select(col("id"), coalesce(col("fnew"), col("f")).as("f"))
+          .localCheckpoint(true)
+        f = next
+      }
+      llhOld = llh
+      state.unpersist()
+    }
+    (f, history.toSeq)
+  }
+
+  /** Model selection over K — the v4 surface (bigclam4-7.scala:16-20,
+    * 116-133, 225-266): walk a log-spaced K grid ascending, fit each K, and
+    * stop when the relative LLH gain over the previous K falls below kTol
+    * (1e-3 at bigclam4-7.scala:259). Conductance seeding is computed once
+    * per graph inside init via the shared seedRank plan. Returns the chosen
+    * (k, F, per-K final LLH). */
+  def selectK(edges: DataFrame, base: Params, minK: Int, maxK: Int, steps: Int,
+      kTol: Double = 1e-3, fitIterations: Int = 3): (Int, DataFrame, Seq[(Int, Double)]) = {
+    val grid = logSpacedK(minK, maxK, steps)
+    var results = List.empty[(Int, Double, DataFrame)]
+    var stop = false
+    for (k <- grid if !stop) {
+      val (f, hist) = fit(edges, base.copy(k = k), fitIterations)
+      val llh = hist.last
+      results.headOption.foreach { case (_, prevLlh, _) =>
+        // LLH is negative; relative gain mirrors the reference's test
+        if (math.abs(1.0 - llh / prevLlh) < kTol) stop = true
+      }
+      results = (k, llh, f) :: results
+    }
+    val best = results.maxBy(_._2)
+    (best._1, best._3, results.reverse.map(r => (r._1, r._2)))
+  }
+
+  /** Log-spaced ascending K grid, deduped (bigclam4-7.scala:16-20:
+    * conGap = exp(log(max/min)/steps), K_i = min * conGap^i). */
+  def logSpacedK(minK: Int, maxK: Int, steps: Int): Seq[Int] = {
+    val gap = math.exp(math.log(maxK.toDouble / minK) / steps)
+    (0 to steps).map(i => math.round(minK * math.pow(gap, i)).toInt)
+      .distinct.filter(k => k >= minK && k <= maxK)
   }
 
   /** Threshold-δ + argmax community assignment (Bigclamv2.scala:223-229),

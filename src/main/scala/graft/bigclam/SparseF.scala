@@ -1,0 +1,63 @@
+package graft.bigclam
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Sparse factor representation — the v3 path for large K
+  * (/root/reference/codes/bigclamv3-7.scala:17,86 uses breeze SparseVector
+  * for K≈8,385). Spark has no sparse SQL type, so a row's factors are a
+  * pair of parallel arrays (indices ARRAY<INT>, values ARRAY<DOUBLE>),
+  * kept sorted by index.
+  *
+  * At 100 TB/large-K this is the difference between shuffling K doubles per
+  * node (dense, K=10⁴ → 80 KB/row) and shuffling only the non-zero
+  * communities (≈ node degree after conductance init). All kernels stay
+  * codegen-able column expressions — no UDFs.
+  */
+object SparseF {
+
+  /** dense ARRAY<DOUBLE> → (indices, values) of the non-zero entries. */
+  def toSparseIdx(dense: Column): Column =
+    filter(
+      transform(dense, (v, i) => struct(i.cast("int").as("i"), v.as("v"))),
+      s => s.getField("v") =!= 0.0)
+
+  def sparseIndices(dense: Column): Column =
+    transform(toSparseIdx(dense), s => s.getField("i"))
+
+  def sparseValues(dense: Column): Column =
+    transform(toSparseIdx(dense), s => s.getField("v"))
+
+  /** (indices, values, k) → dense ARRAY<DOUBLE> of length k. */
+  def toDense(indices: Column, values: Column, k: Int): Column = {
+    val m = map_from_arrays(indices, values)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => coalesce(element_at(m, i.cast("int")), lit(0.0)))
+  }
+
+  /** Sparse·sparse dot product: walk the shorter side, probe the other via
+    * a map literal — O(nnz) per row, null-safe on missing keys (replaces
+    * the reference's try/catch Flookup, bigclamv3-7.scala:94-104). */
+  def sparseDot(ai: Column, av: Column, bi: Column, bv: Column): Column = {
+    val mb = map_from_arrays(bi, bv)
+    aggregate(
+      zip_with(ai, av, (i, v) => v * coalesce(element_at(mb, i), lit(0.0))),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Sparse axpy: a + t·g over the union of index sets, re-sparsified and
+    * clipped to [lo, hi] (the projected-gradient step on sparse rows). */
+  def sparseAxpyClip(ai: Column, av: Column, gi: Column, gv: Column,
+      t: Column, lo: Double, hi: Double): Column = {
+    val ma = map_from_arrays(ai, av)
+    val mg = map_from_arrays(gi, gv)
+    val union = array_sort(array_union(ai, gi))
+    filter(
+      transform(union, i => struct(
+        i.as("i"),
+        least(greatest(
+          coalesce(element_at(ma, i), lit(0.0)) + t * coalesce(element_at(mg, i), lit(0.0)),
+          lit(lo)), lit(hi)).as("v"))),
+      s => s.getField("v") =!= 0.0)
+  }
+}

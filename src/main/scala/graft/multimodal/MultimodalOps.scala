@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal columns for a training-data pipeline: media as opaque BINARY
+  * plus a typed metadata struct, with decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The image/audio codec libraries are not in this container, so the decode
+  * kernels are STUBS — `byteHistogram` below is a deterministic stand-in
+  * for "decode then embed" — but everything Spark-side is real and tested:
+  * the (id, media BINARY, meta STRUCT) schema, the per-partition batched
+  * processing shape (mapPartitions over an iterator, exactly where a JNI
+  * codec or ONNX session would be opened once per partition and amortized),
+  * and the downstream feature schema (ARRAY<DOUBLE> compatible with
+  * graft.ops.VectorOps similarity search).
+  *
+  * At 100 TB the media table is the heavy one: features are computed in one
+  * narrow mapPartitions pass (no shuffle), and only the (id, feature) pairs
+  * — a ~1000x reduction — flow into joins downstream.
+  */
+object MultimodalOps {
+
+  val FEATURE_DIM = 16
+
+  case class MediaRow(media_id: Long, media: Array[Byte], kind: String,
+      width: Int, height: Int, duration_ms: Long)
+  case class FeatureRow(media_id: Long, n_bytes: Int, feature: Array[Double])
+
+  /** Deterministic synthetic media table derived from documents: the text
+    * bytes stand in for an encoded image/audio payload, metadata derived
+    * from doc properties. Replace with `spark.read.format("binaryFile")`
+    * over an object store at production scale. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        (col("n_chars") * 33L).as("duration_ms")).as("meta"))
+
+  /** STUB decode+embed kernel: a 16-bin byte histogram, L1-normalized.
+    * Deterministic, pure, and shaped exactly like a real embedding UDF —
+    * swap the body for a codec + model call in production. */
+  def byteHistogram(bytes: Array[Byte]): Array[Double] = {
+    val h = new Array[Double](FEATURE_DIM)
+    var i = 0
+    while (i < bytes.length) { h((bytes(i) & 0xff) % FEATURE_DIM) += 1.0; i += 1 }
+    if (bytes.length > 0) { var j = 0; while (j < FEATURE_DIM) { h(j) /= bytes.length; j += 1 } }
+    h
+  }
+
+  /** Feature extraction as a per-partition batched pass (the mapPartitions
+    * shape lets heavyweight decoder state be opened once per partition). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // production: open codec/model session here, once per partition
+        it.map { case (id, bytes) => FeatureRow(id, bytes.length, byteHistogram(bytes)) }
+      }
+      .toDF()
+  }
+
+  /** STUB resize: truncate/pad the payload to `n` bytes (stands in for an
+    * image resize that bounds per-row cost before decode). */
+  def resizeStub(media: DataFrame, n: Int): DataFrame =
+    media.withColumn("media",
+      substring(col("media"), 1, n))
+
+  /** STUB frame sampling: every stride-th 16-byte block as one "frame" —
+    * the row-explosion plumbing (media_id, frame_no, frame) of a real video
+    * frame sampler. */
+  def frameSample(media: DataFrame, frameBytes: Int = 16, stride: Int = 4): DataFrame =
+    media.select(col("media_id"),
+      posexplode(filter(
+        transform(
+          sequence(lit(0),
+            (length(col("media")).cast("int") / lit(frameBytes * stride)).cast("int")),
+          i => substring(col("media"), (i * frameBytes * stride + 1).cast("int"), lit(frameBytes))),
+        f => length(f) === frameBytes)).as(Seq("frame_no", "frame")))
+
+  /** [no-oracle] declared query: metadata + stub features per media row.
+    * Invariants (tests): histogram sums to ~1, n_bytes = n_chars. */
+  def q_multimodal_features(s: SparkSession, d: String): DataFrame =
+    extractFeatures(mediaTable(s, d))
+      .select(col("media_id"), col("n_bytes"),
+        transform(col("feature"), x => round(x, 6)).as("feature"))
+      .orderBy("media_id")
+}

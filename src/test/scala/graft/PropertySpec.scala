@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import scala.util.Random
+import graft.bigclam.{BigClam, SparseF}
+import graft.graph.GraphOps
+
+/** Property checks (SURVEY.md §5.3): the distributed BigCLAM kernels vs a
+  * driver-side brute-force implementation of the same formulas on small
+  * random graphs, gradient vs finite differences, and sparse-vs-dense
+  * round trips. Seeded RNG only — deterministic across runs.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private val p = BigClam.Params(k = 3)
+
+  private def clip(x: Double, lo: Double, hi: Double) = math.min(math.max(x, lo), hi)
+
+  /** Brute-force per-node LLH, reference formula (Bigclamv2.scala:189-197). */
+  private def bruteLlh(adj: Map[Long, Seq[Long]], f: Map[Long, Array[Double]],
+      u: Long): Double = {
+    val k = f.values.head.length
+    val sumF = Array.tabulate(k)(i => f.values.map(_(i)).sum)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val fu = f(u)
+    val neigh = adj(u).map { v =>
+      val d = dot(fu, f(v))
+      math.log(1.0 - clip(math.exp(-d), p.minP, p.maxP)) + d
+    }.sum
+    neigh - dot(fu, sumF) + dot(fu, fu)
+  }
+
+  private def randomGraph(seed: Int, n: Int): Seq[(Long, Long)] = {
+    val rnd = new Random(seed)
+    val pairs = for {
+      a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.4
+    } yield (a.toLong, b.toLong)
+    // ensure no isolated nodes: chain fallback
+    pairs ++ (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+  }
+
+  private def fixtures(seed: Int, n: Int) = {
+    import s.implicits._
+    val edges = GraphOps.symEdges(randomGraph(seed, n).toDF("src", "dst")).cache()
+    val rnd = new Random(seed + 1)
+    val fMap: Map[Long, Array[Double]] =
+      (0 until n).map(i => i.toLong -> Array.fill(p.k)(rnd.nextDouble() * 2)).toMap
+    val fDf = fMap.toSeq.map { case (id, arr) => (id, arr.toSeq) }
+      .toDF("id", "f").select(col("id"), col("f").cast("array<double>").as("f"))
+    val adj = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    (edges, fDf, fMap, adj)
+  }
+
+  test("distributed LLH matches driver-side brute force on random graphs") {
+    for (seed <- Seq(7, 21, 42)) {
+      val (edges, fDf, fMap, adj) = fixtures(seed, 10)
+      val states = BigClam.nodeStates(edges, fDf, p)
+        .select("id", "llh").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      for ((u, llh) <- states) {
+        val expected = bruteLlh(adj, fMap, u)
+        assert(math.abs(llh - expected) < 1e-8, s"seed=$seed node=$u: $llh vs $expected")
+      }
+    }
+  }
+
+  test("distributed gradient matches finite differences of the brute-force LLH") {
+    val (edges, fDf, fMap, adj) = fixtures(11, 8)
+    val grads = BigClam.nodeStates(edges, fDf, p)
+      .select("id", "grad").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val h = 1e-6
+    for (u <- fMap.keys; c <- 0 until p.k) {
+      val fPlus = fMap.updated(u, { val a = fMap(u).clone(); a(c) += h; a })
+      val fMinus = fMap.updated(u, { val a = fMap(u).clone(); a(c) -= h; a })
+      // central difference of l(u) wrt F_u[c]; note sumF shifts with F_u
+      val fd = (bruteLlh(adj, fPlus, u) - bruteLlh(adj, fMinus, u)) / (2 * h)
+      assert(math.abs(grads(u)(c) - fd) < 1e-4,
+        s"node=$u dim=$c: grad=${grads(u)(c)} fd=$fd")
+    }
+  }
+
+  test("sparse round-trip and sparse dot match dense") {
+    val df = s.range(1).select(
+      typedLit(Seq(0.0, 1.5, 0.0, 2.5, 0.0)).as("a"),
+      typedLit(Seq(1.0, 0.0, 3.0, 4.0, 0.0)).as("b"))
+    val r = df.select(
+      SparseF.toDense(SparseF.sparseIndices(col("a")), SparseF.sparseValues(col("a")), 5).as("rt"),
+      SparseF.sparseDot(
+        SparseF.sparseIndices(col("a")), SparseF.sparseValues(col("a")),
+        SparseF.sparseIndices(col("b")), SparseF.sparseValues(col("b"))).as("dot"))
+      .collect()(0)
+    assert(r.getSeq[Double](0) == Seq(0.0, 1.5, 0.0, 2.5, 0.0))
+    assert(math.abs(r.getDouble(1) - 10.0) < 1e-12) // 2.5*4.0
+  }
+
+  test("sparse axpy-clip matches dense projected step") {
+    val df = s.range(1).select(
+      typedLit(Seq(0.0, 1.0, 2.0, 0.0)).as("a"),
+      typedLit(Seq(5.0, -10.0, 0.0, 1.0)).as("g"))
+    val out = df.select(SparseF.sparseAxpyClip(
+      SparseF.sparseIndices(col("a")), SparseF.sparseValues(col("a")),
+      SparseF.sparseIndices(col("g")), SparseF.sparseValues(col("g")),
+      lit(0.5), 0.0, 1000.0).as("r")).collect()(0)
+    // dense: clip([0+2.5, 1-5, 2+0, 0+0.5]) = [2.5, 0, 2, 0.5] → sparse
+    val entries = out.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(entries == Map(0 -> 2.5, 2 -> 2.0, 3 -> 0.5))
+  }
+}
