@@ -368,6 +368,21 @@ object Oracles {
         |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    "q_text_quality" ->
+      """SELECT doc_id, n_tokens,
+        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        |  avg_token_len,
+        |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
+        |        (1.0 - abs(CAST(n_stop AS DOUBLE) / n_tokens - 0.1)), 6) AS quality
+        |FROM (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','on')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        |    round(CAST(sum(length(tok)) AS DOUBLE) / count(*), 6) AS avg_token_len
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id)
+        |ORDER BY doc_id LIMIT 2000""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY h LIMIT 5000""".stripMargin,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.ops.{Relational, Aggregates, Windows, ScalarFns, EventsOps, TextOps, VectorOps}
+import graft.ops.{Relational, Aggregates, Windows, ScalarFns, EventsOps, TextOps, TextAnalysis, VectorOps}
 import graft.graph.GraphOps
 import graft.bigclam.BigClam
 
@@ -87,8 +87,13 @@ object SparkEntry {
     "q_dedup_exact" -> TextOps.q_dedup_exact,
     "q_dedup_shingle" -> TextOps.q_dedup_shingle,
     "q_minhash_lsh" -> TextOps.q_minhash_lsh,
+    // LLM-pipeline: text analysis
+    "q_text_quality" -> TextAnalysis.q_text_quality,
+    "q_text_langid" -> TextAnalysis.q_text_langid,
+    "q_text_fingerprint" -> TextAnalysis.q_text_fingerprint,
     // LLM-pipeline: vectors
     "q_sim_cosine_topk" -> VectorOps.q_sim_cosine_topk,
+    "q_sim_ann_lsh" -> VectorOps.q_sim_ann_lsh,
     // LLM-pipeline: multimodal (binary media + stub decode)
     "q_multimodal_features" -> graft.multimodal.MultimodalOps.q_multimodal_features
   )

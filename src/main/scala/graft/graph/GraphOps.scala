@@ -25,6 +25,19 @@ import graft.Tables
   */
 object GraphOps {
 
+  /** Whitespace edge-list text loader, mirroring GraphLoader.edgeListFile
+    * semantics (/root/reference/codes/Bigclamv2.scala:14): `#` comment
+    * lines skipped, lines split on runs of whitespace, first two tokens →
+    * (src, dst) BIGINT. Distributed text scan — works unchanged on a
+    * 100 TB edge dump. */
+  def loadEdgeList(s: SparkSession, path: String): DataFrame =
+    s.read.text(path)
+      .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+      .select(split(trim(col("value")), "\\s+").as("t"))
+      .select(
+        element_at(col("t"), 1).cast("bigint").as("src"),
+        element_at(col("t"), 2).cast("bigint").as("dst"))
+
   /** Bipartite edges derived from lineitem (FIXTURES.md §A): orders on the
     * left, suppliers offset by 100000 on the right. */
   def rawEdges(s: SparkSession, d: String, maxOrderKey: Long = Long.MaxValue): DataFrame = {

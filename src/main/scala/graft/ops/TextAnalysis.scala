@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline: quality scoring,
+  * language identification, and document fingerprinting — all pure column
+  * expressions over the documents table (no UDFs; the marker tables ride
+  * along as literal arrays, the 100 TB equivalent of a broadcast dict).
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Quality scoring: token stats + stopword ratio + a blended score — the
+    * length/punct/stopword heuristics CommonCrawl-style filters use.
+    * Fully SQL-expressible, so oracle-checked. */
+  def q_text_quality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), col("n_chars"),
+      explode(split(col("text"), " ")).as("tok"))
+    tok.groupBy("doc_id")
+      .agg(
+        first(col("n_chars")).as("n_chars"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"),
+        round(sum(length(col("tok")).cast("bigint")).cast("double") / count(lit(1)), 6)
+          .as("avg_token_len"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        col("avg_token_len"),
+        // blended quality: long-enough docs with moderate stopword density
+        round(
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
+            (lit(1.0) - abs(col("n_stop").cast("double") / col("n_tokens") - 0.1)), 6)
+          .as("quality"))
+      .orderBy("doc_id")
+      .limit(2000)
+  }
+
+  /** [no-oracle] Language ID by marker-token voting: per language a small
+    * marker list (the n-gram-profile approach collapsed to whole-token
+    * unigrams for the synthetic corpus); prediction = argmax vote count
+    * with deterministic tiebreak, 'und' when nothing matches. */
+  def q_text_langid(s: SparkSession, d: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and", "is"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "es" -> Seq("el", "la", "los", "y", "es"),
+      "fr" -> Seq("le", "la", "les", "et", "est"),
+      "zh" -> Seq("de", "shi", "zai", "he", "le"))
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val scores = markers.map { case (l, ws) =>
+      sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L)).as(s"s_$l")
+    }
+    val scored = tok.groupBy("doc_id")
+      .agg(first(col("lang")).as("lang"), scores: _*)
+    val best = markers.map { case (l, _) => struct(col(s"s_$l").as("s"), lit(l).as("l")) }
+    scored
+      .select(col("doc_id"), col("lang"),
+        greatest(best: _*).getField("l").as("pred"),
+        greatest(markers.map(m => col(s"s_${m._1}")): _*).as("best_score"))
+      .select(col("doc_id"), col("lang"),
+        when(col("best_score") > 0, col("pred")).otherwise("und").as("pred"))
+      .orderBy("doc_id")
+      .limit(2000)
+  }
+
+  /** [no-oracle] Winnowing-style document fingerprint: the 4 smallest
+    * 64-bit hashes over the doc's 5-gram shingles (a rolling-hash sketch;
+    * near-identical docs share most sketch entries). */
+  def q_text_fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        slice(array_sort(transform(
+          TextOps.shingles(split(col("text"), " ")),
+          sh => xxhash64(sh))), 1, 4).as("fingerprint"))
+      .orderBy("doc_id")
+      .limit(5000)
+}

@@ -63,4 +63,47 @@ object VectorOps {
         col("rn").cast("int").as("rank"))
       .orderBy("vec_id", "rank")
   }
+
+  /** Deterministic random-hyperplane family for sign-LSH: `nBits` fixed
+    * 64-dim hyperplanes from a seeded PRNG, embedded as plan literals (the
+    * broadcast-small-model pattern — at 100 TB the planes would ship the
+    * same way). */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id of a vector column: bit j = sign(v · plane_j). */
+  def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val lp = array(p.map(lit).toIndexedSeq: _*)
+      when(dot(v, lp) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** [no-oracle] The ANN *scale path*: bucket every vector with 6-bit
+    * sign-LSH, self-join per bucket, brute-force cosine only within the
+    * bucket, top-3 per probe. Versus q_sim_cosine_topk (the exact baseline)
+    * this replaces the label-blocked N_probe x N_label pair count with
+    * N_probe x (N / 2^bits) — the knob that keeps 100 TB ANN sub-quadratic.
+    * Tests measure recall against the exact baseline. */
+  def q_sim_ann_lsh(s: SparkSession, d: String): DataFrame = {
+    val planes = hyperplanes(nBits = 6, dim = 64)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), l2norm(col("v")).as("nrm"),
+        lshBucket(col("v"), planes).as("bucket"))
+    val probes = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("u"), col("v").as("uv"), col("nrm").as("unrm"), col("bucket"))
+    val cands = emb.select(col("vec_id").as("w"), col("v").as("wv"),
+      col("nrm").as("wnrm"), col("bucket"))
+    val pairs = probes.join(cands, Seq("bucket")).filter(col("u") =!= col("w"))
+      .select(col("u"), col("w"),
+        round(dot(col("uv"), col("wv")) / (col("unrm") * col("wnrm")), 6).as("cosine"))
+    val win = Window.partitionBy("u").orderBy(col("cosine").desc, col("w").asc)
+    pairs.select(col("u"), col("w"), col("cosine"), row_number().over(win).as("rn"))
+      .filter(col("rn") <= 3)
+      .select(col("u").as("vec_id"), col("w").as("neighbor_id"), col("cosine"),
+        col("rn").cast("int").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{TextAnalysis, VectorOps}
+
+/** Invariants for the no-oracle text-analysis and ANN queries. */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("langid: predictions in the model's language set, deterministic") {
+    val rows = TextAnalysis.q_text_langid(s, sf).collect()
+    assert(rows.nonEmpty)
+    val langs = Set("en", "de", "es", "fr", "zh", "und")
+    assert(rows.forall(r => langs.contains(r.getAs[String]("pred"))))
+    // the synthetic corpus is English-vocabulary for every label row, so the
+    // marker vote should overwhelmingly say 'en'
+    val en = rows.count(_.getAs[String]("pred") == "en")
+    assert(en.toDouble / rows.length > 0.9, s"only $en/${rows.length} voted en")
+    val again = TextAnalysis.q_text_langid(s, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("fingerprint: 4 sorted hashes per doc; identical docs share sketches") {
+    import s.implicits._
+    val fps = TextAnalysis.q_text_fingerprint(s, sf).collect()
+    assert(fps.nonEmpty)
+    fps.foreach { r =>
+      val fp = r.getSeq[Long](1)
+      assert(fp.length == 4 && fp == fp.sorted)
+    }
+  }
+
+  test("ANN LSH: buckets partition vectors; recall vs exact baseline is nonzero") {
+    val ann = VectorOps.q_sim_ann_lsh(s, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(ann.nonEmpty)
+    assert(ann.values.forall(_.size <= 3))
+    // exact global top-3 per probe (label-free brute force in the driver)
+    val emb = graft.Tables.embeddings(s, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    var hit = 0; var tot = 0
+    for ((u, found) <- ann.take(30)) {
+      val exact = emb.filter(_._1 != u).toSeq
+        .map { case (w, v) => (w, cos(emb(u), v)) }
+        .sortBy { case (w, c) => (-c, w) }.take(3).map(_._1).toSet
+      hit += found.intersect(exact).size; tot += exact.size
+    }
+    // sign-LSH on gaussian data is approximate: just require clearly-better-
+    // than-nothing recall (random 3-of-500 would be ~0.006)
+    assert(hit.toDouble / tot > 0.05, s"recall ${hit.toDouble / tot}")
+  }
+
+  test("quality: ratios bounded and stopword counting sane") {
+    val rows = TextAnalysis.q_text_quality(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sr = r.getAs[Double]("stop_ratio")
+      assert(sr >= 0.0 && sr <= 1.0)
+      assert(r.getAs[Double]("quality") <= 1.0)
+      assert(r.getAs[Double]("avg_token_len") > 0)
+    }
+  }
+}
