@@ -81,12 +81,13 @@ object TextOps {
     * sharing any (band, bucket) are the candidate near-dup pairs at scale. */
   def q_minhash_lsh(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(toks(col("text")))).as("shingle"))
-      .groupBy("doc_id")
-      // all 4 band-minima in ONE map-side-combining aggregation (a per-band
-      // explode would shuffle 4x the rows for the same answer)
-      .agg(min(xxhash64(lit(0), col("shingle"))).as("b0"),
-        (1 until 4).map(b => min(xxhash64(lit(b), col("shingle"))).as(s"b$b")): _*)
+      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      // per-row band minima via array HOFs: a fully narrow plan — no
+      // explode, no shuffle; each doc's 4 buckets come out of one pass
+      // over its shingle array
+      .select(col("doc_id") +: (0 until 4).map(b =>
+        array_min(transform(col("sh"), sh => xxhash64(lit(b), sh))).as(s"b$b")): _*)
+      .filter(col("b0").isNotNull) // docs with <5 tokens have no shingles
       .select(col("doc_id"), expr(
         "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, bucket)"))
       .orderBy("doc_id", "band")

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+
+/** Salted two-phase aggregation and salted-join equivalence with their
+  * unsalted forms on a deliberately skewed dataset (one mega-key).
+  */
+class SkewSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private lazy val skewed = {
+    import s.implicits._
+    // key 0 holds 90% of rows — the hot-key shape
+    (1 to 10000).map(i => (if (i % 10 == 0) i.toLong % 7 + 1 else 0L, i.toLong, i * 1.5))
+      .toDF("k", "id", "v").cache()
+  }
+
+  test("saltedAgg(count+sum) equals the plain aggregation") {
+    val plain = skewed.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum(col("v").cast("decimal(18,2)")).cast("double").as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val salted = Skew.saltedAgg(skewed, col("k"), Seq(col("id")), salts = 8,
+      partial = Seq(count(lit(1)).as("pc"),
+        sum(col("v").cast("decimal(18,2)")).as("ps")),
+      merge = Seq(sum(col("pc")).as("cnt"), sum(col("ps")).cast("double").as("sv")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salted join equals the plain join on a hot key") {
+    import s.implicits._
+    val dim = Seq((0L, "hot"), (1L, "a"), (2L, "b")).toDF("k", "name")
+    val plain = skewed.join(dim, "k").groupBy("name").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val salted = skewed
+      .withColumn("salt_id", Skew.salt(4, col("id")))
+      .join(Skew.explodeSalt(dim, 4), Seq("k", "salt_id"))
+      .groupBy("name").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salt is deterministic and spreads the hot key") {
+    val dist = skewed.filter(col("k") === 0)
+      .select(Skew.salt(8, col("id")).as("s"))
+      .groupBy("s").count().collect()
+    assert(dist.length == 8) // all 8 salt buckets hit
+    val again = skewed.filter(col("k") === 0)
+      .select(Skew.salt(8, col("id")).as("s"))
+      .groupBy("s").count().collect()
+    assert(dist.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+}
