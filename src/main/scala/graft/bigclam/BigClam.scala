@@ -148,14 +148,19 @@ object BigClam {
 
   /** Fixed-iteration fit; returns (F, per-iteration total LLH history —
     * history(i) is the LLH *before* iteration i's update, history(last) is
-    * the final LLH). Ascent + Armijo ⇒ history is non-decreasing. */
-  def fit(edges: DataFrame, p: Params, iterations: Int): (DataFrame, Seq[Double]) = {
+    * the final LLH). Ascent + Armijo ⇒ history is non-decreasing.
+    * `trackHistory = false` skips the per-iteration LLH reductions and the
+    * final full gradient pass (one distributed job per iteration plus one
+    * at the end) for callers that only need F. */
+  def fit(edges: DataFrame, p: Params, iterations: Int,
+      trackHistory: Boolean = true): (DataFrame, Seq[Double]) = {
     var f = init(edges, p).localCheckpoint(true)
     val history = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to iterations) {
       val sf = sumF(f, p)
       val state = nodeState(edges, f, sf, p).persist(StorageLevel.MEMORY_AND_DISK)
-      history += state.agg(sum(col("llh"))).collect()(0).getDouble(0)
+      if (trackHistory)
+        history += state.agg(sum(col("llh"))).collect()(0).getDouble(0)
       val updates = lineSearch(edges, f, state, sf, p)
       val next = f.join(updates, Seq("id"), "left")
         .select(col("id"), coalesce(col("fnew"), col("f")).as("f"))
@@ -163,8 +168,10 @@ object BigClam {
       state.unpersist()
       f = next
     }
-    val finalState = nodeState(edges, f, sumF(f, p), p)
-    history += finalState.agg(sum(col("llh"))).collect()(0).getDouble(0)
+    if (trackHistory) {
+      val finalState = nodeState(edges, f, sumF(f, p), p)
+      history += finalState.agg(sum(col("llh"))).collect()(0).getDouble(0)
+    }
     (f, history.toSeq)
   }
 
@@ -259,7 +266,8 @@ object BigClam {
 
   private def smokeFit(s: SparkSession, d: String): DataFrame =
     smokeCache.computeIfAbsent(d, _ => {
-      val (f, _) = fit(smokeEdges(s, d), Params(k = 4), iterations = 3)
+      val (f, _) = fit(smokeEdges(s, d), Params(k = 4), iterations = 3,
+        trackHistory = false)
       f.persist(StorageLevel.MEMORY_AND_DISK)
     })
 
