@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Catalyst optimizer rule: rewrite the composable HOF dot product
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)
+  * into the fused codegen [[DotProduct]] expression. Conservative match:
+  * both lambdas must be pure variable arithmetic and the finish lambda the
+  * identity, so any rewrite is value-identical (left-to-right summation in
+  * both forms).
+  */
+object DotFusionRule extends Rule[LogicalPlan] {
+
+  private def isVar(e: Expression): Boolean = e.isInstanceOf[NamedLambdaVariable]
+
+  private def isIdentityFinish(e: Expression): Boolean = e match {
+    case LambdaFunction(body, Seq(arg), _) => body.semanticEquals(arg)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(Multiply(x, y, _), _, _)),
+          Literal(zero, DoubleType),
+          LambdaFunction(Add(acc, v, _), _, _),
+          finish)
+        if zero == 0.0 && isVar(x) && isVar(y) && isVar(acc) && isVar(v) &&
+          isIdentityFinish(finish) &&
+          a.dataType.isInstanceOf[ArrayType] &&
+          a.dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
+          b.dataType.isInstanceOf[ArrayType] &&
+          b.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+      DotProduct(a, b)
+  }
+}
+
+/** Session extensions: `dot_product` as a SQL function plus the fusion
+  * rule. Wire at session build time with
+  * `.withExtensions(new GraftExtensions)`, or retrofit an existing session
+  * with [[GraftExtensions.install]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotProductFunction)
+    ext.injectOptimizerRule(_ => DotFusionRule)
+  }
+}
+
+object GraftExtensions {
+
+  private[functions] val dotProductFunction =
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  /** Idempotently add the fusion rule + SQL function to a live session. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(DotFusionRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DotFusionRule
+    spark.sessionState.functionRegistry.registerFunction(
+      dotProductFunction._1, dotProductFunction._2, dotProductFunction._3)
+  }
+}

@@ -36,8 +36,16 @@ object VectorOps {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
 
-  /** dot(a, b) for array<double> columns — codegen'd HOF chain. */
+  /** dot(a, b) for array<double> columns — the fused native expression
+    * (graft.functions.DotProduct, single codegen loop). Left-to-right
+    * summation, bit-identical to the HOF form below. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot(a, b)
+
+  /** The composable higher-order-function dot (what a user would write
+    * without the native function); DotFusionRule rewrites this shape into
+    * DotProduct when installed. */
+  def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
