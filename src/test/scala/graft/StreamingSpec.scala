@@ -36,6 +36,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState keeps a running per-user profile across batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamingOps.runningProfile(mem.toDS(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("profile_out")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, t("2024-01-01 01:00:00"), 2.0), (1L, t("2024-01-01 01:05:00"), 3.0))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-01 01:10:00"), 5.0), (2L, t("2024-01-01 01:11:00"), 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM profile_out ORDER BY user_id, n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // user 1: first batch (2 events, 5.0), second batch accumulates (3, 10.0)
+      assert(rows.contains((1L, 2L, 5.0)))
+      assert(rows.contains((1L, 3L, 10.0)))
+      assert(rows.contains((2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops the late duplicate") {
     val spark = TestSpark.spark
     import spark.implicits._
