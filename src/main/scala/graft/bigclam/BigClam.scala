@@ -139,6 +139,52 @@ object BigClam {
   def nodeStates(edges: DataFrame, f: DataFrame, p: Params): DataFrame =
     nodeState(edges, f, sumF(f, p), p)
 
+  /** Sparse-representation gradient/LLH pass — the v3 large-K path
+    * (bigclamv3-7.scala:17,86,138-150). F rows are (id, fi ARRAY<INT>,
+    * fv ARRAY<DOUBLE>) index/value pairs; per-pair dots cost O(nnz), the
+    * neighbor-gradient aggregation shuffles only non-zero entries
+    * (explode → groupBy(id, dim) → regroup), and density appears only in
+    * the final per-node gradient (inherent: the −sumF background term
+    * touches every community). PropertySpec proves value-equality with the
+    * dense `nodeStates` kernel. */
+  def nodeStatesSparse(edges: DataFrame, fSparse: DataFrame, sumF: Array[Double],
+      p: Params): DataFrame = {
+    val k = p.k
+    val sumFc = litArr(sumF)
+    val fu = fSparse.select(col("id").as("src"), col("fi").as("ui"), col("fv").as("uv"))
+    val fv = fSparse.select(col("id").as("dst"), col("fi").as("vi"), col("fv").as("vv"))
+    val pairs = edges.join(fu, "src").join(fv, "dst")
+      .withColumn("dotv", SparseF.sparseDot(col("ui"), col("uv"), col("vi"), col("vv")))
+      .withColumn("pc", clipP(exp(-col("dotv")), p))
+      .withColumn("coef", lit(1.0) / (lit(1.0) - col("pc")))
+    // per-node neighbor LLH + the sparse self terms
+    val fuDotSumF = aggregate(
+      zip_with(col("ui"), col("uv"), (i, v) => v * element_at(sumFc, i + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val fuDotFu = aggregate(
+      zip_with(col("uv"), col("uv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    val llhPart = pairs
+      .groupBy(col("src").as("id"))
+      .agg(first(col("ui")).as("ui"), first(col("uv")).as("uv"),
+        sum(log(lit(1.0) - col("pc")) + col("dotv")).as("llh_neigh"))
+      .select(col("id"), col("ui"), col("uv"),
+        (col("llh_neigh") - fuDotSumF + fuDotFu).as("llh"))
+    // sparse neighbor-gradient: only non-zero (node, dim) entries shuffle
+    val gradEntries = pairs
+      .select(col("src").as("id"),
+        explode(arrays_zip(col("vi"), col("vv"))).as("e"), col("coef"))
+      .select(col("id"), col("e.vi").as("dim"), (col("e.vv") * col("coef")).as("g"))
+      .groupBy("id", "dim").agg(sum(col("g")).as("g"))
+      .groupBy("id").agg(map_from_arrays(collect_list(col("dim")), collect_list(col("g"))).as("gm"))
+    val mu = map_from_arrays(col("ui"), col("uv"))
+    llhPart.join(gradEntries, Seq("id"))
+      .select(col("id"), col("llh"),
+        transform(sequence(lit(0), lit(k - 1)), i =>
+          coalesce(element_at(col("gm"), i.cast("int")), lit(0.0)) -
+            element_at(sumFc, i + 1) +
+            coalesce(element_at(mu, i.cast("int")), lit(0.0))).as("grad"))
+  }
+
   /** Column sums of F — K doubles to the driver (the only collect). */
   def sumF(f: DataFrame, p: Params): Array[Double] = {
     val vsum = udaf(VectorOps.ArraySumAgg)

@@ -82,6 +82,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sparse gradient/LLH pass equals the dense kernel") {
+    val (edges, fDf, fMap, _) = fixtures(33, 9)
+    // sparsify: zero out ~half the entries, keep both representations
+    import org.apache.spark.sql.functions.{col, when, expr}
+    val fZeroed = fDf.select(col("id"),
+      expr("transform(f, (x, i) -> CASE WHEN (id + i) % 2 = 0 THEN x ELSE 0.0 END)").as("f"))
+    val fSparse = fZeroed.select(col("id"),
+      SparseF.sparseIndices(col("f")).as("fi"), SparseF.sparseValues(col("f")).as("fv"))
+    val sf = BigClam.sumF(fZeroed, p)
+    val dense = BigClam.nodeStates(edges, fZeroed, p)
+      .select("id", "llh", "grad").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Double](2))).toMap
+    val sparse = BigClam.nodeStatesSparse(edges, fSparse, sf, p)
+      .select("id", "llh", "grad").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Double](2))).toMap
+    assert(dense.keySet == sparse.keySet)
+    for (id <- dense.keys) {
+      assert(math.abs(dense(id)._1 - sparse(id)._1) < 1e-9, s"llh differs at $id")
+      dense(id)._2.zip(sparse(id)._2).zipWithIndex.foreach { case ((a, b), c) =>
+        assert(math.abs(a - b) < 1e-9, s"grad differs at node $id dim $c: $a vs $b")
+      }
+    }
+  }
+
   test("sparse round-trip and sparse dot match dense") {
     val df = s.range(1).select(
       typedLit(Seq(0.0, 1.5, 0.0, 2.5, 0.0)).as("a"),
