@@ -383,6 +383,18 @@ object Oracles {
         |  GROUP BY doc_id)
         |ORDER BY doc_id LIMIT 2000""".stripMargin,
 
+    "q_sample_stratified" ->
+      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
+        |FROM documents WHERE doc_id % 10 < 3
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_token_bpe" ->
+      """SELECT lang,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS BIGINT) AS n_bpe_tokens,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY h LIMIT 5000""".stripMargin,

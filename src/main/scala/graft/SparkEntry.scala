@@ -91,6 +91,8 @@ object SparkEntry {
     "q_text_quality" -> TextAnalysis.q_text_quality,
     "q_text_langid" -> TextAnalysis.q_text_langid,
     "q_text_fingerprint" -> TextAnalysis.q_text_fingerprint,
+    "q_sample_stratified" -> TextAnalysis.q_sample_stratified,
+    "q_text_token_bpe" -> TextAnalysis.q_text_token_bpe,
     // LLM-pipeline: vectors
     "q_sim_cosine_topk" -> VectorOps.q_sim_cosine_topk,
     "q_sim_ann_lsh" -> VectorOps.q_sim_ann_lsh,

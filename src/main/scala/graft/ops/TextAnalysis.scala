@@ -69,6 +69,33 @@ object TextAnalysis {
       .limit(2000)
   }
 
+  /** Deterministic stratified sampling — the reproducible train/eval split
+    * a data pipeline needs (no rand(): membership is a pure function of
+    * doc_id, so the same rows are sampled on every run and every engine).
+    * Strata = lang; rate = 3/10 via doc_id % 10 < 3. */
+  def q_sample_stratified(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 10 < 3)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"))
+      .orderBy("lang")
+
+  /** BPE-ish subword token counting: whitespace tokens further split by a
+    * regex into letter runs / digit runs / single other chars — the
+    * pre-tokenizer shape of byte-pair encoders. Oracle-checked (same regex
+    * both engines). */
+  def q_text_token_bpe(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .cast("bigint").as("bpe_tokens"))
+      .groupBy("lang")
+      .agg(sum(col("ws_tokens")).as("n_ws_tokens"),
+        sum(col("bpe_tokens")).as("n_bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
   /** [no-oracle] Winnowing-style document fingerprint: the 4 smallest
     * 64-bit hashes over the doc's 5-gram shingles (a rolling-hash sketch;
     * near-identical docs share most sketch entries). */
