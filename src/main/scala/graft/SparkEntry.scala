@@ -96,6 +96,7 @@ object SparkEntry {
     // LLM-pipeline: vectors
     "q_sim_cosine_topk" -> VectorOps.q_sim_cosine_topk,
     "q_sim_ann_lsh" -> VectorOps.q_sim_ann_lsh,
+    "q_sim_ann_ivf" -> VectorOps.q_sim_ann_ivf,
     // LLM-pipeline: multimodal (binary media + stub decode)
     "q_multimodal_features" -> graft.multimodal.MultimodalOps.q_multimodal_features
   )

@@ -88,6 +88,50 @@ object VectorOps {
       when(dot(v, lp) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF coarse quantizer: deterministic centroids (the vectors with the
+    * `nCentroids` smallest ids — at scale: a sampled k-means run), each
+    * vector assigned to its nearest centroid by cosine. Returns
+    * (vec_id, v, nrm, cell). One broadcast join + a per-row argmax over
+    * nCentroids dots — no shuffle beyond the scan. */
+  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        l2norm(col("v")).as("cnrm"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim"))
+    scored.groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        max(struct(col("sim"), (-col("cent_id")).as("nid"))).as("best"))
+      .select(col("vec_id"), col("v"), col("nrm"), (-col("best.nid")).as("cell"))
+  }
+
+  /** [no-oracle] The IVF ANN path: assign all vectors to 16 coarse cells,
+    * search each probe only within its own cell (nprobe=1), top-3 by
+    * cosine. Complements q_sim_ann_lsh: IVF adapts cell shapes to the data
+    * where LSH planes are data-independent. Tests measure recall vs the
+    * exact baseline. */
+  def q_sim_ann_ivf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val assigned = ivfAssign(emb, nCentroids = 16)
+    val probes = assigned.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("u"), col("v").as("uv"), col("nrm").as("unrm"), col("cell"))
+    val cands = assigned
+      .select(col("vec_id").as("w"), col("v").as("wv"), col("nrm").as("wnrm"), col("cell"))
+    val pairs = probes.join(cands, Seq("cell")).filter(col("u") =!= col("w"))
+      .select(col("u"), col("w"),
+        round(dot(col("uv"), col("wv")) / (col("unrm") * col("wnrm")), 6).as("cosine"))
+    val win = Window.partitionBy("u").orderBy(col("cosine").desc, col("w").asc)
+    pairs.select(col("u"), col("w"), col("cosine"), row_number().over(win).as("rn"))
+      .filter(col("rn") <= 3)
+      .select(col("u").as("vec_id"), col("w").as("neighbor_id"), col("cosine"),
+        col("rn").cast("int").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** [no-oracle] The ANN *scale path*: bucket every vector with 6-bit
     * sign-LSH, self-join per bucket, brute-force cosine only within the
     * bucket, top-3 per probe. Versus q_sim_cosine_topk (the exact baseline)

