@@ -47,12 +47,15 @@ object SparkEntry {
     "q_agg_scalar" -> Aggregates.q_agg_scalar,
     "q_agg_array_sum" -> Aggregates.q_agg_array_sum,
     "q_agg_approx_distinct" -> Aggregates.q_agg_approx_distinct,
+    "q_agg_percentiles" -> Aggregates.q_agg_percentiles,
+    "q_pivot" -> Aggregates.q_pivot,
     // windows
     "q_win_rank" -> Windows.q_win_rank,
     "q_win_rownum" -> Windows.q_win_rownum,
     "q_win_running" -> Windows.q_win_running,
     "q_win_lag_lead" -> Windows.q_win_lag_lead,
     "q_win_ntile" -> Windows.q_win_ntile,
+    "q_win_distribution" -> Windows.q_win_distribution,
     // sort / top-k
     "q_sort_multi" -> Relational.q_sort_multi,
     "q_topk_per_group" -> Relational.q_topk_per_group,

@@ -138,6 +138,30 @@ object Aggregates {
         x => x.getField("sv")).as("vec"))
       .orderBy("label")
 
+  /** Pivot: per-user event-type counts as columns (the wide-format
+    * feature-table shape). Oracle mirrors it with conditional aggregation —
+    * same result, engine-neutral SQL. */
+  def q_pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+      .limit(2000)
+
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition). */
+  def q_agg_percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
   /** [no-oracle] HLL sketch next to the exact count; tests assert <5% error. */
   def q_agg_approx_distinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

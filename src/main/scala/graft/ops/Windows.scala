@@ -58,6 +58,18 @@ object Windows {
       .limit(2000)
   }
 
+  def q_win_distribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("c_custkey")).over(w).as("poorest"))
+      .orderBy("c_mktsegment", "c_custkey")
+      .limit(2000)
+  }
+
   def q_win_ntile(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
