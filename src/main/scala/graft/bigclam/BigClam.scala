@@ -301,7 +301,7 @@ object BigClam {
   // ---- declared queries (no-oracle; invariants asserted in scalatest) ----
 
   private def smokeEdges(s: SparkSession, d: String): DataFrame =
-    GraphOps.symEdges(GraphOps.rawEdges(s, d, 500))
+    GraphOps.symEdges(GraphOps.rawEdges(s, d, 300))
 
   /** Both smoke queries need the same deterministic fit; memoized per sf dir
     * so bigclam_communities doesn't pay for a second full fit in the same
