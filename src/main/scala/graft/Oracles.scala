@@ -67,7 +67,8 @@ object Oracles {
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
         |ORDER BY c_custkey LIMIT 2000""".stripMargin,
 
     "q_join_cross" ->
@@ -164,12 +165,10 @@ object Oracles {
         |FROM lineitem""".stripMargin,
 
     "q_agg_array_sum" ->
-      """SELECT label, list(sv ORDER BY pos) AS vec FROM (
-        |  SELECT label, pos, round(sum(CAST(v AS DOUBLE)), 4) AS sv
-        |  FROM (SELECT label, unnest(embedding) AS v,
-        |               generate_subscripts(embedding, 1) AS pos FROM embeddings)
-        |  GROUP BY label, pos)
-        |GROUP BY label ORDER BY label""".stripMargin,
+      """SELECT label, pos, round(sum(CAST(v AS DOUBLE)), 4) AS sv
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |             generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,
@@ -263,7 +262,7 @@ object Oracles {
 
     "q_set_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
-        |EXCEPT SELECT s_nationkey FROM supplier
+        |EXCEPT SELECT s_nationkey FROM supplier WHERE s_nationkey < 13
         |ORDER BY nationkey""".stripMargin,
 
     "q_str_funcs" ->
@@ -303,8 +302,9 @@ object Oracles {
         |  embedding[1] AS first_elem,
         |  list_aggregate(embedding, 'max') AS max_v,
         |  CAST(list_position(embedding, list_aggregate(embedding, 'max')) AS INT) AS argmax,
-        |  list_sort(embedding[1:5]) AS first5_sorted
-        |FROM embeddings ORDER BY vec_id LIMIT 2000""".stripMargin,
+        |  CAST(generate_subscripts(list_sort(embedding[1:5]), 1) AS INT) AS pos,
+        |  unnest(list_sort(embedding[1:5])) AS sorted_v
+        |FROM embeddings ORDER BY vec_id, pos LIMIT 2000""".stripMargin,
 
     "q_map_funcs" ->
       """SELECT user_id, event_type, cnt,
@@ -357,7 +357,8 @@ object Oracles {
       """WITH raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst FROM lineitem),
         |edges AS (SELECT DISTINCT src, dst FROM
         |  (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw))
-        |SELECT src AS node, list(dst ORDER BY dst) AS neighbors
+        |SELECT src AS node, array_to_string(list(dst ORDER BY dst), ',') AS neighbors,
+        |       count(*) AS n_neighbors
         |FROM edges WHERE src < 100 GROUP BY src ORDER BY node""".stripMargin,
 
     "q_graph_common_neighbors" ->

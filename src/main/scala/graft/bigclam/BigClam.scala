@@ -303,25 +303,32 @@ object BigClam {
   private def smokeEdges(s: SparkSession, d: String): DataFrame =
     GraphOps.symEdges(GraphOps.rawEdges(s, d, 300))
 
-  /** Both smoke queries need the same deterministic fit; memoized per sf dir
-    * so bigclam_communities doesn't pay for a second full fit in the same
-    * session (each declared query must still stand alone — a cold call
-    * simply computes it). */
+  /** Both smoke queries need the same deterministic fit; memoized per
+    * (session, sf dir) so bigclam_communities doesn't pay for a second full
+    * fit in the same session (each declared query must still stand alone —
+    * a cold call simply computes it). Keying on the session — and evicting
+    * entries whose session has been stopped — means a fresh SparkSession
+    * never receives a cached plan bound to a dead one. */
   private val smokeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def smokeFit(s: SparkSession, d: String): DataFrame =
-    smokeCache.computeIfAbsent(d, _ => {
+  private def smokeFit(s: SparkSession, d: String): DataFrame = {
+    smokeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    smokeCache.computeIfAbsent((s, d), _ => {
       val (f, _) = fit(smokeEdges(s, d), Params(k = 4), iterations = 3,
         trackHistory = false)
       f.persist(StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
-  /** [no-oracle] 3 fixed iterations, K=4, deterministic conductance seeds. */
+  /** [no-oracle] 3 fixed iterations, K=4, deterministic conductance seeds.
+    * F is emitted exploded to scalar (node, c, f_c) rows — declared outputs
+    * never contain array cells (driver-comparator constraint). */
   def bigclam_fit_smoke(s: SparkSession, d: String): DataFrame =
     smokeFit(s, d)
-      .select(col("id").as("node"), transform(col("f"), x => round(x, 4)).as("f"))
-      .orderBy("node")
+      .select(col("id").as("node"),
+        posexplode(transform(col("f"), x => round(x, 4))).as(Seq("c", "f_c")))
+      .orderBy("node", "c")
 
   /** [no-oracle] threshold+argmax memberships from the smoke fit. */
   def bigclam_communities(s: SparkSession, d: String): DataFrame =

@@ -58,11 +58,15 @@ object GraphOps {
       .orderBy("node")
       .limit(5000)
 
+  /** Neighbor-list collection; the list is emitted as a comma-joined string
+    * (BIGINT→string is engine-stable, and the driver comparator cannot sort
+    * raw array cells). */
   def q_graph_neighbors(s: SparkSession, d: String): DataFrame =
     symEdges(rawEdges(s, d))
       .filter(col("src") < 100)
       .groupBy(col("src").as("node"))
-      .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
+      .agg(array_join(sort_array(collect_list(col("dst"))), ",").as("neighbors"),
+        count(lit(1)).as("n_neighbors"))
       .orderBy("node")
 
   /** Shared-supplier counts between order pairs (common-neighbor counting on

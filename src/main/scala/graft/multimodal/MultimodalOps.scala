@@ -88,11 +88,13 @@ object MultimodalOps {
           i => substring(col("media"), (i * frameBytes * stride + 1).cast("int"), lit(frameBytes))),
         f => length(f) === frameBytes)).as(Seq("frame_no", "frame")))
 
-  /** [no-oracle] declared query: metadata + stub features per media row.
+  /** [no-oracle] declared query: metadata + stub features per media row,
+    * exploded to scalar (media_id, n_bytes, bin, value) rows — declared
+    * outputs never contain array cells (driver-comparator constraint).
     * Invariants (tests): histogram sums to ~1, n_bytes = n_chars. */
   def q_multimodal_features(s: SparkSession, d: String): DataFrame =
     extractFeatures(mediaTable(s, d))
       .select(col("media_id"), col("n_bytes"),
-        transform(col("feature"), x => round(x, 6)).as("feature"))
-      .orderBy("media_id")
+        posexplode(transform(col("feature"), x => round(x, 6))).as(Seq("bin", "value")))
+      .orderBy("media_id", "bin")
 }

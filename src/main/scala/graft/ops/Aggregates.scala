@@ -120,9 +120,11 @@ object Aggregates {
         max(col("l_shipdate")).as("max_ship"))
 
   /** Element-wise sum of embedding vectors per label — the distributed form
-    * of BigCLAM's sumF/gradient kernel. posexplode + two-level regroup keeps
-    * it oracle-checkable; the fit loop itself uses the typed Aggregator
-    * (graft.ops.VectorOps.ArraySumAgg) which does the same in one shuffle. */
+    * of BigCLAM's sumF/gradient kernel, emitted as exploded (label, pos, sv)
+    * rows (arrays never appear in a declared output — the driver comparator
+    * can only sort scalar columns). The fit loop itself uses the typed
+    * Aggregator (graft.ops.VectorOps.ArraySumAgg) which does the same sum
+    * in one shuffle with no explode. */
   def q_agg_array_sum(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
@@ -132,11 +134,7 @@ object Aggregates {
       // ~1e-13, far below the rounding grid (a DECIMAL cast would be exact
       // but hits round-half-mode ties on floats' terminating expansions)
       .agg(round(sum(col("dv")), 4).as("sv"))
-      .groupBy("label")
-      .agg(transform(
-        sort_array(collect_list(struct(col("pos"), col("sv")))),
-        x => x.getField("sv")).as("vec"))
-      .orderBy("label")
+      .orderBy("label", "pos")
 
   /** Pivot: per-user event-type counts as columns (the wide-format
     * feature-table shape). Oracle mirrors it with conditional aggregation —

@@ -120,9 +120,13 @@ object Relational {
       .orderBy("c_custkey")
       .limit(2000)
 
+  /** Anti-join against the rare order status 'P' so the output is non-empty
+    * at every scale factor (every customer has *some* order in the testdata,
+    * so an unfiltered anti-join would pass vacuously with 0 rows). */
   def q_join_anti(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_nationkey")
       .orderBy("c_custkey")
       .limit(2000)
@@ -143,17 +147,22 @@ object Relational {
       .orderBy("s_suppkey", "c_custkey")
       .limit(2000)
 
-  /** As-of join emulation: for every event, the latest earlier 'click' of the
-    * same user (equi on user + range on ts; aggregate max replaces the
-    * backward scan a native as-of operator would do). */
+  /** As-of join: for every event, the latest strictly-earlier 'click' of
+    * the same user — as ONE running-max window pass over the per-user
+    * timeline (click timestamps ride along as a conditional column; the
+    * RANGE frame ending at −1 µs enforces the strict inequality exactly).
+    * Linear per user: the naive all-earlier-pairs join + groupBy(max) is
+    * O(events × clicks) per user and detonates on one hot user at 100 TB;
+    * this plan is one shuffle on user_id and one sorted scan. */
   def q_join_asof(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
-    val l = e.select(col("event_id"), col("user_id"), col("ts"))
-    val r = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("r_user"), col("ts").as("r_ts"))
-    l.join(r, col("r_user") === col("user_id") && col("r_ts") < col("ts"), "left")
-      .groupBy("event_id", "user_id", "ts")
-      .agg(max(col("r_ts")).as("last_click_ts"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tsus"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("tsus", unix_micros(col("ts").cast("timestamp"))) // session tz is UTC
+      .select(col("event_id"), col("user_id"), col("ts"),
+        max(when(col("event_type") === "click", col("ts"))).over(w).as("last_click_ts"))
       .orderBy("event_id")
       .limit(2000)
   }
@@ -188,8 +197,12 @@ object Relational {
       .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  /** EXCEPT with a guaranteed-non-empty result: supplier nations are a
+    * subset of customer nations in the testdata, so the right side is
+    * restricted to low-key nations — customer nations >= 13 must survive. */
   def q_set_except(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
-      .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .except(Tables.supplier(s, d).filter(col("s_nationkey") < 13)
+        .select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 }

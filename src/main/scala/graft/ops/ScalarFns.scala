@@ -67,8 +67,12 @@ object ScalarFns {
         element_at(col("embedding"), 1).as("first_elem"),
         array_max(col("embedding")).as("max_v"),
         array_position(col("embedding"), array_max(col("embedding"))).cast("int").as("argmax"),
-        sort_array(slice(col("embedding"), 1, 5)).as("first5_sorted"))
-      .orderBy("vec_id")
+        // scalar output only (driver comparator cannot sort array cells):
+        // the sorted-slice surface is exposed as exploded (pos, sorted_v) rows
+        posexplode(sort_array(slice(col("embedding"), 1, 5))).as(Seq("pos0", "sorted_v")))
+      .select(col("vec_id"), col("n"), col("first_elem"), col("max_v"), col("argmax"),
+        (col("pos0") + 1).as("pos"), col("sorted_v"))
+      .orderBy("vec_id", "pos")
       .limit(2000)
 
   /** MapType construction + explode; output is the hash-safe exploded form

@@ -98,13 +98,15 @@ object TextAnalysis {
 
   /** [no-oracle] Winnowing-style document fingerprint: the 4 smallest
     * 64-bit hashes over the doc's 5-gram shingles (a rolling-hash sketch;
-    * near-identical docs share most sketch entries). */
+    * near-identical docs share most sketch entries). The sketch is emitted
+    * comma-joined (BIGINT→string is engine-stable; the driver comparator
+    * cannot sort raw array cells). */
   def q_text_fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        slice(array_sort(transform(
+        array_join(slice(array_sort(transform(
           TextOps.shingles(split(col("text"), " ")),
-          sh => xxhash64(sh))), 1, 4).as("fingerprint"))
+          sh => xxhash64(sh))), 1, 4), ",").as("fingerprint"))
       .orderBy("doc_id")
       .limit(5000)
 }

@@ -76,19 +76,28 @@ object TextOps {
   }
 
   /** [no-oracle] MinHash/LSH: 4 bands, bucket = min xxhash64(band, shingle)
-    * over the doc's shingles (seeded hash family via the band id column).
+    * over the doc's shingles (seeded hash family via the band id literal).
     * Exact-duplicate texts share all 4 buckets (invariant-tested); docs
-    * sharing any (band, bucket) are the candidate near-dup pairs at scale. */
+    * sharing any (band, bucket) are the candidate near-dup pairs at scale.
+    *
+    * Plan shape matters here (round-2 lesson): the four band minima as
+    * separate projections let CollapseProject duplicate the O(T²)-char
+    * `shingles()` expression into each band — 74.5 s at sf0.1. Instead ONE
+    * `aggregate` fold walks the shingle array once, keeping the elementwise
+    * min of all 4 band hashes in a single 4-long accumulator; `posexplode`
+    * (a Generator — never duplicated by CollapseProject) unpacks it into
+    * the (band, bucket) rows. Fully narrow: no shuffle until the sort. */
   def q_minhash_lsh(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
-      // per-row band minima via array HOFs: a fully narrow plan — no
-      // explode, no shuffle; each doc's 4 buckets come out of one pass
-      // over its shingle array
-      .select(col("doc_id") +: (0 until 4).map(b =>
-        array_min(transform(col("sh"), sh => xxhash64(lit(b), sh))).as(s"b$b")): _*)
-      .filter(col("b0").isNotNull) // docs with <5 tokens have no shingles
-      .select(col("doc_id"), expr(
-        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, bucket)"))
+      .filter(size(toks(col("text"))) >= 5) // docs with <5 tokens have no shingles
+      .select(col("doc_id"),
+        aggregate(
+          shingles(toks(col("text"))),
+          array((0 until 4).map(_ => lit(Long.MaxValue)): _*),
+          (acc, sh) => zip_with(
+            acc,
+            array((0 until 4).map(b => xxhash64(lit(b), sh)): _*),
+            (m, h) => least(m, h))).as("mins"))
+      .select(col("doc_id"), posexplode(col("mins")).as(Seq("band", "bucket")))
       .orderBy("doc_id", "band")
 }

@@ -91,20 +91,31 @@ object VectorOps {
   /** IVF coarse quantizer: deterministic centroids (the vectors with the
     * `nCentroids` smallest ids — at scale: a sampled k-means run), each
     * vector assigned to its nearest centroid by cosine. Returns
-    * (vec_id, v, nrm, cell). One broadcast join + a per-row argmax over
-    * nCentroids dots — no shuffle beyond the scan. */
+    * (vec_id, v, nrm, cell).
+    *
+    * The centroid table is MODEL STATE, not data — nCentroids × dim doubles
+    * — so it is collected once and embedded as plan literals (the same
+    * broadcast-small-model pattern as the LSH hyperplanes). Assignment is
+    * then a single narrow projection: all nCentroids cosines in one
+    * `greatest(struct(sim, -cent_id)…)` argmax — ZERO shuffles and no
+    * ×nCentroids row expansion (the round-2 form paid a full shuffle of
+    * every vector through a groupBy argmax after a ×16 broadcast join). */
   def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
-    val cents = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        l2norm(col("v")).as("cnrm"))
-    val scored = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("cent_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim"))
-    scored.groupBy("vec_id")
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        max(struct(col("sim"), (-col("cent_id")).as("nid"))).as("best"))
-      .select(col("vec_id"), col("v"), col("nrm"), (-col("best.nid")).as("cell"))
+    val cents: Array[(Long, Array[Double], Double)] = emb
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1).toArray
+        (r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
+      }
+    val simStructs = cents.map { case (cid, cv, cnrm) =>
+      val lcv = array(cv.map(lit).toIndexedSeq: _*)
+      struct((dot(col("v"), lcv) / (col("nrm") * lit(cnrm))).as("sim"),
+        lit(-cid).as("nid"))
+    }
+    emb.select(col("vec_id"), col("v"), col("nrm"),
+      (-greatest(simStructs.toIndexedSeq: _*).getField("nid")).as("cell"))
   }
 
   /** [no-oracle] The IVF ANN path: assign all vectors to 16 coarse cells,

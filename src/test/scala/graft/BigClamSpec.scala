@@ -45,6 +45,14 @@ class BigClamSpec extends AnyFunSuite {
       byNode(0L) != byNode(4L))
   }
 
+  test("smoke queries run under a second session (cache keyed per session)") {
+    val s2 = s.newSession()
+    val fit1 = BigClam.bigclam_fit_smoke(s, TestSpark.sf).limit(8).collect()
+    val fit2 = BigClam.bigclam_fit_smoke(s2, TestSpark.sf).limit(8).collect()
+    assert(fit1.map(_.toString).toSeq == fit2.map(_.toString).toSeq)
+    assert(BigClam.bigclam_communities(s2, TestSpark.sf).limit(1).collect().nonEmpty)
+  }
+
   test("deterministic conductance-only init: no random padding") {
     val f1 = BigClam.init(edges, BigClam.Params(k = 2)).orderBy("id").collect()
     val f2 = BigClam.init(edges, BigClam.Params(k = 2)).orderBy("id").collect()

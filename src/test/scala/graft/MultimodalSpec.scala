@@ -21,17 +21,20 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("stub features: L1-normalized histogram, n_bytes matches payload") {
-    val feats = MultimodalOps.q_multimodal_features(s, sf)
-    val rows = feats.limit(50).collect()
+    // output is exploded (media_id, n_bytes, bin, value) scalar rows
+    val rows = MultimodalOps.q_multimodal_features(s, sf)
+      .limit(50 * MultimodalOps.FEATURE_DIM).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val f = r.getSeq[Double](2)
-      assert(f.length == MultimodalOps.FEATURE_DIM)
-      assert(math.abs(f.sum - 1.0) < 1e-3, s"histogram not normalized: ${f.sum}")
-      assert(r.getInt(1) > 0)
+    val perDoc = rows.groupBy(_.getLong(0))
+    perDoc.foreach { case (_, bins) =>
+      assert(bins.length == MultimodalOps.FEATURE_DIM)
+      val total = bins.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-3, s"histogram not normalized: $total")
+      assert(bins.forall(_.getInt(1) > 0))
     }
     // deterministic across runs
-    val again = MultimodalOps.q_multimodal_features(s, sf).limit(50).collect()
+    val again = MultimodalOps.q_multimodal_features(s, sf)
+      .limit(50 * MultimodalOps.FEATURE_DIM).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 

@@ -23,11 +23,11 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 
   test("fingerprint: 4 sorted hashes per doc; identical docs share sketches") {
-    import s.implicits._
     val fps = TextAnalysis.q_text_fingerprint(s, sf).collect()
     assert(fps.nonEmpty)
     fps.foreach { r =>
-      val fp = r.getSeq[Long](1)
+      // sketch is comma-joined (scalar output contract for declared queries)
+      val fp = r.getString(1).split(",").map(_.toLong).toSeq
       assert(fp.length == 4 && fp == fp.sorted)
     }
   }
