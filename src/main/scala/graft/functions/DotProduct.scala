@@ -17,12 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * BigCLAM gradient/line-search pass (the reference's Breeze `fu * fvᵀ`,
   * /root/reference/codes/Bigclamv2.scala:123-131).
   *
-  * Summation order is left-to-right, exactly matching the HOF form, so
-  * swapping implementations cannot change any hash-checked result.
-  * Mismatched lengths use the shorter prefix (zip_with semantics pad with
-  * null; the HOF form would then return null — callers in this codebase
-  * always pass equal-length vectors, and the fused loop's prefix behavior
-  * is documented here deliberately).
+  * Value-identical to the HOF form in ALL cases, so [[DotFusionRule]] may
+  * rewrite user plans unconditionally:
+  *  - summation is left-to-right (same FP association);
+  *  - mismatched lengths return NULL (zip_with pads the shorter side with
+  *    null, the null product poisons the aggregate);
+  *  - a null element anywhere returns NULL (null * x = null, acc + null =
+  *    null and stays null).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,15 +41,29 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL is produced for non-null inputs (length mismatch / null element),
+  // not only when a child is null
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_product"
+
+  private def anyElementNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
-    while (i < n) { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      sum += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     sum
   }
 
@@ -57,13 +72,26 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      // the per-element null check is elided when both array types carry
+      // containsNull=false — the hot path stays a bare fused loop
+      val nullCheck =
+        if (anyElementNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $sum;
+         |  }
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

@@ -11,8 +11,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *   aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)
   * into the fused codegen [[DotProduct]] expression. Conservative match:
   * both lambdas must be pure variable arithmetic and the finish lambda the
-  * identity, so any rewrite is value-identical (left-to-right summation in
-  * both forms).
+  * identity. The rewrite is value-identical on EVERY input — [[DotProduct]]
+  * reproduces the HOF form's left-to-right summation, its NULL on
+  * length-mismatched arrays (zip_with null-padding) and its NULL
+  * propagation from null elements — so no additional containsNull /
+  * equal-length guard is needed here.
   */
 object DotFusionRule extends Rule[LogicalPlan] {
 

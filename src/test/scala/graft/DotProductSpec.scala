@@ -32,6 +32,34 @@ class DotProductSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("length mismatch and null elements match HOF semantics (both NULL)") {
+    // zip_with pads the shorter array with null and `acc + null` poisons the
+    // aggregate — the fused expression must reproduce that, or DotFusionRule
+    // would silently change user results (round-2 advisor finding)
+    val cases = s.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d)),
+        |  (array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d)),
+        |  (array(1.0d, cast(null as double)), array(1.0d, 2.0d)),
+        |  (array(1.0d, 2.0d), array(cast(null as double), 2.0d))
+        |  AS t(a, b)""".stripMargin)
+    val rows = cases.select(
+      VectorOps.dot(col("a"), col("b")).as("native"),
+      VectorOps.hofDot(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0), s"native not null: $r")
+      assert(r.isNullAt(1), s"hof not null: $r")
+    }
+  }
+
+  test("empty arrays dot to 0.0, same as the HOF zero accumulator") {
+    val r = s.sql("SELECT 1").select(
+      VectorOps.dot(array().cast("array<double>"), array().cast("array<double>")).as("native"),
+      VectorOps.hofDot(array().cast("array<double>"), array().cast("array<double>")).as("hof"))
+      .collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+  }
+
   test("dot_product is callable from SQL after install") {
     GraftExtensions.install(s)
     val r = s.sql(

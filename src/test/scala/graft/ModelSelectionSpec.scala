@@ -35,6 +35,16 @@ class ModelSelectionSpec extends AnyFunSuite {
     assert(history.forall(_._2 <= bestLlh + 1e-9))
   }
 
+  test("bigclam_select_k_smoke emits the evaluated grid as scalar rows") {
+    val rows = BigClam.bigclam_select_k_smoke(s, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val ks = rows.map(_.getInt(0)).toSeq
+    assert(ks == ks.sorted && ks == ks.distinct)
+    assert(ks.forall(k => k >= 2 && k <= 6))
+    // all output cells are scalars (driver-comparator constraint)
+    rows.foreach { r => assert(r.get(1).isInstanceOf[Double]) }
+  }
+
   test("fitConverged terminates and improves LLH overall") {
     // NOTE: per-node Armijo acceptance does not guarantee *joint* LLH
     // monotonicity under simultaneous updates — the reference has the same
