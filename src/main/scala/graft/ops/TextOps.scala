@@ -56,19 +56,25 @@ object TextOps {
     * (2 <= doc-frequency <= 10) with a lower-id doc. The frequency filter is
     * the blocking step that keeps the self-join linear-ish at scale. */
   def q_dedup_shingle(s: SparkSession, d: String): DataFrame = {
-    // persisted: the (doc, shingle) relation feeds the frequency count AND
-    // both sides of the self-join — without it the tokenize+explode+distinct
-    // chain executes three times
-    val sh = Tables.documents(s, d)
+    import org.apache.spark.sql.expressions.Window
+    // The (doc, shingle) relation feeds the frequency count AND both sides
+    // of the self-join. Round 3 persisted it (and leaked the cache into
+    // long-lived sessions); the df-count is now a window over
+    // partitionBy(shingle), so (a) the count and the blocking filter ride
+    // the SAME shuffle the self-join needs anyway, and (b) the two join
+    // sides are identical subplans whose exchange Spark dedupes via
+    // ReuseExchange — shingling runs once, with zero cache state left behind.
+    val blocked = Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles(toks(col("text")))).as("shingle"))
       .distinct()
-      .persist()
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("df").between(2, 10))
-    val blocked = sh.join(rare, "shingle")
+      .select(col("shingle"), col("doc_id"))
     val a = blocked.select(col("shingle"), col("doc_id").as("doc_a"))
     val b = blocked.select(col("shingle"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+    // merge hint: a broadcast self-join would clone the subplan (shingling
+    // twice); sort-merge keeps both sides as the SAME exchange → ReusedExchange
+    a.hint("merge").join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_a", "doc_b")

@@ -48,6 +48,14 @@ class InvariantsSpec extends AnyFunSuite {
     assert(b1.toSeq != b3.toSeq)
   }
 
+  test("q_dedup_shingle leaves no cached RDDs behind (round-3 persist leak)") {
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    TextOps.q_dedup_shingle(s, sf).collect()
+    val after = s.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"q_dedup_shingle leaked persisted RDDs: ${after -- before}")
+  }
+
   test("determinism: double-run byte-identical output for representative queries") {
     for (name <- Seq("q_agg_hash", "q_win_running", "q_graph_conductance",
         "q_sim_cosine_topk", "q_dedup_shingle")) {
