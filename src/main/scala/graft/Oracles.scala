@@ -368,6 +368,19 @@ object Oracles {
         |FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
         |GROUP BY a.src, b.src ORDER BY u, v LIMIT 5000""".stripMargin,
 
+    "q_graph_triangle_count" ->
+      """WITH raw AS (SELECT DISTINCT l_orderkey AS u, l_suppkey + 100000 AS s
+        |             FROM lineitem WHERE l_orderkey < 300),
+        |proj AS (SELECT DISTINCT a.u AS u, b.u AS v
+        |         FROM raw a JOIN raw b ON a.s = b.s AND a.u < b.u),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM proj e1 JOIN proj e2 ON e1.v = e2.u
+        |        JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, count(*) AS n_triangles
+        |FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri) t
+        |GROUP BY node ORDER BY node LIMIT 5000""".stripMargin,
+
     "q_graph_conductance" -> conductanceSql(
       "SELECT node, cut, vol_s, vol_t, round(phi, 6) AS phi FROM phi_t ORDER BY node"),
 

@@ -80,6 +80,7 @@ object SparkEntry {
     "q_graph_neighbors" -> GraphOps.q_graph_neighbors,
     "q_graph_common_neighbors" -> GraphOps.q_graph_common_neighbors,
     "q_graph_conductance" -> GraphOps.q_graph_conductance,
+    "q_graph_triangle_count" -> GraphOps.q_graph_triangle_count,
     "q_graph_seed_rank" -> GraphOps.q_graph_seed_rank,
     // BigCLAM
     "bigclam_fit_smoke" -> BigClam.bigclam_fit_smoke,

@@ -83,6 +83,34 @@ object GraphOps {
       .limit(5000)
   }
 
+  /** Per-node triangle counts via the ordered-wedge algorithm: `proj` holds
+    * each undirected edge once as (u, v) with u < v, so triangle (a<b<c) is
+    * found exactly once by joining (a,b)⋈(b,c)⋈(a,c); the corner explode
+    * credits each of its three nodes. Scale stance: two shuffle joins on
+    * edge endpoints — never a per-node neighborhood-set intersection, so a
+    * celebrity node costs what its wedge count costs, splittable by AQE,
+    * instead of one task materializing its whole adjacency set. */
+  def triangleCounts(proj: DataFrame): DataFrame = {
+    val e1 = proj.select(col("u").as("a"), col("v").as("b"))
+    val e2 = proj.select(col("u").as("b"), col("v").as("c"))
+    val e3 = proj.select(col("u").as("a"), col("v").as("c"))
+    e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Triangle counts on the unipartite co-supplier projection (orders
+    * sharing >=1 supplier) of the bounded graph — the bipartite
+    * order–supplier graph itself is triangle-free. */
+  def q_graph_triangle_count(s: SparkSession, d: String): DataFrame = {
+    val raw = rawEdges(s, d, 300).distinct()
+    val a = raw.select(col("src").as("u"), col("dst"))
+    val b = raw.select(col("src").as("v"), col("dst"))
+    val proj = a.join(b, Seq("dst")).filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+    triangleCounts(proj).orderBy("node").limit(5000)
+  }
+
   /** Ego-net conductance for every node of the (bounded) graph, exactly the
     * reference formula: S = {u} ∪ N(u); cut = boundary edges; vol_S = 2 ×
     * internal edge-endpoints; vol_T = totalDeg − vol_S − 2·cut;

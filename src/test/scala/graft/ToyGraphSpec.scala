@@ -33,6 +33,15 @@ class ToyGraphSpec extends AnyFunSuite {
     assert(phi.values.forall(p => p >= 0.0 && p <= 1.0))
   }
 
+  test("triangle counts: each toy node sits in exactly its own triangle") {
+    val proj = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+      .toDF("u", "v")
+    val tc = GraphOps.triangleCounts(proj)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+    // triangles (0,1,2) and (3,4,5); the bridge (2,3) closes nothing
+    assert(tc == Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 1))
+  }
+
   test("seed rank prefers the triangle interiors over the bridge") {
     val ranked = GraphOps.seedRank(edges).orderBy(col("phi"), col("seed"))
       .collect().map(_.getAs[Long]("seed"))
