@@ -85,6 +85,7 @@ object SparkEntry {
     // BigCLAM
     "bigclam_fit_smoke" -> BigClam.bigclam_fit_smoke,
     "bigclam_communities" -> BigClam.bigclam_communities,
+    "bigclam_community_members" -> BigClam.bigclam_community_members,
     "bigclam_select_k_smoke" -> BigClam.bigclam_select_k_smoke,
     // LLM-pipeline: text
     "q_text_tokenize" -> TextOps.q_text_tokenize,

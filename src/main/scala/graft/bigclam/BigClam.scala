@@ -327,6 +327,21 @@ object BigClam {
       .orderBy("node", "community")
   }
 
+  /** Inverted community artifact — the reference pipeline's FINAL output
+    * shape (community → sorted member list: Bigclamv2.scala:230
+    * flatMap+groupByKey+saveAsTextFile): one row per community with its size
+    * and the comma-joined numerically-sorted member ids. Distribution note:
+    * one shuffle keyed by community; a mega-community's members_csv is one
+    * large string on one task — at 100 TB emit the exploded (community,
+    * member) relation instead (communities()) and leave stringification to
+    * the sink. */
+  def communityMembers(f: DataFrame, edges: DataFrame, p: Params): DataFrame =
+    communities(f, edges, p)
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_members"),
+        array_join(array_sort(collect_list(col("node"))), ",").as("members_csv"))
+      .orderBy("community")
+
   // ---- declared queries (no-oracle; invariants asserted in scalatest) ----
 
   private def smokeEdges(s: SparkSession, d: String): DataFrame =
@@ -362,6 +377,10 @@ object BigClam {
   /** [no-oracle] threshold+argmax memberships from the smoke fit. */
   def bigclam_communities(s: SparkSession, d: String): DataFrame =
     communities(smokeFit(s, d), smokeEdges(s, d), Params(k = 4))
+
+  /** [no-oracle] inverted (community → members) artifact from the smoke fit. */
+  def bigclam_community_members(s: SparkSession, d: String): DataFrame =
+    communityMembers(smokeFit(s, d), smokeEdges(s, d), Params(k = 4))
 
   /** [no-oracle] The v4 model-selection surface
     * (/root/reference/codes/bigclam4-7.scala:16-20,225-266): walk the

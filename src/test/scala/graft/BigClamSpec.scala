@@ -45,6 +45,24 @@ class BigClamSpec extends AnyFunSuite {
       byNode(0L) != byNode(4L))
   }
 
+  test("communityMembers inverts communities: every node listed once per membership, csv sorted") {
+    val (f, _) = BigClam.fit(edges, BigClam.Params(k = 2), iterations = 5)
+    val p = BigClam.Params(k = 2)
+    val com = BigClam.communities(f, edges, p).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Int]("community")))
+    val inv = BigClam.communityMembers(f, edges, p).collect()
+      .map(r => (r.getAs[Int]("community"), r.getAs[Long]("n_members"),
+        r.getAs[String]("members_csv")))
+    // exact inversion: the exploded members equal the (node, community) rows
+    val fromInv = inv.flatMap { case (c, _, csv) => csv.split(",").map(m => (m.toLong, c)) }
+    assert(fromInv.sorted.toSeq == com.map(t => (t._1, t._2)).sorted.toSeq)
+    inv.foreach { case (_, n, csv) =>
+      val ms = csv.split(",").map(_.toLong).toSeq
+      assert(ms.size.toLong == n)
+      assert(ms == ms.sorted, s"members not sorted: $csv")
+    }
+  }
+
   test("smoke queries run under a second session (cache keyed per session)") {
     val s2 = s.newSession()
     val fit1 = BigClam.bigclam_fit_smoke(s, TestSpark.sf).limit(8).collect()
