@@ -115,17 +115,42 @@ object GraphOps {
     * reference formula: S = {u} ∪ N(u); cut = boundary edges; vol_S = 2 ×
     * internal edge-endpoints; vol_T = totalDeg − vol_S − 2·cut;
     * φ = 0 if vol_S=0, 1 if vol_T=0, else cut/min(vol_S, vol_T). */
-  def conductance(edges: DataFrame): DataFrame = {
+  /** Ego membership (ego, member) and its edge expansion. `hotDegCap`
+    * bounds the power-law blow-up: a degree-D member appearing in E egos
+    * contributes E·D expansion rows through ONE join key — a celebrity node
+    * (E ≈ D ≈ 10⁶ at 100 TB) turns that into a single 10¹²-row task. With
+    * the cap, neighbors of degree > cap are dropped from OTHER nodes' ego
+    * sets (each node always keeps itself), so total expansion is
+    * ≤ (cap+1)·2|E| — linear in the edge count — at the cost of truncated-
+    * ego (approximate) φ for nodes adjacent to hubs. Default None preserves
+    * the exact declared semantics; AQE skew-split remains the runtime
+    * backstop for moderate skew. */
+  private[graft] def egoExpanded(edges: DataFrame, hotDegCap: Option[Long]): DataFrame =
+    egoMembers(edges, hotDegCap)
+      .join(edges.select(col("src").as("member"), col("dst").as("x")), Seq("member"))
+      .select(col("ego"), col("member"), col("x"))
+
+  private[graft] def egoMembers(edges: DataFrame, hotDegCap: Option[Long]): DataFrame = {
+    val deg = degrees(edges)
+    val neigh = edges.select(col("src").as("ego"), col("dst").as("member"))
+    val bounded = hotDegCap match {
+      case Some(cap) => neigh.join(
+        broadcast(deg.filter(col("degree") > cap).select(col("node").as("member"))),
+        Seq("member"), "left_anti")
+      case None => neigh
+    }
+    bounded.union(deg.select(col("node").as("ego"), col("node").as("member")))
+  }
+
+  def conductance(edges: DataFrame, hotDegCap: Option[Long] = None): DataFrame = {
     val deg = degrees(edges)
     // single-row total volume, broadcast-joined in (keeps the plan lazy —
     // no driver-side collect, unlike the reference's sigmaDegres broadcast)
     val tot = deg.agg(sum(col("degree")).as("total_deg"))
-    // ego membership (ego, member): self + neighbors
-    val members = edges.select(col("src").as("ego"), col("dst").as("member"))
-      .union(deg.select(col("node").as("ego"), col("node").as("member")))
+    // ego membership (ego, member): self + neighbors (optionally hub-capped)
+    val members = egoMembers(edges, hotDegCap)
     // expand: every edge (w, x) with w ∈ S_ego
-    val expanded = members
-      .join(edges.select(col("src").as("member"), col("dst").as("x")), Seq("member"))
+    val expanded = egoExpanded(edges, hotDegCap)
     // outside flag: x ∉ S_ego
     val flags = expanded
       .join(members.select(col("ego"), col("member").as("x"), lit(1).as("inside")),

@@ -52,4 +52,36 @@ class SkewSpec extends AnyFunSuite {
       .groupBy("s").count().collect()
     assert(dist.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("hotDegCap bounds conductance ego expansion on a star graph") {
+    import s.implicits._
+    import graft.graph.GraphOps
+    // star: hub 0 with 10^4 leaves. Uncapped, member=hub appears in every
+    // leaf's ego AND expands the hub's 10^4 edges each time — ~10^8 rows
+    // through one join key (don't run it). Capped at 64 the hub is dropped
+    // from the leaves' egos: expansion = hub-self (10^4) + leaves in hub's
+    // ego (10^4 · 1) + leaf-self (10^4 · 1) = 3·10^4, and in general
+    // ≤ (cap+1)·2|E|.
+    val n = 10000L
+    val star = GraphOps.symEdges(
+      s.range(1, n + 1).select(lit(0L).as("src"), col("id").as("dst")))
+    val capped = GraphOps.egoExpanded(star, Some(64L)).count()
+    assert(capped == 3 * n, s"expected ${3 * n} expansion rows, got $capped")
+    assert(capped <= (64L + 1) * 2 * n)
+    // capped conductance still completes and respects the guards
+    val phi = GraphOps.conductance(star, Some(64L))
+      .agg(min(col("phi")), max(col("phi"))).collect()(0)
+    assert(phi.getDouble(0) >= 0.0 && phi.getDouble(1) <= 1.0)
+  }
+
+  test("hotDegCap is exact when no node exceeds the cap") {
+    import s.implicits._
+    import graft.graph.GraphOps
+    val toy = GraphOps.symEdges(
+      Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+        .toDF("src", "dst"))
+    val exact = GraphOps.conductance(toy).orderBy("node").collect().map(_.toString)
+    val capped = GraphOps.conductance(toy, Some(100L)).orderBy("node").collect().map(_.toString)
+    assert(exact.toSeq == capped.toSeq)
+  }
 }
