@@ -9,14 +9,16 @@ import graft.bigclam.BigClam
   * gradient ascent with Armijo line search → threshold/argmax communities)
   * as one command:
   *
-  *   runMain graft.RunBigClam <edgeListPath> <K> <iterations> <outDir>
+  *   runMain graft.RunBigClam <edgeListPath> <K> <iterations> <outDir> [dense|sparse]
   *
   * e.g. the graph bundled with the reference:
   *   runMain graft.RunBigClam /root/reference/data/facebook_combined.txt 8 3 /tmp/fb_out
+  * `sparse` runs the v3 large-K path (fitSparse) — same math, sparse rows.
   */
 object RunBigClam {
   def main(args: Array[String]): Unit = {
     val Array(path, kStr, itStr, outDir) = args.take(4)
+    val sparse = args.lift(4).contains("sparse")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -28,11 +30,16 @@ object RunBigClam {
     val edges = GraphOps.symEdges(GraphOps.loadEdgeList(spark, path)).cache()
     val nEdges = edges.count()
     val p = BigClam.Params(k = kStr.toInt)
-    val (f, history) = BigClam.fit(edges, p, iterations = itStr.toInt)
+    val (f, history) =
+      if (sparse) {
+        val (fs, h) = BigClam.fitSparse(edges, p, iterations = itStr.toInt)
+        (BigClam.toDenseF(fs, p.k), h)
+      } else BigClam.fit(edges, p, iterations = itStr.toInt)
     val com = BigClam.communities(f, edges, p)
     com.write.mode("overwrite").parquet(outDir)
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[bigclam] $path: ${nEdges} directed edges, K=${p.k}, " +
+    println(f"[bigclam] $path: ${nEdges} directed edges, K=${p.k} " +
+      f"(${if (sparse) "sparse" else "dense"}), " +
       f"${itStr} iterations in $secs%.1f s")
     println(s"[bigclam] LLH history: ${history.map(v => f"$v%.2f").mkString(" -> ")}")
     println(s"[bigclam] memberships written to $outDir")

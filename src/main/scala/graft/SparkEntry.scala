@@ -84,6 +84,7 @@ object SparkEntry {
     "q_graph_seed_rank" -> GraphOps.q_graph_seed_rank,
     // BigCLAM
     "bigclam_fit_smoke" -> BigClam.bigclam_fit_smoke,
+    "bigclam_fit_sparse_smoke" -> BigClam.bigclam_fit_sparse_smoke,
     "bigclam_communities" -> BigClam.bigclam_communities,
     "bigclam_community_members" -> BigClam.bigclam_community_members,
     "bigclam_select_k_smoke" -> BigClam.bigclam_select_k_smoke,

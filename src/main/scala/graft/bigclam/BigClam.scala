@@ -54,6 +54,23 @@ object BigClam {
 
   private def litArr(a: Array[Double]): Column = array(a.map(lit).toIndexedSeq: _*)
 
+  /** Eager localCheckpoint + stats reset — the per-iteration lineage cut.
+    *
+    * Scale bug found by the 12-iteration robustness test: Spark's
+    * (local)checkpoint carries the pre-checkpoint plan's ESTIMATED stats
+    * onto the new LogicalRDD leaf, and size-only join estimation multiplies
+    * child sizes — so an iterative fit compounds sizeInBytes exponentially
+    * (each iteration's plan embeds the previous leaf ~9 times → 9^i growth).
+    * By iteration ~10 the driver spends minutes multiplying million-digit
+    * BigIntegers inside SizeInBytesOnlyStatsPlanVisitor while planning each
+    * job. Rebuilding the DataFrame from the checkpointed RDD resets the leaf
+    * to default stats; the Row round-trip touches |V| rows once per
+    * iteration — negligible next to the fit's own shuffles. */
+  private def checkpointF(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** Deterministic conductance-only init (no JVM Random — SURVEY.md §7):
     * community c = closed neighborhood of the c-th locally-minimal-
     * conductance seed; F(u)[c] = 1 iff u ∈ ego(seed_c).
@@ -210,6 +227,196 @@ object BigClam {
             coalesce(element_at(mu, i.cast("int")), lit(0.0))).as("grad"))
   }
 
+  // ---- sparse path: the v3 large-K capability ----------------------------
+  // (/root/reference/codes/bigclamv3-7.scala:14-15,86 — K=8,385 with breeze
+  // SparseVector rows). Dense K=8,385 would shuffle ~67 KB per row through
+  // every join; the sparse fit ships only the non-zero (index, value) pairs,
+  // so per-row payload tracks community membership count (≈ degree after
+  // conductance init), not K.
+
+  /** (id, f ARRAY<DOUBLE>) → (id, fi ARRAY<INT>, fv ARRAY<DOUBLE>). */
+  def toSparse(f: DataFrame): DataFrame =
+    f.select(col("id"),
+      SparseF.sparseIndices(col("f")).as("fi"),
+      SparseF.sparseValues(col("f")).as("fv"))
+
+  /** (id, fi, fv) → (id, f ARRAY<DOUBLE> of length k). */
+  def toDenseF(fs: DataFrame, k: Int): DataFrame =
+    fs.select(col("id"), SparseF.toDense(col("fi"), col("fv"), k).as("f"))
+
+  /** Column sums of sparse F: only non-zero entries shuffle (explode →
+    * groupBy dim), then K doubles to the driver. */
+  def sumFSparse(fs: DataFrame, p: Params): Array[Double] = {
+    val rows = fs.select(explode(arrays_zip(col("fi"), col("fv"))).as("e"))
+      .groupBy(col("e.fi").as("dim")).agg(sum(col("e.fv")).as("s")).collect()
+    val a = new Array[Double](p.k)
+    rows.foreach(r => a(r.getInt(0)) = r.getDouble(1))
+    a
+  }
+
+  private val emptyGm =
+    map_from_arrays(array().cast("array<int>"), array().cast("array<double>"))
+
+  /** Sparse per-node fit state: (id, ui, uv, llh, gi, gv, gnorm2).
+    *
+    * The gradient is kept SPARSE on support(fu) ∪ {dims touched by a
+    * neighbor}: outside that support the true dense gradient is exactly
+    * −sumF[c] ≤ 0 (F ≥ 0 always), and the projected step from fu[c]=0 clips
+    * back to 0 — so truncating it changes nothing about the update. gnorm2
+    * is still the FULL dense ‖∇‖² (the Armijo bound must match the dense
+    * fit): Σ_c sumF[c]² is a driver scalar, corrected on the support in
+    * O(nnz) — no O(K) walk per row. */
+  private def nodeStateSparse(edges: DataFrame, fs: DataFrame, sumF: Array[Double],
+      p: Params): DataFrame = {
+    val sumFc = litArr(sumF)
+    val sumF2Tot = sumF.map(x => x * x).sum
+    val fu = fs.select(col("id").as("src"), col("fi").as("ui"), col("fv").as("uv"))
+    val fv = fs.select(col("id").as("dst"), col("fi").as("vi"), col("fv").as("vv"))
+    val pairs = edges.join(fu, "src").join(fv, "dst")
+      .withColumn("dotv", SparseF.sparseDot(col("ui"), col("uv"), col("vi"), col("vv")))
+      .withColumn("pc", clipP(exp(-col("dotv")), p))
+    val llhPart = pairs
+      .groupBy(col("src").as("id"))
+      .agg(first(col("ui")).as("ui"), first(col("uv")).as("uv"),
+        sum(log(lit(1.0) - col("pc")) + col("dotv")).as("llh_neigh"))
+    // neighbor-gradient: only non-zero (node, dim) entries shuffle
+    val gradEntries = pairs
+      .select(col("src").as("id"),
+        explode(arrays_zip(col("vi"), col("vv"))).as("e"),
+        (lit(1.0) / (lit(1.0) - col("pc"))).as("coef"))
+      .select(col("id"), col("e.vi").as("dim"), (col("e.vv") * col("coef")).as("g"))
+      .groupBy("id", "dim").agg(sum(col("g")).as("g"))
+      .groupBy("id")
+      .agg(map_from_arrays(collect_list(col("dim")), collect_list(col("g"))).as("gm"))
+    val mu = map_from_arrays(col("ui"), col("uv"))
+    val muDotSumF = aggregate(
+      zip_with(col("ui"), col("uv"), (i, v) => v * element_at(sumFc, i + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val muDotMu = aggregate(col("uv"), lit(0.0), (acc, x) => acc + x * x)
+    // left join: a node whose neighbors all carry empty F still has state
+    // (its gradient is −sumF + fu on the support) — dropping it would drop
+    // its llh from the history the dense fit reports
+    llhPart.join(gradEntries, Seq("id"), "left")
+      .withColumn("gmc", coalesce(col("gm"), emptyGm))
+      .withColumn("graw",
+        transform(array_sort(array_union(col("ui"), map_keys(col("gmc")))), i =>
+          struct(i.as("i"),
+            (coalesce(element_at(col("gmc"), i), lit(0.0)) - element_at(sumFc, i + 1) +
+              coalesce(element_at(mu, i), lit(0.0))).as("v"))))
+      .select(col("id"), col("ui"), col("uv"),
+        (col("llh_neigh") - muDotSumF + muDotMu).as("llh"),
+        col("graw"),
+        (lit(sumF2Tot) + aggregate(col("graw"), lit(0.0), (acc, s) => {
+          val sf = element_at(sumFc, s.getField("i") + 1)
+          acc + s.getField("v") * s.getField("v") - sf * sf
+        })).as("gnorm2"))
+      .withColumn("ge", filter(col("graw"), s => s.getField("v") =!= 0.0))
+      .select(col("id"), col("ui"), col("uv"), col("llh"),
+        transform(col("ge"), s => s.getField("i")).as("gi"),
+        transform(col("ge"), s => s.getField("v")).as("gv"),
+        col("gnorm2"))
+  }
+
+  /** Joint (index, fu-value, grad-value) rows over support(fu) ∪ support(g):
+    * the candidate step at t is then ONE narrow transform+filter over it —
+    * no per-step map rebuilds in the 16-candidate loop. */
+  private def sparseBase: Column = {
+    val ma = map_from_arrays(col("ui"), col("uv"))
+    val mg = map_from_arrays(col("gi"), col("gv"))
+    transform(array_sort(array_union(col("ui"), col("gi"))), i => struct(
+      i.as("i"),
+      coalesce(element_at(ma, i), lit(0.0)).as("a"),
+      coalesce(element_at(mg, i), lit(0.0)).as("g")))
+  }
+
+  private def sparseFnewAt(t: Column, p: Params): Column = filter(
+    transform(col("base"), s => struct(
+      s.getField("i").as("i"),
+      least(greatest(s.getField("a") + t * s.getField("g"), lit(p.minF)),
+        lit(p.maxF)).as("v"))),
+    s => s.getField("v") =!= 0.0)
+
+  /** Armijo backtracking on sparse rows — same shuffle shape as the dense
+    * `lineSearch` (the 16 candidate neighbor-LLH terms ride as one 16-long
+    * array per edge), but the edge payload is the sparse (ui, uv, gi, gv)
+    * quadruple instead of two dense K-vectors. */
+  private def lineSearchSparse(edges: DataFrame, fs: DataFrame, state: DataFrame,
+      sumF: Array[Double], p: Params): DataFrame = {
+    val steps = (0 to p.maxBacktracks).map(i => math.pow(p.beta, i))
+    val stepsLit = litArr(steps.toArray)
+    val sumFc = litArr(sumF)
+    val vsum = udaf(VectorOps.ArraySumAgg)
+    val fv = fs.select(col("id").as("dst"), col("fi").as("vi"), col("fv").as("vv"))
+    val termArrays = edges
+      .join(state.select(col("id").as("src"),
+        col("ui"), col("uv"), col("gi"), col("gv")), "src")
+      .withColumn("base", sparseBase)
+      .join(fv, "dst")
+      .withColumn("mv", map_from_arrays(col("vi"), col("vv")))
+      .select(col("src"),
+        transform(stepsLit, t => {
+          val dotv = aggregate(sparseFnewAt(t, p), lit(0.0), (acc, s) =>
+            acc + s.getField("v") *
+              coalesce(element_at(col("mv"), s.getField("i")), lit(0.0)))
+          val pc = clipP(exp(-dotv), p)
+          log(lit(1.0) - pc) + dotv
+        }).as("terms"))
+    val neighLlh = termArrays.groupBy(col("src").as("id"))
+      .agg(vsum(col("terms")).as("llh_neigh_new"))
+    val mu = map_from_arrays(col("ui"), col("uv"))
+    state.join(neighLlh, Seq("id"))
+      .withColumn("base", sparseBase)
+      .withColumn("bi",
+        try_element_at(
+          filter(sequence(lit(1), lit(steps.length)), i => {
+            val t = element_at(stepsLit, i)
+            val fnew = sparseFnewAt(t, p)
+            val fnewDotSumF = aggregate(fnew, lit(0.0), (acc, s) =>
+              acc + s.getField("v") * element_at(sumFc, s.getField("i") + 1))
+            val fnewDotFu = aggregate(fnew, lit(0.0), (acc, s) =>
+              acc + s.getField("v") *
+                coalesce(element_at(mu, s.getField("i")), lit(0.0)))
+            val llhNew = element_at(col("llh_neigh_new"), i) - fnewDotSumF + fnewDotFu
+            llhNew >= col("llh") + lit(p.alpha) * t * col("gnorm2")
+          }), lit(1)))
+      .filter(col("bi").isNotNull)
+      .withColumn("fnew", sparseFnewAt(element_at(stepsLit, col("bi")), p))
+      .select(col("id"),
+        transform(col("fnew"), s => s.getField("i")).as("fi_new"),
+        transform(col("fnew"), s => s.getField("v")).as("fv_new"))
+  }
+
+  /** Sparse fixed-iteration fit — the reference's v3 large-K capability
+    * (bigclamv3-7.scala:14-15,86: K=8,385) through the same
+    * update/localCheckpoint loop as the dense `fit`. Returns
+    * ((id, fi, fv), LLH history). Identical math to `fit` (PropertySpec
+    * asserts matching histories): the projected step, the Armijo bound
+    * (full dense ‖∇‖²), and the candidate LLH all agree — only the row
+    * representation and shuffle payload differ. */
+  def fitSparse(edges: DataFrame, p: Params, iterations: Int,
+      trackHistory: Boolean = true, ranked: Option[DataFrame] = None): (DataFrame, Seq[Double]) = {
+    var f = checkpointF(toSparse(init(edges, p, ranked)))
+    val history = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to iterations) {
+      val sf = sumFSparse(f, p)
+      val state = nodeStateSparse(edges, f, sf, p).persist(StorageLevel.MEMORY_AND_DISK)
+      if (trackHistory)
+        history += state.agg(sum(col("llh"))).collect()(0).getDouble(0)
+      val updates = lineSearchSparse(edges, f, state, sf, p)
+      val next = checkpointF(f.join(updates, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("fi_new"), col("fi")).as("fi"),
+          coalesce(col("fv_new"), col("fv")).as("fv")))
+      state.unpersist()
+      f = next
+    }
+    if (trackHistory) {
+      val finalState = nodeStateSparse(edges, f, sumFSparse(f, p), p)
+      history += finalState.agg(sum(col("llh"))).collect()(0).getDouble(0)
+    }
+    (f, history.toSeq)
+  }
+
   /** Column sums of F — K doubles to the driver (the only collect). */
   def sumF(f: DataFrame, p: Params): Array[Double] = {
     val vsum = udaf(VectorOps.ArraySumAgg)
@@ -225,7 +432,7 @@ object BigClam {
     * at the end) for callers that only need F. */
   def fit(edges: DataFrame, p: Params, iterations: Int,
       trackHistory: Boolean = true, ranked: Option[DataFrame] = None): (DataFrame, Seq[Double]) = {
-    var f = init(edges, p, ranked).localCheckpoint(true)
+    var f = checkpointF(init(edges, p, ranked))
     val history = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to iterations) {
       val sf = sumF(f, p)
@@ -233,9 +440,8 @@ object BigClam {
       if (trackHistory)
         history += state.agg(sum(col("llh"))).collect()(0).getDouble(0)
       val updates = lineSearch(edges, f, state, sf, p)
-      val next = f.join(updates, Seq("id"), "left")
-        .select(col("id"), coalesce(col("fnew"), col("f")).as("f"))
-        .localCheckpoint(true)
+      val next = checkpointF(f.join(updates, Seq("id"), "left")
+        .select(col("id"), coalesce(col("fnew"), col("f")).as("f")))
       state.unpersist()
       f = next
     }
@@ -251,7 +457,7 @@ object BigClam {
     * (Bigclamv2.scala:203-219, |1 − LLHnew/LLHold| < 1e-4) — with a hard
     * iteration cap as a distributed-job budget. Returns (F, LLH history). */
   def fitConverged(edges: DataFrame, p: Params, maxIterations: Int = 50): (DataFrame, Seq[Double]) = {
-    var f = init(edges, p).localCheckpoint(true)
+    var f = checkpointF(init(edges, p))
     val history = scala.collection.mutable.ArrayBuffer[Double]()
     var llhOld = 0.0 // v3 convention (bigclamv3-7.scala:207): iter 1 never converges spuriously
     var converged = false
@@ -264,9 +470,8 @@ object BigClam {
       history += llh
       if (it > 1 && math.abs(1.0 - llh / llhOld) < p.tol) converged = true
       else {
-        val next = f.join(lineSearch(edges, f, state, sf, p), Seq("id"), "left")
-          .select(col("id"), coalesce(col("fnew"), col("f")).as("f"))
-          .localCheckpoint(true)
+        val next = checkpointF(f.join(lineSearch(edges, f, state, sf, p), Seq("id"), "left")
+          .select(col("id"), coalesce(col("fnew"), col("f")).as("f")))
         f = next
       }
       llhOld = llh
@@ -282,25 +487,34 @@ object BigClam {
     * per graph inside init via the shared seedRank plan. Returns the chosen
     * (k, F, per-K final LLH). */
   def selectK(edges: DataFrame, base: Params, minK: Int, maxK: Int, steps: Int,
-      kTol: Double = 1e-3, fitIterations: Int = 3): (Int, DataFrame, Seq[(Int, Double)]) = {
+      kTol: Double = 1e-3, fitIterations: Int = 3,
+      retainedProbe: Int => Unit = _ => ()): (Int, DataFrame, Seq[(Int, Double)]) = {
     val grid = logSpacedK(minK, maxK, steps)
     // the conductance seed ranking is K-independent: compute it once for the
     // whole grid (the per-K init only runs the cheap ego joins on top)
     val ranked = GraphOps.seedRank(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    var results = List.empty[(Int, Double, DataFrame)]
+    // per evaluated K, keep only the LLH scalar (the reference keeps only LLH,
+    // bigclam4-7.scala:259) plus the single best-so-far F — never the full
+    // per-K DataFrame list (a 100-step grid would hold 100 checkpointed factor
+    // matrices alive). `retainedProbe` reports the live-F count per step for
+    // the ModelSelectionSpec memory-bound assertion.
+    var evals = List.empty[(Int, Double)]
+    var best: Option[(Int, Double, DataFrame)] = None
+    var prevLlh = Option.empty[Double]
     var stop = false
     for (k <- grid if !stop) {
       val (f, hist) = fit(edges, base.copy(k = k), fitIterations, ranked = Some(ranked))
       val llh = hist.last
-      results.headOption.foreach { case (_, prevLlh, _) =>
-        // LLH is negative; relative gain mirrors the reference's test
-        if (math.abs(1.0 - llh / prevLlh) < kTol) stop = true
-      }
-      results = (k, llh, f) :: results
+      retainedProbe(1 + best.size) // current f + best-so-far: at most 2 alive
+      // LLH is negative; relative gain mirrors the reference's test
+      prevLlh.foreach(pl => if (math.abs(1.0 - llh / pl) < kTol) stop = true)
+      prevLlh = Some(llh)
+      if (best.forall(_._2 < llh)) best = Some((k, llh, f))
+      evals = (k, llh) :: evals
     }
     ranked.unpersist() // every fit localCheckpoints its F — safe to drop
-    val best = results.maxBy(_._2)
-    (best._1, best._3, results.reverse.map(r => (r._1, r._2)))
+    val (bk, _, bf) = best.get
+    (bk, bf, evals.reverse)
   }
 
   /** Log-spaced ascending K grid, deduped (bigclam4-7.scala:16-20:
@@ -373,6 +587,28 @@ object BigClam {
       .select(col("id").as("node"),
         posexplode(transform(col("f"), x => round(x, 4))).as(Seq("c", "f_c")))
       .orderBy("node", "c")
+
+  /** [no-oracle] The v3 sparse path on the same bounded subgraph: K=8,
+    * 3 iterations, deterministic conductance seeds, sparse (indices, values)
+    * rows end-to-end. Output is the exploded non-zero entries as scalar
+    * (node, c, f_c) rows. BigClamSpec asserts its F matches a dense K=8 fit
+    * at the same iteration count. Not cached: its (K, iterations) config is
+    * shared with no other smoke consumer (see smokeCache note). */
+  def bigclam_fit_sparse_smoke(s: SparkSession, d: String): DataFrame = {
+    val (fs, _) = fitSparse(smokeEdges(s, d), Params(k = 8), iterations = 3,
+      trackHistory = false)
+    fs.select(col("id").as("node"),
+        explode(arrays_zip(col("fi"), col("fv"))).as("e"))
+      .select(col("node"), col("e.fi").as("c"), round(col("e.fv"), 4).as("f_c"))
+      .orderBy("node", "c")
+  }
+
+  /** Live smoke-cache entry count — test seam for the one-fit-per-session
+    * invariant (all three dense smoke consumers share one fit). */
+  private[graft] def smokeCacheSize: Int = {
+    smokeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    smokeCache.size
+  }
 
   /** [no-oracle] threshold+argmax memberships from the smoke fit. */
   def bigclam_communities(s: SparkSession, d: String): DataFrame =

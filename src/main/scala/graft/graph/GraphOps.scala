@@ -164,7 +164,13 @@ object GraphOps {
         (col("vol_full") - col("cut")).as("vol_s"),
         (col("total_deg") - (col("vol_full") - col("cut")) - lit(2) * col("cut")).as("vol_t"))
       .withColumn("phi",
-        when(col("vol_s") === 0, 0.0)
+        // vol_s=0 under a cap means the ego was truncated to a singleton
+        // (all neighbors were dropped hubs) — report the WORST conductance,
+        // not the reference's 0.0 best-cut guard, else hub-adjacent leaves
+        // would outrank every real seed if capped φ ever fed seedRank. The
+        // uncapped path keeps the reference guard verbatim (and on a
+        // symmetric nonempty graph vol_s ≥ 2 there anyway).
+        when(col("vol_s") === 0, if (hotDegCap.isDefined) 1.0 else 0.0)
           .when(col("vol_t") === 0, 1.0)
           .otherwise(col("cut").cast("double") / least(col("vol_s"), col("vol_t"))))
   }

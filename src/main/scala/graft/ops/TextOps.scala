@@ -56,19 +56,29 @@ object TextOps {
     * (2 <= doc-frequency <= 10) with a lower-id doc. The frequency filter is
     * the blocking step that keeps the self-join linear-ish at scale. */
   def q_dedup_shingle(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // The (doc, shingle) relation feeds the frequency count AND both sides
     // of the self-join. Round 3 persisted it (and leaked the cache into
-    // long-lived sessions); the df-count is now a window over
-    // partitionBy(shingle), so (a) the count and the blocking filter ride
-    // the SAME shuffle the self-join needs anyway, and (b) the two join
-    // sides are identical subplans whose exchange Spark dedupes via
-    // ReuseExchange — shingling runs once, with zero cache state left behind.
-    val blocked = Tables.documents(s, d)
+    // long-lived sessions); round 4 used a window over partitionBy(shingle)
+    // (cache-free, but a window has no map-side partial aggregation and no
+    // AQE skew-split — a mega-shingle would buffer in ONE task before being
+    // discarded). Now: a groupBy(shingle) df-count joined back — partial-agg
+    // friendly, skew-splittable — while the shared `docShingle` subplan
+    // below the distinct is still deduped by ReuseExchange, so the O(tokens²)
+    // shingling runs once with zero cache state left behind. The df side is
+    // merge-hinted: at 100 TB the rare-shingle set is huge (broadcast would
+    // be wrong), and its agg output is already hash-partitioned by shingle.
+    // the explicit isnotnull filters keep BOTH consumers' subtrees identical:
+    // the self-join infers isnotnull(doc_id) on its side but the df-count agg
+    // doesn't — without them the shared exchange canonicalizes differently
+    // and ReuseExchange runs the shingling twice
+    val docShingle = Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles(toks(col("text")))).as("shingle"))
+      .filter(col("doc_id").isNotNull && col("shingle").isNotNull)
       .distinct()
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+    val rare = docShingle.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 10))
+      .select("shingle")
+    val blocked = docShingle.hint("merge").join(rare, Seq("shingle"))
       .select(col("shingle"), col("doc_id"))
     val a = blocked.select(col("shingle"), col("doc_id").as("doc_a"))
     val b = blocked.select(col("shingle"), col("doc_id").as("doc_b"))

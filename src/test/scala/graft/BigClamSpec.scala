@@ -71,6 +71,49 @@ class BigClamSpec extends AnyFunSuite {
     assert(BigClam.bigclam_communities(s2, TestSpark.sf).limit(1).collect().nonEmpty)
   }
 
+  test("bigclam_fit_sparse_smoke matches a dense K=8 fit at the same iterations") {
+    val smoke = GraphOps.symEdges(GraphOps.rawEdges(s, TestSpark.sf, 300)).cache()
+    val (fd, _) = BigClam.fit(smoke, BigClam.Params(k = 8), iterations = 3,
+      trackHistory = false)
+    val dense = fd.select("id", "f").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val sparseRows = BigClam.bigclam_fit_sparse_smoke(s, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Int]("c")) -> r.getAs[Double]("f_c")).toMap
+    smoke.unpersist()
+    assert(sparseRows.nonEmpty)
+    // every declared sparse entry equals the dense value (rounded to 4)
+    sparseRows.foreach { case ((node, c), v) =>
+      assert(math.abs(dense(node)(c) - v) < 1e-3,
+        s"sparse ($node,$c)=$v vs dense ${dense(node)(c)}")
+    }
+    // every non-trivial dense entry is present in the sparse output
+    for ((id, f) <- dense; c <- f.indices if math.abs(f(c)) > 1e-3)
+      assert(sparseRows.contains((id, c)), s"dense non-zero ($id,$c)=${f(c)} missing")
+  }
+
+  test("all three dense smoke consumers share one cached fit per session") {
+    val before = BigClam.smokeCacheSize
+    BigClam.bigclam_fit_smoke(s, TestSpark.sf).limit(1).collect()
+    BigClam.bigclam_communities(s, TestSpark.sf).limit(1).collect()
+    BigClam.bigclam_community_members(s, TestSpark.sf).limit(1).collect()
+    assert(BigClam.smokeCacheSize <= before + 1,
+      s"smoke queries added more than one cache entry: $before -> ${BigClam.smokeCacheSize}")
+  }
+
+  test("localCheckpoint keeps the plan flat: 12-iteration F plan == 3-iteration F plan") {
+    // the lineage guard (round-3 lesson): without the per-iteration
+    // localCheckpoint the logical plan would grow with the iteration count
+    val (f3, _) = BigClam.fit(edges, BigClam.Params(k = 2), iterations = 3,
+      trackHistory = false)
+    val (f12, _) = BigClam.fit(edges, BigClam.Params(k = 2), iterations = 12,
+      trackHistory = false)
+    def planSize(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case n => n }.size
+    assert(planSize(f12) == planSize(f3),
+      s"plan grew with iterations: ${planSize(f3)} -> ${planSize(f12)}")
+    assert(planSize(f12) <= 5, s"final F plan not checkpoint-flat: ${planSize(f12)}")
+  }
+
   test("deterministic conductance-only init: no random padding") {
     val f1 = BigClam.init(edges, BigClam.Params(k = 2)).orderBy("id").collect()
     val f2 = BigClam.init(edges, BigClam.Params(k = 2)).orderBy("id").collect()

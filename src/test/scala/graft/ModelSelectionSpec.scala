@@ -45,6 +45,16 @@ class ModelSelectionSpec extends AnyFunSuite {
     rows.foreach { r => assert(r.get(1).isInstanceOf[Double]) }
   }
 
+  test("selectK retains at most two factor DataFrames mid-grid") {
+    var maxRetained = 0
+    val (_, f, history) = BigClam.selectK(edges, BigClam.Params(k = 2),
+      minK = 2, maxK = 6, steps = 3, fitIterations = 1,
+      retainedProbe = n => maxRetained = math.max(maxRetained, n))
+    assert(history.size >= 2) // probe actually fired mid-grid
+    assert(maxRetained <= 2, s"selectK held $maxRetained factor DataFrames alive")
+    assert(f.count() == 6)
+  }
+
   test("fitConverged terminates and improves LLH overall") {
     // NOTE: per-node Armijo acceptance does not guarantee *joint* LLH
     // monotonicity under simultaneous updates — the reference has the same

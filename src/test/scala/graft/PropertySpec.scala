@@ -106,6 +106,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fitSparse matches fit: same LLH history and same F on toy graphs") {
+    for (seed <- Seq(5, 19)) {
+      val (edges, _, _, _) = fixtures(seed, 10)
+      val (fd, hd) = BigClam.fit(edges, p, iterations = 3)
+      val (fsRaw, hs) = BigClam.fitSparse(edges, p, iterations = 3)
+      assert(hd.size == hs.size)
+      hd.zip(hs).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(a)),
+          s"seed=$seed history diverged: dense=$hd sparse=$hs")
+      }
+      val dense = fd.select("id", "f").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val sparse = BigClam.toDenseF(fsRaw, p.k).select("id", "f").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(dense.keySet == sparse.keySet)
+      for (id <- dense.keys; c <- 0 until p.k)
+        assert(math.abs(dense(id)(c) - sparse(id)(c)) < 1e-6,
+          s"seed=$seed F differs at node $id dim $c: ${dense(id)(c)} vs ${sparse(id)(c)}")
+    }
+  }
+
   test("sparse round-trip and sparse dot match dense") {
     val df = s.range(1).select(
       typedLit(Seq(0.0, 1.5, 0.0, 2.5, 0.0)).as("a"),

@@ -37,6 +37,41 @@ class RealGraphSpec extends AnyFunSuite {
     phi.unpersist(); sym.unpersist()
   }
 
+  test("fitSparse runs a large-K (K=500) fit on a real subgraph with net LLH ascent") {
+    assume(available)
+    // the v3 capability shape (bigclamv3-7.scala:14-15,86: K=8,385): a K far
+    // beyond what dense rows could ship efficiently — sparse rows keep the
+    // payload at nnz ≈ ego-membership count, independent of K
+    val raw = GraphOps.loadEdgeList(s, path)
+      .filter(col("src") < 600 && col("dst") < 600)
+    val sym = GraphOps.symEdges(raw).cache()
+    val (fs, hist) = BigClam.fitSparse(sym, BigClam.Params(k = 500), iterations = 2)
+    assert(hist.forall(v => !v.isNaN && !v.isInfinite))
+    assert(hist.last > hist.head, s"no net ascent at K=500: $hist")
+    val nNodes = sym.select("src").distinct().count()
+    assert(fs.count() == nNodes)
+    // rows stay genuinely sparse: max nnz well under K
+    val maxNnz = fs.select(max(size(col("fi")))).collect()(0).getInt(0)
+    assert(maxNnz > 0 && maxNnz < 500, s"max nnz $maxNnz not sparse at K=500")
+    sym.unpersist()
+  }
+
+  test("fitConverged stays checkpoint-flat over a long run on a real subgraph") {
+    assume(available)
+    val raw = GraphOps.loadEdgeList(s, path)
+      .filter(col("src") < 300 && col("dst") < 300)
+    val sym = GraphOps.symEdges(raw).cache()
+    // tol=0 never converges: runs all 12 iterations — the long-fit shape
+    val (f, hist) = BigClam.fitConverged(sym, BigClam.Params(k = 3, tol = 0.0),
+      maxIterations = 12)
+    assert(hist.size == 12)
+    assert(hist.last > hist.head)
+    // lineage stays truncated regardless of iteration count
+    val planSize = f.queryExecution.optimizedPlan.collect { case n => n }.size
+    assert(planSize <= 5, s"12-iteration fitConverged plan not flat: $planSize")
+    sym.unpersist()
+  }
+
   test("BigCLAM fit runs on a real subgraph with finite non-decreasing-ish LLH") {
     assume(available)
     // induced subgraph on the first 600 node ids — a connected Facebook

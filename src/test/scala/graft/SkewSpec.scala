@@ -68,10 +68,14 @@ class SkewSpec extends AnyFunSuite {
     val capped = GraphOps.egoExpanded(star, Some(64L)).count()
     assert(capped == 3 * n, s"expected ${3 * n} expansion rows, got $capped")
     assert(capped <= (64L + 1) * 2 * n)
-    // capped conductance still completes and respects the guards
+    // capped conductance still completes and respects the guards; a leaf
+    // whose ONLY neighbor is the dropped hub has a singleton truncated ego
+    // — it must report the worst φ (1.0), never the vol_s=0 best-cut guard
+    // (which would rank hub-adjacent leaves as top seeds)
     val phi = GraphOps.conductance(star, Some(64L))
       .agg(min(col("phi")), max(col("phi"))).collect()(0)
-    assert(phi.getDouble(0) >= 0.0 && phi.getDouble(1) <= 1.0)
+    assert(phi.getDouble(0) == 1.0 && phi.getDouble(1) <= 1.0,
+      s"truncated-singleton ego must score phi=1.0, got min=${phi.getDouble(0)}")
   }
 
   test("hotDegCap is exact when no node exceeds the cap") {
