@@ -18,8 +18,11 @@ import graft.ops.VectorOps
   *  - clip constants MIN_P=1e-4, MAX_P=0.9999, F ∈ [0, 1000]
   *    (Bigclamv2.scala:28-31,99-102)
   *  - Armijo: steps t ∈ {β^0..β^15}, β=0.1, accept iff
-  *    l(clip(Fu+t∇)) ≥ l(Fu) + α·t·‖∇‖², α=0.05, take the largest accepted t
-  *    (Bigclamv2.scala:104-113,144-145)
+  *    l(clip(Fu+t∇)) ≥ l(Fu) + α·t·‖P(∇)‖², α=0.05, take the largest
+  *    accepted t (Bigclamv2.scala:104-113,144-145). Deliberate divergence:
+  *    the bound uses the PROJECTED gradient norm, not the reference's
+  *    literal ∇ᵀ∇ — see projGrad for why the literal form deadlocks a
+  *    box-clipped ascent from a near-zero deterministic init.
   *  - community threshold δ = sqrt(−log(1−ε)), ε = 2|E|/(|V|(|V|−1)), argmax
   *    fallback (Bigclamv2.scala:223-229)
   *
@@ -71,9 +74,21 @@ object BigClam {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
-  /** Deterministic conductance-only init (no JVM Random — SURVEY.md §7):
-    * community c = closed neighborhood of the c-th locally-minimal-
-    * conductance seed; F(u)[c] = 1 iff u ∈ ego(seed_c).
+  /** Deterministic conductance init with hash padding (no JVM Random —
+    * SURVEY.md §7): community c = closed neighborhood of the c-th
+    * locally-minimal-conductance seed; F(u)[c] = 1 iff u ∈ ego(seed_c).
+    *
+    * Nodes covered by NO selected ego get deterministic pseudo-random
+    * memberships (xxhash64(id, c) mod 16 == 0, ≈ K/16 communities each) —
+    * the reference's randomIndexedRow padding (Bigclamv2.scala:62-63,77-89)
+    * made reproducible. Without it the init can be structurally DEAD: on
+    * Email-Enron the 100 best-conductance seeds are tiny isolated
+    * components (φ = 0 perfect cuts), their egos are closed islands with no
+    * boundary, so the giant component's gradient is −sumF everywhere — all
+    * clipped at F=0 — and no node outside the islands can EVER activate.
+    * Hash padding gives every node gradient traction while staying sparse
+    * (nnz ≈ K/16 per uncovered row, not the reference's dense K/2).
+    *
     * `ranked` lets callers share one (persisted) seedRank across several
     * inits — the ranking is K-independent, so a K-grid sweep (selectK)
     * computes conductance once per graph instead of once per K. */
@@ -91,15 +106,18 @@ object BigClam {
     GraphOps.degrees(edges).select(col("node").as("id"))
       .join(memberships, col("id") === col("member"), "left")
       .select(col("id"),
-        transform(sequence(lit(0), lit(p.k - 1)),
-          i => when(array_contains(coalesce(col("cs"), array().cast("array<int>")), i), 1.0)
-            .otherwise(0.0)).as("f"))
+        transform(sequence(lit(0), lit(p.k - 1)), i =>
+          when(col("cs").isNotNull,
+            when(array_contains(col("cs"), i), 1.0).otherwise(0.0))
+          .otherwise(
+            when(pmod(xxhash64(col("id"), i), lit(16)) === 0, 1.0).otherwise(0.0)))
+          .as("f"))
   }
 
   /** One gradient+LLH pass: per node (llh at F, gradient array, ‖∇‖²).
     * sumF is the K-vector of column sums, passed as a literal (K doubles of
     * driver state — the only non-distributed object in the loop). */
-  private def nodeState(edges: DataFrame, f: DataFrame, sumF: Array[Double], p: Params): DataFrame = {
+  private[bigclam] def nodeState(edges: DataFrame, f: DataFrame, sumF: Array[Double], p: Params): DataFrame = {
     val vsum = udaf(VectorOps.ArraySumAgg)
     val fu = f.select(col("id").as("src"), col("f").as("fu"))
     val fv = f.select(col("id").as("dst"), col("f").as("fv"))
@@ -119,8 +137,26 @@ object BigClam {
         (col("llh_neigh") - dot(col("fu"), sumFc) + dot(col("fu"), col("fu"))).as("llh"),
         zip_with(zip_with(col("grad_neigh"), sumFc, (g, sf) => g - sf), col("fu"),
           (g, x) => g + x).as("grad"))
-      .withColumn("gnorm2", dot(col("grad"), col("grad")))
+      .withColumn("gnorm2", dot(projGrad(p), projGrad(p)))
   }
+
+  /** Gradient projected onto the feasible directions: dims pinned at a bound
+    * with the gradient pointing OUT of the box contribute nothing — the
+    * projected step cannot move them. The Armijo sufficient-ascent bound
+    * must use THIS norm, not ∇ᵀ∇: the candidate moves along the projected
+    * direction, so demanding ascent proportional to the full norm (the
+    * reference's literal test, Bigclamv2.scala:144) makes acceptance
+    * structurally impossible whenever clipped dims dominate — with a
+    * deterministic conductance init on Email-Enron (tiny top-K egos, F≈0,
+    * every background dim clipped at 0 with grad −sumF[c]<0) the fit
+    * rejected every step for every node and the LLH stayed exactly flat.
+    * The reference never trips this only because it pads init with dense
+    * RANDOM rows (Bigclamv2.scala:62-63,77-89). On interior points the
+    * projection is the identity, so the two tests agree exactly. */
+  private def projGrad(p: Params): Column =
+    zip_with(col("grad"), col("fu"), (g, x) =>
+      when((x <= lit(p.minF) && g < lit(0.0)) || (x >= lit(p.maxF) && g > lit(0.0)), lit(0.0))
+        .otherwise(g))
 
   /** Armijo backtracking for every node at once; candidate LLH is evaluated
     * against the OLD F of the neighbors, as the reference does.
@@ -133,7 +169,7 @@ object BigClam {
     * recomputed per NODE from (fu, grad, t) after the aggregate, where the
     * Armijo filter picks the largest accepted step (= smallest accepted
     * index, β < 1). */
-  private def lineSearch(edges: DataFrame, f: DataFrame, state: DataFrame,
+  private[bigclam] def lineSearch(edges: DataFrame, f: DataFrame, state: DataFrame,
       sumF: Array[Double], p: Params): DataFrame = {
     val steps = (0 to p.maxBacktracks).map(i => math.pow(p.beta, i))
     val stepsLit = litArr(steps.toArray)
@@ -142,9 +178,13 @@ object BigClam {
     val fv = f.select(col("id").as("dst"), col("f").as("fv"))
     val fnewAt = (t: Column) =>
       clipF(zip_with(col("fu"), col("grad"), (x, g) => x + t * g), p)
+    // gnorm2 = ‖P(∇)‖² = 0 ⟺ every dim is pinned or flat ⟺ fnew ≡ fu at any
+    // step: those nodes cannot move, so skip their whole line search (on a
+    // near-zero init that prunes almost every node from the |E|-row join)
+    val live = state.filter(col("gnorm2") > lit(0.0))
     // per edge: neighbor LLH term of every candidate step, one array
     val termArrays = edges
-      .join(state.select(col("id").as("src"), col("fu"), col("grad")), "src")
+      .join(live.select(col("id").as("src"), col("fu"), col("grad")), "src")
       .join(fv, "dst")
       .select(col("src"),
         transform(stepsLit, t => {
@@ -159,7 +199,7 @@ object BigClam {
     // −fnew·sumF + fnew·fu (reference: sfT = sumF − fu + newfu,
     // Bigclamv2.scala:141). Accept iff the Armijo bound holds; take the
     // first (largest-t) accepted index.
-    state.select(col("id"), col("fu"), col("grad"), col("llh"), col("gnorm2"))
+    live.select(col("id"), col("fu"), col("grad"), col("llh"), col("gnorm2"))
       .join(neighLlh, Seq("id"))
       .withColumn("bi",
         // try_element_at: NULL (not an ANSI error) when no step is accepted
@@ -263,13 +303,13 @@ object BigClam {
     * neighbor}: outside that support the true dense gradient is exactly
     * −sumF[c] ≤ 0 (F ≥ 0 always), and the projected step from fu[c]=0 clips
     * back to 0 — so truncating it changes nothing about the update. gnorm2
-    * is still the FULL dense ‖∇‖² (the Armijo bound must match the dense
-    * fit): Σ_c sumF[c]² is a driver scalar, corrected on the support in
-    * O(nnz) — no O(K) walk per row. */
+    * is the PROJECTED-gradient norm ‖P(∇)‖² (see projGrad — the Armijo
+    * bound must match the dense fit): off-support dims are pinned at 0
+    * against a non-positive gradient, so they project to zero and the
+    * whole norm is an O(nnz) fold over the support — no O(K) walk. */
   private def nodeStateSparse(edges: DataFrame, fs: DataFrame, sumF: Array[Double],
       p: Params): DataFrame = {
     val sumFc = litArr(sumF)
-    val sumF2Tot = sumF.map(x => x * x).sum
     val fu = fs.select(col("id").as("src"), col("fi").as("ui"), col("fv").as("uv"))
     val fv = fs.select(col("id").as("dst"), col("fi").as("vi"), col("fv").as("vv"))
     val pairs = edges.join(fu, "src").join(fv, "dst")
@@ -296,21 +336,28 @@ object BigClam {
     // left join: a node whose neighbors all carry empty F still has state
     // (its gradient is −sumF + fu on the support) — dropping it would drop
     // its llh from the history the dense fit reports
+    // per support dim: (index, gradient value, fu value); the projection
+    // (projGrad, dense path) zeroes dims pinned at a bound against the
+    // gradient — those also drop out of the sparse step entries, since the
+    // clip would undo their move anyway
+    val projected = (s: Column) =>
+      when((s.getField("a") <= lit(p.minF) && s.getField("v") < lit(0.0)) ||
+           (s.getField("a") >= lit(p.maxF) && s.getField("v") > lit(0.0)), lit(0.0))
+        .otherwise(s.getField("v"))
     llhPart.join(gradEntries, Seq("id"), "left")
       .withColumn("gmc", coalesce(col("gm"), emptyGm))
       .withColumn("graw",
         transform(array_sort(array_union(col("ui"), map_keys(col("gmc")))), i =>
           struct(i.as("i"),
             (coalesce(element_at(col("gmc"), i), lit(0.0)) - element_at(sumFc, i + 1) +
-              coalesce(element_at(mu, i), lit(0.0))).as("v"))))
+              coalesce(element_at(mu, i), lit(0.0))).as("v"),
+            coalesce(element_at(mu, i), lit(0.0)).as("a"))))
       .select(col("id"), col("ui"), col("uv"),
         (col("llh_neigh") - muDotSumF + muDotMu).as("llh"),
         col("graw"),
-        (lit(sumF2Tot) + aggregate(col("graw"), lit(0.0), (acc, s) => {
-          val sf = element_at(sumFc, s.getField("i") + 1)
-          acc + s.getField("v") * s.getField("v") - sf * sf
-        })).as("gnorm2"))
-      .withColumn("ge", filter(col("graw"), s => s.getField("v") =!= 0.0))
+        aggregate(col("graw"), lit(0.0),
+          (acc, s) => acc + projected(s) * projected(s)).as("gnorm2"))
+      .withColumn("ge", filter(col("graw"), s => projected(s) =!= 0.0))
       .select(col("id"), col("ui"), col("uv"), col("llh"),
         transform(col("ge"), s => s.getField("i")).as("gi"),
         transform(col("ge"), s => s.getField("v")).as("gv"),
@@ -347,8 +394,10 @@ object BigClam {
     val sumFc = litArr(sumF)
     val vsum = udaf(VectorOps.ArraySumAgg)
     val fv = fs.select(col("id").as("dst"), col("fi").as("vi"), col("fv").as("vv"))
+    // ‖P(∇)‖² = 0 ⟺ the node cannot move at any step — skip its line search
+    val live = state.filter(col("gnorm2") > lit(0.0))
     val termArrays = edges
-      .join(state.select(col("id").as("src"),
+      .join(live.select(col("id").as("src"),
         col("ui"), col("uv"), col("gi"), col("gv")), "src")
       .withColumn("base", sparseBase)
       .join(fv, "dst")
@@ -364,7 +413,7 @@ object BigClam {
     val neighLlh = termArrays.groupBy(col("src").as("id"))
       .agg(vsum(col("terms")).as("llh_neigh_new"))
     val mu = map_from_arrays(col("ui"), col("uv"))
-    state.join(neighLlh, Seq("id"))
+    live.join(neighLlh, Seq("id"))
       .withColumn("base", sparseBase)
       .withColumn("bi",
         try_element_at(
