@@ -44,10 +44,15 @@ object Bench {
         }.min
         name -> t
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the single JSON line short: the driver captures a
+    // bounded tail of the run's stdout, and round-5's full-double line
+    // (~2.9 KB over 71 queries) overflowed it — the driver recorded
+    // parsed:null. 3 decimals is far below bench noise and ~40% shorter.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -450,6 +450,39 @@ object Oracles {
         |FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin,
 
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |sig AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM tok),
+        |signs AS (
+        |  SELECT s.doc_id, g.j,
+        |    CASE WHEN CAST(floor(
+        |        (CASE WHEN ascii(substr(s.h, CAST(g.j // 4 AS INT) + 1, 1)) <= 57
+        |              THEN ascii(substr(s.h, CAST(g.j // 4 AS INT) + 1, 1)) - 48
+        |              ELSE ascii(substr(s.h, CAST(g.j // 4 AS INT) + 1, 1)) - 87 END)
+        |        / pow(2, g.j % 4)) AS BIGINT) % 2 = 1
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM sig s, range(0, 64) g(j)),
+        |perbit AS (SELECT doc_id, j,
+        |             CASE WHEN sum(sgn) >= 0 THEN 1 ELSE 0 END AS bit
+        |           FROM signs GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(j // 16 AS INT) AS band,
+        |  CAST(sum(bit * CAST(pow(2, j % 16) AS BIGINT)) AS BIGINT) AS bucket
+        |FROM perbit GROUP BY doc_id, CAST(j // 16 AS INT)
+        |ORDER BY doc_id, band""".stripMargin,
+
+    "q_sim_neardup_cosine" ->
+      """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                   generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS u, b.vec_id AS w, sum(a.v * b.v) AS dot
+        |         FROM ex a JOIN ex b
+        |           ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+        |         GROUP BY a.vec_id, b.vec_id),
+        |cosd AS (SELECT u, w, round(dot / (nu.nrm * nw.nrm), 6) AS cosine
+        |         FROM dots JOIN norms nu ON nu.vec_id = u JOIN norms nw ON nw.vec_id = w)
+        |SELECT u AS vec_id_a, w AS vec_id_b, cosine
+        |FROM cosd WHERE cosine >= 0.35 ORDER BY vec_id_a, vec_id_b""".stripMargin,
+
     "q_sim_cosine_topk" ->
       """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
         |                   generate_subscripts(embedding, 1) AS pos FROM embeddings),

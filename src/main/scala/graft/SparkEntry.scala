@@ -93,6 +93,7 @@ object SparkEntry {
     "q_text_stats" -> TextOps.q_text_stats,
     "q_dedup_exact" -> TextOps.q_dedup_exact,
     "q_dedup_shingle" -> TextOps.q_dedup_shingle,
+    "q_dedup_simhash" -> TextOps.q_dedup_simhash,
     "q_minhash_lsh" -> TextOps.q_minhash_lsh,
     // LLM-pipeline: text analysis
     "q_text_quality" -> TextAnalysis.q_text_quality,
@@ -102,6 +103,7 @@ object SparkEntry {
     "q_text_token_bpe" -> TextAnalysis.q_text_token_bpe,
     // LLM-pipeline: vectors
     "q_sim_cosine_topk" -> VectorOps.q_sim_cosine_topk,
+    "q_sim_neardup_cosine" -> VectorOps.q_sim_neardup_cosine,
     "q_sim_ann_lsh" -> VectorOps.q_sim_ann_lsh,
     "q_sim_ann_ivf" -> VectorOps.q_sim_ann_ivf,
     // LLM-pipeline: multimodal (binary media + stub decode)

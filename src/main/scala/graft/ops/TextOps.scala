@@ -91,6 +91,50 @@ object TextOps {
       .limit(5000)
   }
 
+  /** SimHash dedup buckets: 64-bit SimHash over the doc's tokens (with
+    * multiplicity), split into 4 bands of 16 bits — docs sharing any
+    * (band, bucket) are near-dup candidates at Hamming distance <= 3.
+    * Unlike MinHash (set-resemblance) this is weighted-feature cosine
+    * sketching, the scheme in Charikar's SimHash / the Google near-dup
+    * pipeline.
+    *
+    * Oracle-checkable on purpose: the per-token 64-bit signature is the top
+    * 16 hex chars of md5(token) — md5 produces identical lowercase hex in
+    * Spark and DuckDB, and all the bit plumbing below is small-integer
+    * arithmetic (ascii/floor/pow/%) that is exact in both engines. Bit j
+    * (0..63) lives in hex char 1 + j/4 with within-char weight 2^(j%4);
+    * sign_j(tok) = +1 when the bit is set else -1; simhash bit_j = 1 iff
+    * sum over tokens >= 0 (ties -> 1); band b = j/16 with bucket weight
+    * 2^(j%16).
+    *
+    * Scale: the x64 bit expansion happens AFTER the (doc, token) explode as
+    * narrow int rows feeding a partial-agg-friendly groupBy(doc_id, j) —
+    * map-side combine collapses each partition to <=64 rows per doc before
+    * the shuffle, so the wire cost is O(docs x 64), not O(tokens x 64). No
+    * all-pairs anything: downstream candidate generation joins on the 4
+    * (band, bucket) keys exactly like q_minhash_lsh. */
+  def q_dedup_simhash(s: SparkSession, d: String): DataFrame = {
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h"))
+    // one row per (token-row, bit j): sign contribution of this token to bit j
+    val signs = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(63)), j => {
+        val ch = col("h").substr(floor(j.cast("double") / 4.0).cast("int") + 1, lit(1))
+        val digit = when(ascii(ch) <= 57, ascii(ch) - 48).otherwise(ascii(ch) - 87)
+        val bit = pmod(floor(digit.cast("double") / pow(lit(2.0), (j % 4).cast("double"))).cast("bigint"), lit(2L))
+        (bit * 2 - 1).cast("int")
+      })).as(Seq("j", "sgn")))
+    val perBit = signs.groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("sgn")).as("sg"))
+      .select(col("doc_id"), col("j"),
+        when(col("sg") >= 0, 1L).otherwise(0L).as("bit"))
+    perBit
+      .groupBy(col("doc_id"), floor(col("j").cast("double") / 16.0).cast("int").as("band"))
+      .agg(sum(col("bit") * pow(lit(2.0), (col("j") % 16).cast("double")).cast("bigint")).as("bucket"))
+      .orderBy("doc_id", "band")
+  }
+
   /** [no-oracle] MinHash/LSH: 4 bands, bucket = min xxhash64(band, shingle)
     * over the doc's shingles (seeded hash family via the band id literal).
     * Exact-duplicate texts share all 4 buckets (invariant-tested); docs

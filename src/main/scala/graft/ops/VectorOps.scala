@@ -72,6 +72,33 @@ object VectorOps {
       .orderBy("vec_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs in the same
+    * label block whose 6-dp-rounded cosine >= 0.35 (the synthetic
+    * embeddings top out near 0.51 — 0.35 is the upper tail, the "same
+    * content re-embedded" stand-in). This is the dedup-by-embedding mode of
+    * the pipeline: where q_sim_cosine_topk answers "nearest k", this
+    * answers "which pairs ARE duplicates" for a downstream keep-one pass.
+    *
+    * Scale: the pair space is blocked on `label` (at 100 TB: an LSH/IVF
+    * bucket id, cf. lshBucket/ivfAssign), so the join is (block size)^2 per
+    * block, never N^2 global; the threshold filter sits directly on the
+    * joined rows before any further shuffle. Rounding BEFORE the threshold
+    * compare keeps the predicate bit-identical to the DuckDB oracle. */
+  def q_sim_neardup_cosine(s: SparkSession, d: String): DataFrame = {
+    val withNorm = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("label"), col("v"), l2norm(col("v")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("u"), col("label"),
+      col("v").as("uv"), col("nrm").as("unrm"))
+    val b = withNorm.select(col("vec_id").as("w"), col("label"),
+      col("v").as("wv"), col("nrm").as("wnrm"))
+    a.join(b, Seq("label")).filter(col("u") < col("w"))
+      .select(col("u").as("vec_id_a"), col("w").as("vec_id_b"),
+        round(dot(col("uv"), col("wv")) / (col("unrm") * col("wnrm")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+
   /** Deterministic random-hyperplane family for sign-LSH: `nBits` fixed
     * 64-dim hyperplanes from a seeded PRNG, embedded as plan literals (the
     * broadcast-small-model pattern — at 100 TB the planes would ship the

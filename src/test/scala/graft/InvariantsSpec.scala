@@ -48,6 +48,51 @@ class InvariantsSpec extends AnyFunSuite {
     assert(b1.toSeq != b3.toSeq)
   }
 
+  test("q_dedup_simhash: 4 bands per doc, buckets in [0,65536); exact dups collide on all bands") {
+    import s.implicits._
+    val out = TextOps.q_dedup_simhash(s, sf).cache()
+    try {
+      val perDoc = out.groupBy("doc_id").count().select("count").distinct().as[Long].collect()
+      assert(perDoc.toSeq == Seq(4L))
+      val bad = out.filter(col("bucket") < 0 || col("bucket") > 65535).count()
+      assert(bad == 0, s"$bad buckets outside 16-bit range")
+      // exact-duplicate texts (from q_dedup_exact groups with n_docs > 1) must
+      // produce identical simhash buckets in every band — the dedup guarantee
+      val dupPair = TextOps.q_dedup_exact(s, sf)
+        .filter(col("n_docs") > 1).limit(1).collect()
+      if (dupPair.nonEmpty) {
+        val h = dupPair(0).getAs[String]("h")
+        val ids = Tables.documents(s, sf).filter(md5(col("text")) === h)
+          .select("doc_id").as[Long].collect().toSeq.sorted.take(2)
+        val sigs = ids.map { id =>
+          out.filter(col("doc_id") === id).orderBy("band")
+            .select("bucket").as[Long].collect().toSeq
+        }
+        assert(sigs(0) == sigs(1), s"exact dups ${ids} differ: $sigs")
+      }
+    } finally out.unpersist()
+  }
+
+  test("q_sim_neardup_cosine: pairs ordered a<b, cosine >= 0.35, consistent with exact top-k") {
+    import s.implicits._
+    val out = ops.VectorOps.q_sim_neardup_cosine(s, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_id_a") < r.getAs[Long]("vec_id_b"))
+      assert(r.getAs[Double]("cosine") >= 0.35)
+    }
+    // every near-dup pair whose lower id is a top-k probe must appear in the
+    // exact top-k neighbor list of that probe with the same cosine (both are
+    // label-blocked exact cosine — one thresholds, the other ranks)
+    val topk = ops.VectorOps.q_sim_cosine_topk(s, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    out.filter(_.getAs[Long]("vec_id_a") < 100).foreach { r =>
+      val key = (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))
+      topk.get(key).foreach(c => assert(c == r.getAs[Double]("cosine"), s"cosine mismatch at $key"))
+    }
+  }
+
   test("q_dedup_shingle leaves no cached RDDs behind (round-3 persist leak)") {
     val before = s.sparkContext.getPersistentRDDs.keySet
     TextOps.q_dedup_shingle(s, sf).collect()
