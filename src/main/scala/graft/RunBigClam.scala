@@ -9,16 +9,20 @@ import graft.bigclam.BigClam
   * gradient ascent with Armijo line search → threshold/argmax communities)
   * as one command:
   *
-  *   runMain graft.RunBigClam <edgeListPath> <K> <iterations> <outDir> [dense|sparse]
+  *   runMain graft.RunBigClam <edgeListPath> <K> <iterations> <outDir> [dense|sparse|sparse:<m>]
   *
   * e.g. the graph bundled with the reference:
   *   runMain graft.RunBigClam /root/reference/data/facebook_combined.txt 8 3 /tmp/fb_out
   * `sparse` runs the v3 large-K path (fitSparse) — same math, sparse rows.
+  * `sparse:<m>` adds the per-row support cap (keep the m largest entries) —
+  * the bounded-cost configuration for K in the thousands.
   */
 object RunBigClam {
   def main(args: Array[String]): Unit = {
     val Array(path, kStr, itStr, outDir) = args.take(4)
-    val sparse = args.lift(4).contains("sparse")
+    val mode = args.lift(4).getOrElse("dense")
+    val sparse = mode.startsWith("sparse")
+    val supportCap = if (mode.startsWith("sparse:")) Some(mode.drop(7).toInt) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -32,15 +36,15 @@ object RunBigClam {
     val p = BigClam.Params(k = kStr.toInt)
     val (f, history) =
       if (sparse) {
-        val (fs, h) = BigClam.fitSparse(edges, p, iterations = itStr.toInt)
+        val (fs, h) = BigClam.fitSparse(edges, p, iterations = itStr.toInt,
+          supportCap = supportCap)
         (BigClam.toDenseF(fs, p.k), h)
       } else BigClam.fit(edges, p, iterations = itStr.toInt)
     val com = BigClam.communities(f, edges, p)
     com.write.mode("overwrite").parquet(outDir)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[bigclam] $path: ${nEdges} directed edges, K=${p.k} " +
-      f"(${if (sparse) "sparse" else "dense"}), " +
-      f"${itStr} iterations in $secs%.1f s")
+      f"($mode), ${itStr} iterations in $secs%.1f s")
     println(s"[bigclam] LLH history: ${history.map(v => f"$v%.2f").mkString(" -> ")}")
     println(s"[bigclam] memberships written to $outDir")
     spark.stop()

@@ -236,7 +236,8 @@ object BigClam {
     val fu = fSparse.select(col("id").as("src"), col("fi").as("ui"), col("fv").as("uv"))
     val fv = fSparse.select(col("id").as("dst"), col("fi").as("vi"), col("fv").as("vv"))
     val pairs = edges.join(fu, "src").join(fv, "dst")
-      .withColumn("dotv", SparseF.sparseDot(col("ui"), col("uv"), col("vi"), col("vv")))
+      .withColumn("dotv", graft.functions.SparseDotProduct.dot(
+        col("ui"), col("uv"), col("vi"), col("vv")))
       .withColumn("pc", clipP(exp(-col("dotv")), p))
       .withColumn("coef", lit(1.0) / (lit(1.0) - col("pc")))
     // per-node neighbor LLH + the sparse self terms
@@ -308,12 +309,13 @@ object BigClam {
     * against a non-positive gradient, so they project to zero and the
     * whole norm is an O(nnz) fold over the support — no O(K) walk. */
   private def nodeStateSparse(edges: DataFrame, fs: DataFrame, sumF: Array[Double],
-      p: Params): DataFrame = {
+      p: Params, supportCap: Option[Int] = None): DataFrame = {
     val sumFc = litArr(sumF)
     val fu = fs.select(col("id").as("src"), col("fi").as("ui"), col("fv").as("uv"))
     val fv = fs.select(col("id").as("dst"), col("fi").as("vi"), col("fv").as("vv"))
     val pairs = edges.join(fu, "src").join(fv, "dst")
-      .withColumn("dotv", SparseF.sparseDot(col("ui"), col("uv"), col("vi"), col("vv")))
+      .withColumn("dotv", graft.functions.SparseDotProduct.dot(
+        col("ui"), col("uv"), col("vi"), col("vv")))
       .withColumn("pc", clipP(exp(-col("dotv")), p))
     val llhPart = pairs
       .groupBy(col("src").as("id"))
@@ -354,14 +356,25 @@ object BigClam {
             coalesce(element_at(mu, i), lit(0.0)).as("a"))))
       .select(col("id"), col("ui"), col("uv"),
         (col("llh_neigh") - muDotSumF + muDotMu).as("llh"),
-        col("graw"),
-        aggregate(col("graw"), lit(0.0),
-          (acc, s) => acc + projected(s) * projected(s)).as("gnorm2"))
-      .withColumn("ge", filter(col("graw"), s => projected(s) =!= 0.0))
+        // keep only feasible directions: for kept entries projected(s) == v
+        filter(col("graw"), s => projected(s) =!= 0.0).as("ge"))
+      // support cap (the v3 scale knob): ascend along only the `m`
+      // largest-|g| feasible coordinates. Still a true ascent direction —
+      // the directional derivative along the pruned step is exactly the
+      // pruned Σg², so gnorm2 MUST be computed after the prune for the
+      // Armijo bound to stay consistent with the step actually taken.
+      .withColumn("ge", supportCap.fold(col("ge")) { m =>
+        transform(
+          SparseF.topMByMagnitude(
+            transform(col("ge"), s => s.getField("i")),
+            transform(col("ge"), s => s.getField("v")), m),
+          s => struct(s.getField("i").as("i"), s.getField("v").as("v")))
+      })
       .select(col("id"), col("ui"), col("uv"), col("llh"),
         transform(col("ge"), s => s.getField("i")).as("gi"),
         transform(col("ge"), s => s.getField("v")).as("gv"),
-        col("gnorm2"))
+        aggregate(col("ge"), lit(0.0),
+          (acc, s) => acc + s.getField("v") * s.getField("v")).as("gnorm2"))
   }
 
   /** Joint (index, fu-value, grad-value) rows over support(fu) ∪ support(g):
@@ -396,20 +409,18 @@ object BigClam {
     val fv = fs.select(col("id").as("dst"), col("fi").as("vi"), col("fv").as("vv"))
     // ‖P(∇)‖² = 0 ⟺ the node cannot move at any step — skip its line search
     val live = state.filter(col("gnorm2") > lit(0.0))
+    // per-edge candidate terms via the native kernel (SparseKernels): the
+    // HOF form (16-step transform × per-entry aggregate × map probe) is
+    // interpreted per element and was the measured Email-Enron bottleneck —
+    // single tasks burned 40+ CPU-minutes inside ArrayTransform.nullSafeEval
     val termArrays = edges
       .join(live.select(col("id").as("src"),
         col("ui"), col("uv"), col("gi"), col("gv")), "src")
-      .withColumn("base", sparseBase)
       .join(fv, "dst")
-      .withColumn("mv", map_from_arrays(col("vi"), col("vv")))
       .select(col("src"),
-        transform(stepsLit, t => {
-          val dotv = aggregate(sparseFnewAt(t, p), lit(0.0), (acc, s) =>
-            acc + s.getField("v") *
-              coalesce(element_at(col("mv"), s.getField("i")), lit(0.0)))
-          val pc = clipP(exp(-dotv), p)
-          log(lit(1.0) - pc) + dotv
-        }).as("terms"))
+        graft.functions.SparseStepTermsExpr.terms(
+          col("ui"), col("uv"), col("gi"), col("gv"), col("vi"), col("vv"),
+          stepsLit, p.minF, p.maxF, p.minP, p.maxP).as("terms"))
     val neighLlh = termArrays.groupBy(col("src").as("id"))
       .agg(vsum(col("terms")).as("llh_neigh_new"))
     val mu = map_from_arrays(col("ui"), col("uv"))
@@ -435,27 +446,58 @@ object BigClam {
         transform(col("fnew"), s => s.getField("v")).as("fv_new"))
   }
 
+  /** Cap every row of a sparse F to its `m` largest entries (no-op when
+    * supportCap is None or the row is already within the cap). */
+  private def capF(fs: DataFrame, supportCap: Option[Int]): DataFrame =
+    supportCap.fold(fs) { m =>
+      fs.select(col("id"),
+        SparseF.topMByMagnitude(col("fi"), col("fv"), m).as("t"))
+        .select(col("id"),
+          transform(col("t"), s => s.getField("i")).as("fi"),
+          transform(col("t"), s => s.getField("v")).as("fv"))
+    }
+
   /** Sparse fixed-iteration fit — the reference's v3 large-K capability
     * (bigclamv3-7.scala:14-15,86: K=8,385) through the same
     * update/localCheckpoint loop as the dense `fit`. Returns
     * ((id, fi, fv), LLH history). Identical math to `fit` (PropertySpec
     * asserts matching histories): the projected step, the Armijo bound
     * (full dense ‖∇‖²), and the candidate LLH all agree — only the row
-    * representation and shuffle payload differ. */
+    * representation and shuffle payload differ.
+    *
+    * `supportCap = Some(m)` is the large-K scale knob (the standard BigCLAM
+    * "candidate communities only" practice): each iteration ascends along
+    * only the m largest-|g| feasible gradient coordinates (still a true
+    * ascent direction; the Armijo bound uses the pruned norm) and each
+    * updated row keeps only its m largest factor entries. Per-row payload
+    * and per-edge line-search cost are then O(m), independent of K — the
+    * difference between the r5 uncapped Enron K=1000 run (support densified
+    * to ~K within 2 iterations, >1 h, abandoned) and a bounded fit. With
+    * supportCap >= K the prune is the identity and the fit equals the
+    * uncapped one exactly (property-tested). The F prune happens after the
+    * Armijo-accepted step, so a pruned entry can cost a little accepted
+    * LLH — the per-iteration histories remain ascending in practice
+    * (RealGraphSpec asserts it on a real subgraph). */
   def fitSparse(edges: DataFrame, p: Params, iterations: Int,
-      trackHistory: Boolean = true, ranked: Option[DataFrame] = None): (DataFrame, Seq[Double]) = {
-    var f = checkpointF(toSparse(init(edges, p, ranked)))
+      trackHistory: Boolean = true, ranked: Option[DataFrame] = None,
+      supportCap: Option[Int] = None): (DataFrame, Seq[Double]) = {
+    var f = checkpointF(capF(toSparse(init(edges, p, ranked)), supportCap))
     val history = scala.collection.mutable.ArrayBuffer[Double]()
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
+      val t0 = System.nanoTime()
       val sf = sumFSparse(f, p)
-      val state = nodeStateSparse(edges, f, sf, p).persist(StorageLevel.MEMORY_AND_DISK)
-      if (trackHistory)
+      val state = nodeStateSparse(edges, f, sf, p, supportCap)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (trackHistory) {
         history += state.agg(sum(col("llh"))).collect()(0).getDouble(0)
+        System.err.println(f"[bigclam] sparse iter $it/$iterations start: " +
+          f"llh=${history.last}%.2f (+${(System.nanoTime() - t0) / 1e9}%.0f s)")
+      }
       val updates = lineSearchSparse(edges, f, state, sf, p)
-      val next = checkpointF(f.join(updates, Seq("id"), "left")
+      val next = checkpointF(capF(f.join(updates, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("fi_new"), col("fi")).as("fi"),
-          coalesce(col("fv_new"), col("fv")).as("fv")))
+          coalesce(col("fv_new"), col("fv")).as("fv")), supportCap))
       state.unpersist()
       f = next
     }

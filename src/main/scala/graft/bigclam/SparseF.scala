@@ -35,6 +35,29 @@ object SparseF {
       i => coalesce(element_at(m, i.cast("int")), lit(0.0)))
   }
 
+  /** Support cap: keep the `m` largest-|v| entries of a sparse row (ties →
+    * lowest index, so the prune is deterministic), re-sorted by index.
+    * Returns ARRAY<STRUCT<i,v>>.
+    *
+    * This is the BigCLAM "score only the candidate communities" practice
+    * applied to the row representation: without it a row's support densifies
+    * toward K within ~2 iterations (a hub's gradient support is the union
+    * of its neighbors' supports) and the sparse kernels degenerate to dense
+    * cost. One narrow O(nnz log nnz) per-row sort — no shuffle. */
+  def topMByMagnitude(indices: Column, values: Column, m: Int): Column = {
+    val zipped = zip_with(indices, values, (i, v) => struct(i.as("i"), v.as("v")))
+    val picked = slice(
+      array_sort(zipped, (l, r) =>
+        when(abs(l.getField("v")) > abs(r.getField("v")), -1)
+          .when(abs(l.getField("v")) < abs(r.getField("v")), 1)
+          .when(l.getField("i") < r.getField("i"), -1)
+          .when(l.getField("i") > r.getField("i"), 1)
+          .otherwise(0)),
+      1, m)
+    // struct default ordering sorts by the first field — back to index order
+    array_sort(picked)
+  }
+
   /** Sparse·sparse dot product: walk the shorter side, probe the other via
     * a map literal — O(nnz) per row, null-safe on missing keys (replaces
     * the reference's try/catch Flookup, bigclamv3-7.scala:94-104). */

@@ -1,0 +1,224 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Primitive-loop kernels for the sparse BigCLAM hot path.
+  *
+  * Why these exist: Spark higher-order functions (`transform`/`aggregate`/
+  * `zip_with`) are never whole-stage-codegen'd — each lambda application
+  * walks an interpreted expression tree and boxes every element. The sparse
+  * line search evaluated 16 candidate steps × an O(nnz) fold × a map probe
+  * per element **per edge row** through that interpreter; a thread dump of
+  * the Email-Enron K=1000 run showed every executor thread inside
+  * `ArrayTransform.nullSafeEval` and single tasks burning 40+ CPU-minutes.
+  * These kernels do the same arithmetic as ONE tight JVM loop over the
+  * sorted (index, value) arrays — the same treatment [[DotProduct]] gives
+  * the dense dot.
+  *
+  * Bit-exactness contract (PropertySpec holds fitSparse to the dense fit's
+  * exact LLH history): contributions accumulate in ascending-index order,
+  * exactly like the HOF folds they replace; skipped dims correspond to
+  * adding +0.0 in the HOF form, which is an exact FP no-op for the
+  * non-negative products involved; clip/exp/log use the same
+  * `java.lang.Math` entry points Catalyst's least/greatest/exp/log compile
+  * to on non-NaN doubles.
+  */
+object SparseKernels {
+
+  /** dot(a, b) of two sparse rows, both index-sorted: two-pointer merge,
+    * O(nnz_a + nnz_b), no map build. */
+  def sparseDot(ai: ArrayData, av: ArrayData, bi: ArrayData, bv: ArrayData): Double = {
+    val na = ai.numElements()
+    val nb = bi.numElements()
+    var ia = 0
+    var ib = 0
+    var sum = 0.0
+    while (ia < na && ib < nb) {
+      val da = ai.getInt(ia)
+      val db = bi.getInt(ib)
+      if (da == db) { sum += av.getDouble(ia) * bv.getDouble(ib); ia += 1; ib += 1 }
+      else if (da < db) ia += 1
+      else ib += 1
+    }
+    sum
+  }
+
+  /** Per-edge candidate line-search terms, all steps in one pass.
+    *
+    * For each step t: dot_t = Σ_d clip(fu[d] + t·g[d], minF, maxF) · fv[d]
+    * over d ∈ support(fu) ∪ support(g) (a merge walk of the two sorted
+    * index arrays, with a third pointer advancing through fv's support);
+    * term_t = log(1 − clip(exp(−dot_t), minP, maxP)) + dot_t.
+    * Complexity O(nnz_fu + nnz_g + nnz_fv + matches × steps). */
+  def stepTerms(ui: ArrayData, uv: ArrayData, gi: ArrayData, gv: ArrayData,
+      vi: ArrayData, vv: ArrayData, steps: ArrayData,
+      minF: Double, maxF: Double, minP: Double, maxP: Double): ArrayData = {
+    val nu = ui.numElements()
+    val ng = gi.numElements()
+    val nv = vi.numElements()
+    val ns = steps.numElements()
+    val dots = new Array[Double](ns)
+    var iu = 0
+    var ig = 0
+    var iv = 0
+    while ((iu < nu || ig < ng) && iv < nv) {
+      val du = if (iu < nu) ui.getInt(iu) else Int.MaxValue
+      val dg = if (ig < ng) gi.getInt(ig) else Int.MaxValue
+      val d = if (du < dg) du else dg
+      while (iv < nv && vi.getInt(iv) < d) iv += 1
+      if (iv < nv && vi.getInt(iv) == d) {
+        val a = if (du == d) uv.getDouble(iu) else 0.0
+        val g = if (dg == d) gv.getDouble(ig) else 0.0
+        val w = vv.getDouble(iv)
+        var s = 0
+        while (s < ns) {
+          var x = a + steps.getDouble(s) * g
+          if (x < minF) x = minF
+          if (x > maxF) x = maxF
+          dots(s) += x * w
+          s += 1
+        }
+      }
+      if (du == d) iu += 1
+      if (dg == d) ig += 1
+    }
+    val terms = new Array[Double](ns)
+    var s = 0
+    while (s < ns) {
+      val dv = dots(s)
+      // StrictMath, not Math: Catalyst's Exp/Log compile to StrictMath for
+      // platform-independent results, and the intrinsic Math versions can
+      // differ by 1 ulp — enough to fail the bit-exact parity tests
+      var pc = StrictMath.exp(-dv)
+      if (pc < minP) pc = minP
+      if (pc > maxP) pc = maxP
+      terms(s) = StrictMath.log(1.0 - pc) + dv
+      s += 1
+    }
+    new GenericArrayData(terms)
+  }
+
+  private[functions] def checkIdxVal(pairs: Seq[(Expression, Expression)],
+      name: String): TypeCheckResult = {
+    val ok = pairs.forall { case (i, v) =>
+      i.dataType.isInstanceOf[ArrayType] &&
+        i.dataType.asInstanceOf[ArrayType].elementType == IntegerType &&
+        v.dataType.isInstanceOf[ArrayType] &&
+        v.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects (ARRAY<INT>, ARRAY<DOUBLE>) index/value pairs, got " +
+        pairs.map { case (i, v) =>
+          s"(${i.dataType.catalogString}, ${v.dataType.catalogString})"
+        }.mkString(", "))
+  }
+}
+
+/** Native sparse·sparse dot over two (indices, values) pairs, both
+  * index-sorted — codegen'd single merge loop (replaces the HOF
+  * `SparseF.sparseDot` map-probe fold in the per-edge hot path). */
+case class SparseDotProduct(ai: Expression, av: Expression,
+    bi: Expression, bv: Expression) extends QuaternaryExpression {
+
+  override def first: Expression = ai
+  override def second: Expression = av
+  override def third: Expression = bi
+  override def fourth: Expression = bv
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SparseKernels.checkIdxVal(Seq((ai, av), (bi, bv)), prettyName)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "sparse_dot_product"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    SparseKernels.sparseDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.SparseKernels.sparseDot($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): SparseDotProduct =
+    copy(ai = newFirst, av = newSecond, bi = newThird, bv = newFourth)
+}
+
+object SparseDotProduct {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def dot(ai: Column, av: Column, bi: Column, bv: Column): Column =
+    Bridge.column(SparseDotProduct(Bridge.expression(ai), Bridge.expression(av),
+      Bridge.expression(bi), Bridge.expression(bv)))
+}
+
+/** Native per-edge candidate-step terms for the sparse Armijo line search:
+  * ARRAY<DOUBLE> of one neighbor-LLH term per step. 7-ary, so no
+  * `nullSafeCodeGen` convenience exists; `CodegenFallback` keeps the
+  * containing stage in whole-stage codegen and costs one eval dispatch per
+  * row — noise next to the O(nnz × steps) kernel it invokes, and ~50×
+  * cheaper than the boxed per-element lambda interpretation it replaced. */
+case class SparseStepTermsExpr(ui: Expression, uv: Expression,
+    gi: Expression, gv: Expression, vi: Expression, vv: Expression,
+    steps: Expression, minF: Double, maxF: Double, minP: Double, maxP: Double)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(ui, uv, gi, gv, vi, vv, steps)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SparseKernels.checkIdxVal(Seq((ui, uv), (gi, gv), (vi, vv)), prettyName) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        steps.dataType match {
+          case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+          case t => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects ARRAY<DOUBLE> steps, got ${t.catalogString}")
+        }
+      case fail => fail
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "sparse_step_terms"
+
+  override def eval(input: InternalRow): Any = {
+    val vals = new Array[AnyRef](7)
+    var i = 0
+    while (i < 7) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vals(i) = v.asInstanceOf[AnyRef]
+      i += 1
+    }
+    SparseKernels.stepTerms(
+      vals(0).asInstanceOf[ArrayData], vals(1).asInstanceOf[ArrayData],
+      vals(2).asInstanceOf[ArrayData], vals(3).asInstanceOf[ArrayData],
+      vals(4).asInstanceOf[ArrayData], vals(5).asInstanceOf[ArrayData],
+      vals(6).asInstanceOf[ArrayData], minF, maxF, minP, maxP)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SparseStepTermsExpr =
+    copy(ui = newChildren(0), uv = newChildren(1), gi = newChildren(2),
+      gv = newChildren(3), vi = newChildren(4), vv = newChildren(5),
+      steps = newChildren(6))
+}
+
+object SparseStepTermsExpr {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def terms(ui: Column, uv: Column, gi: Column, gv: Column,
+      vi: Column, vv: Column, steps: Column,
+      minF: Double, maxF: Double, minP: Double, maxP: Double): Column =
+    Bridge.column(SparseStepTermsExpr(
+      Bridge.expression(ui), Bridge.expression(uv),
+      Bridge.expression(gi), Bridge.expression(gv),
+      Bridge.expression(vi), Bridge.expression(vv),
+      Bridge.expression(steps), minF, maxF, minP, maxP))
+}

@@ -127,6 +127,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fitSparse with supportCap >= K is exactly the uncapped fit") {
+    val (edges, _, _, _) = fixtures(7, 10)
+    val (fu, hu) = BigClam.fitSparse(edges, p, iterations = 3)
+    val (fc, hc) = BigClam.fitSparse(edges, p, iterations = 3, supportCap = Some(p.k))
+    assert(hu == hc, s"capped history diverged: $hu vs $hc")
+    val a = BigClam.toDenseF(fu, p.k).select("id", "f").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = BigClam.toDenseF(fc, p.k).select("id", "f").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b, "capped F diverged from uncapped")
+  }
+
+  test("topMByMagnitude keeps the m largest entries, index-sorted, ties to lower index") {
+    val df = s.range(1).select(
+      typedLit(Seq(3, 0, 7, 5)).as("i"),
+      typedLit(Seq(0.5, -2.0, 0.5, 1.0)).as("v"))
+    val out = df.select(SparseF.topMByMagnitude(col("i"), col("v"), 3).as("t"))
+      .select(transform(col("t"), s => s.getField("i")).as("ti"),
+        transform(col("t"), s => s.getField("v")).as("tv"))
+      .collect()(0)
+    // |−2.0| > |1.0| > |0.5| (tie between i=3 and i=7 → keep i=3)
+    assert(out.getSeq[Int](0) == Seq(0, 3, 5), s"indices ${out.getSeq[Int](0)}")
+    assert(out.getSeq[Double](1) == Seq(-2.0, 0.5, 1.0), s"values ${out.getSeq[Double](1)}")
+  }
+
   test("sparse round-trip and sparse dot match dense") {
     val df = s.range(1).select(
       typedLit(Seq(0.0, 1.5, 0.0, 2.5, 0.0)).as("a"),

@@ -56,6 +56,24 @@ class RealGraphSpec extends AnyFunSuite {
     sym.unpersist()
   }
 
+  test("fitSparse with supportCap bounds nnz at large K and still ascends") {
+    assume(available)
+    // the mid-fit densification fix: uncapped K=500 rows densify toward K
+    // within ~2 iterations; the cap holds every row at <= m entries so the
+    // per-edge cost is O(m) regardless of K
+    val raw = GraphOps.loadEdgeList(s, path)
+      .filter(col("src") < 600 && col("dst") < 600)
+    val sym = GraphOps.symEdges(raw).cache()
+    val cap = 32
+    val (fs, hist) = BigClam.fitSparse(sym, BigClam.Params(k = 500),
+      iterations = 3, supportCap = Some(cap))
+    assert(hist.forall(v => !v.isNaN && !v.isInfinite))
+    assert(hist.last > hist.head, s"no net ascent with cap=$cap: $hist")
+    val maxNnz = fs.select(max(size(col("fi")))).collect()(0).getInt(0)
+    assert(maxNnz <= cap, s"support cap violated: max nnz $maxNnz > $cap")
+    sym.unpersist()
+  }
+
   test("fitConverged stays checkpoint-flat over a long run on a real subgraph") {
     assume(available)
     val raw = GraphOps.loadEdgeList(s, path)

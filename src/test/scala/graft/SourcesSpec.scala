@@ -34,6 +34,20 @@ class SourcesSpec extends AnyFunSuite {
       src.orderBy("r_regionkey").collect().map(_.toString).toSeq)
   }
 
+  test("ORC round trip preserves values and pushes filters") {
+    val out = tmp("graft-orc")
+    val src = Tables.customer(s, sf)
+    src.write.mode("overwrite").orc(out)
+    val back = s.read.orc(out)
+    assert(back.count() == src.count())
+    assert(back.schema == src.schema)
+    val filtered = back.filter(col("c_custkey") < 100)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,100)]"),
+      s"ORC scan did not push the filter:\n$plan")
+    assert(filtered.count() == src.filter(col("c_custkey") < 100).count())
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val out = tmp("graft-part")
     Tables.orders(s, sf).write.mode("overwrite")
