@@ -381,6 +381,18 @@ object Oracles {
         |      UNION ALL SELECT c FROM tri) t
         |GROUP BY node ORDER BY node LIMIT 5000""".stripMargin,
 
+    "q_graph_cc" ->
+      """WITH RECURSIVE raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst
+        |                       FROM lineitem WHERE l_orderkey < 2000),
+        |edges AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.node = e.dst)
+        |SELECT node, min(r) AS component FROM reach
+        |GROUP BY node ORDER BY node LIMIT 5000""".stripMargin,
+
     "q_graph_conductance" -> conductanceSql(
       "SELECT node, cut, vol_s, vol_t, round(phi, 6) AS phi FROM phi_t ORDER BY node"),
 
@@ -449,6 +461,26 @@ object Oracles {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
         |FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN freq f ON s.shingle = f.shingle
+        |         WHERE f.df BETWEEN 2 AND 10),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+        |          FROM pairs p JOIN sh x ON x.doc_id = p.doc_a
+        |          JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+        |          GROUP BY p.doc_a, p.doc_b)
+        |SELECT i.doc_a, i.doc_b, i.n_inter,
+        |  round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b
+        |ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

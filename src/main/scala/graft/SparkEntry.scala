@@ -82,6 +82,7 @@ object SparkEntry {
     "q_graph_conductance" -> GraphOps.q_graph_conductance,
     "q_graph_triangle_count" -> GraphOps.q_graph_triangle_count,
     "q_graph_seed_rank" -> GraphOps.q_graph_seed_rank,
+    "q_graph_cc" -> GraphOps.q_graph_cc,
     // BigCLAM
     "bigclam_fit_smoke" -> BigClam.bigclam_fit_smoke,
     "bigclam_fit_sparse_smoke" -> BigClam.bigclam_fit_sparse_smoke,
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_text_stats" -> TextOps.q_text_stats,
     "q_dedup_exact" -> TextOps.q_dedup_exact,
     "q_dedup_shingle" -> TextOps.q_dedup_shingle,
+    "q_dedup_jaccard" -> TextOps.q_dedup_jaccard,
     "q_dedup_simhash" -> TextOps.q_dedup_simhash,
     "q_minhash_lsh" -> TextOps.q_minhash_lsh,
     // LLM-pipeline: text analysis

@@ -202,4 +202,49 @@ object GraphOps {
       .filter(col("rank") <= 20)
       .orderBy("rank")
   }
+
+  /** Connected components by iterative hash-min label propagation: every
+    * node starts labeled with its own id; each round a node takes the min
+    * of its own label and its neighbors' labels; fixpoint = components
+    * labeled by their minimum member id. Deterministic (min is order-free)
+    * and the standard massive-graph formulation (the map-reduce "hash-min"
+    * of Rastogi et al., also GraphX's connectedComponents Pregel loop):
+    * each round is one |E|-row join + one node-keyed min agg, converging in
+    * O(diameter) rounds. The driver loop only ever sees a single Boolean
+    * per round (did any label change); labels stay distributed.
+    *
+    * `localCheckpoint` each round cuts lineage exactly like the BigCLAM fit
+    * loop — without it the plan doubles per iteration and the driver pays
+    * exponential planning (round-5 lesson, README "Exponential planning
+    * stats"). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    def cut(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint(true)
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    // symmetric input ⇒ every node appears as src
+    var labels = cut(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp")))
+    var changed = true
+    var it = 0
+    while (changed && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("comp")), Seq("dst"))
+        .select(col("src").as("node"), col("comp"))
+      val next = cut(neighborMin.union(labels)
+        .groupBy("node").agg(min(col("comp")).as("comp")))
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("node"))
+        .filter(col("comp") =!= col("prev")).limit(1).count() > 0
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** Components of the bounded bipartite subgraph, labeled by min member. */
+  def q_graph_cc(s: SparkSession, d: String): DataFrame =
+    connectedComponents(symEdges(rawEdges(s, d, 2000)))
+      .select(col("node"), col("comp").as("component"))
+      .orderBy("node")
+      .limit(5000)
 }

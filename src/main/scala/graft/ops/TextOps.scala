@@ -91,6 +91,52 @@ object TextOps {
       .limit(5000)
   }
 
+  /** Exact n-gram Jaccard near-dup scoring: candidate pairs come from the
+    * same rare-shingle blocking as q_dedup_shingle (doc-frequency ∈ [2,10]),
+    * but the similarity reported is the EXACT Jaccard over each pair's FULL
+    * distinct 5-gram sets: J = |A∩B| / (|A| + |B| − |A∩B|). This is the
+    * verification stage of a blocked near-dup pipeline — MinHash/LSH or
+    * rare-shingle blocking proposes, exact Jaccard disposes.
+    *
+    * Scale stance: never all-pairs. The candidate set is bounded by the
+    * blocking (df ≤ 10 caps each shingle's pair fan-out at 45), and the
+    * full-set intersection is computed by routing candidates through TWO
+    * hash joins keyed (doc, shingle) — each pair costs O(|shingles(a)|)
+    * probe rows, not a set-compare of materialized arrays (a collect_set
+    * per doc would put a whole document's shingle set in one row: fine at
+    * 5k tokens, wrong for 1 M-token docs). The shingling subplan recomputes
+    * per consumer rather than persisting — deliberate (round-3's cache-leak
+    * lesson); the scan+explode is narrow and ReuseExchange collapses the
+    * identically-partitioned subtrees. */
+  def q_dedup_jaccard(s: SparkSession, d: String): DataFrame = {
+    val docShingle = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(toks(col("text")))).as("shingle"))
+      .filter(col("doc_id").isNotNull && col("shingle").isNotNull)
+      .distinct()
+    val sizes = docShingle.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = docShingle.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 10))
+      .select("shingle")
+    val blocked = docShingle.hint("merge").join(rare, Seq("shingle"))
+    val pairs = blocked.select(col("shingle"), col("doc_id").as("doc_a"))
+      .hint("merge")
+      .join(blocked.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = pairs
+      .join(docShingle.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(docShingle.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+      .limit(5000)
+  }
+
   /** SimHash dedup buckets: 64-bit SimHash over the doc's tokens (with
     * multiplicity), split into 4 bands of 16 bits — docs sharing any
     * (band, bucket) are near-dup candidates at Hamming distance <= 3.

@@ -93,6 +93,39 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_jaccard: J in (0,1], exact dups score 1.0, consistent with shingle pair counts") {
+    import s.implicits._
+    val out = TextOps.q_dedup_jaccard(s, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $r")
+      assert(r.getAs[Long]("n_inter") >= 1, s"candidate pair with empty intersection: $r")
+    }
+    val byPair = out.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    // exact-duplicate texts (identical shingle sets) must score exactly 1.0
+    // when their shared shingles are rare enough to survive the blocking
+    val dupGroups = TextOps.q_dedup_exact(s, sf).filter(col("n_docs") > 1).collect()
+    dupGroups.foreach { g =>
+      val ids = Tables.documents(s, sf).filter(md5(col("text")) === g.getAs[String]("h"))
+        .select("doc_id").as[Long].collect().sorted
+      for (a <- ids; b <- ids if a < b; j <- byPair.get((a, b)))
+        assert(j == 1.0, s"exact dups ($a,$b) scored $j")
+    }
+    // the full-set intersection can never be smaller than the rare-shingle
+    // share count that proposed the pair
+    val shared = TextOps.q_dedup_shingle(s, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("n_shared"))
+      .toMap
+    out.foreach { r =>
+      val key = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      shared.get(key).foreach(ns =>
+        assert(r.getAs[Long]("n_inter") >= ns, s"full intersection < rare share at $key"))
+    }
+  }
+
   test("q_dedup_shingle leaves no cached RDDs behind (round-3 persist leak)") {
     val before = s.sparkContext.getPersistentRDDs.keySet
     TextOps.q_dedup_shingle(s, sf).collect()

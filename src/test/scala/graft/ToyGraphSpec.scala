@@ -42,6 +42,29 @@ class ToyGraphSpec extends AnyFunSuite {
     assert(tc == Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 1))
   }
 
+  test("connected components: bridged toy is one component; cut bridge gives two") {
+    // full toy graph: the bridge (2,3) joins both triangles -> one component, min id 0
+    val one = GraphOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == (0L to 5L).map(_ -> 0L).toMap)
+    // drop the bridge: triangles {0,1,2} and {3,4,5} labeled by their minima
+    val cutEdges = GraphOps.symEdges(
+      Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L))
+        .toDF("src", "dst"))
+    val two = GraphOps.connectedComponents(cutEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
+  test("connected components converge on a path graph (diameter-bound rounds)") {
+    // 0-1-2-...-9 path: worst case for hash-min (label 0 must walk the chain)
+    val path = GraphOps.symEdges(
+      (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst"))
+    val labels = GraphOps.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
   test("seed rank prefers the triangle interiors over the bridge") {
     val ranked = GraphOps.seedRank(edges).orderBy(col("phi"), col("seed"))
       .collect().map(_.getAs[Long]("seed"))
