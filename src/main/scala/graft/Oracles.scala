@@ -339,6 +339,24 @@ object Oracles {
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id LIMIT 5000""".stripMargin,
 
+    "q_events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.first_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+        |  1 + (CASE WHEN c.first_click IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN p.first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stage
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id LIMIT 5000""".stripMargin,
+
     "q_events_late_dedup" ->
       """SELECT event_id, user_id, ts, event_type FROM (
         |  SELECT event_id, user_id, ts, event_type,
@@ -380,6 +398,34 @@ object Oracles {
         |FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
         |      UNION ALL SELECT c FROM tri) t
         |GROUP BY node ORDER BY node LIMIT 5000""".stripMargin,
+
+    "q_graph_pagerank" ->
+      """WITH raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst
+        |             FROM lineitem WHERE l_orderkey < 2000),
+        |edges AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)),
+        |deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg),
+        |it1 AS (SELECT e.dst AS node, sum(p.pr / d.degree) AS inflow
+        |        FROM edges e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.node = e.src
+        |        GROUP BY e.dst),
+        |pr1 AS (SELECT d.node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+        |          + CAST(0.85 AS DOUBLE) * coalesce(i.inflow, 0) AS pr
+        |        FROM deg d LEFT JOIN it1 i ON i.node = d.node),
+        |it2 AS (SELECT e.dst AS node, sum(p.pr / d.degree) AS inflow
+        |        FROM edges e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.node = e.src
+        |        GROUP BY e.dst),
+        |pr2 AS (SELECT d.node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+        |          + CAST(0.85 AS DOUBLE) * coalesce(i.inflow, 0) AS pr
+        |        FROM deg d LEFT JOIN it2 i ON i.node = d.node),
+        |it3 AS (SELECT e.dst AS node, sum(p.pr / d.degree) AS inflow
+        |        FROM edges e JOIN pr2 p ON p.node = e.src JOIN deg d ON d.node = e.src
+        |        GROUP BY e.dst),
+        |pr3 AS (SELECT d.node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+        |          + CAST(0.85 AS DOUBLE) * coalesce(i.inflow, 0) AS pr
+        |        FROM deg d LEFT JOIN it3 i ON i.node = d.node)
+        |SELECT node, round(pr, 9) AS pr FROM pr3 ORDER BY node LIMIT 5000""".stripMargin,
 
     "q_graph_cc" ->
       """WITH RECURSIVE raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst

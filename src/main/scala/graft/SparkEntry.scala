@@ -75,6 +75,7 @@ object SparkEntry {
     "q_events_sliding" -> EventsOps.q_events_sliding,
     "q_events_sessionize" -> EventsOps.q_events_sessionize,
     "q_events_late_dedup" -> EventsOps.q_events_late_dedup,
+    "q_events_funnel" -> EventsOps.q_events_funnel,
     // graph
     "q_graph_degree" -> GraphOps.q_graph_degree,
     "q_graph_neighbors" -> GraphOps.q_graph_neighbors,
@@ -83,6 +84,7 @@ object SparkEntry {
     "q_graph_triangle_count" -> GraphOps.q_graph_triangle_count,
     "q_graph_seed_rank" -> GraphOps.q_graph_seed_rank,
     "q_graph_cc" -> GraphOps.q_graph_cc,
+    "q_graph_pagerank" -> GraphOps.q_graph_pagerank,
     // BigCLAM
     "bigclam_fit_smoke" -> BigClam.bigclam_fit_smoke,
     "bigclam_fit_sparse_smoke" -> BigClam.bigclam_fit_sparse_smoke,

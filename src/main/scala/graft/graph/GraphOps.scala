@@ -241,6 +241,45 @@ object GraphOps {
     labels
   }
 
+  /** PageRank by damped power iteration: pr ← (1−d)/N + d·Σ_in pr/deg.
+    * A fixed iteration count (default 3) keeps the computation exactly
+    * SQL-unrollable for the oracle; real use calls more rounds or a
+    * convergence test. Per round: one |E|-row join keyed src + one dst-keyed
+    * sum — the GraphX/Pregel PageRank dataflow as two exchanges, both
+    * AQE-splittable, nothing driver-side but the one N count and the
+    * lineage cut. Constants: 0.15 and 0.85 are written as DOUBLE literals
+    * on both engines (NOT `1.0 − d` in Scala, which is a different double
+    * than literal 0.15 and would hash-mismatch the oracle at full
+    * precision). */
+  def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    def cut(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint(true)
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    val deg = degrees(edges)
+    val n = deg.count()
+    var pr = cut(deg.select(col("node"), (lit(1.0) / n).as("pr")))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(pr.join(deg, Seq("node"))
+          .select(col("node").as("src"), (col("pr") / col("degree")).as("c")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("inflow"))
+      pr = cut(pr.select("node").join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15) / n + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr")))
+    }
+    pr
+  }
+
+  /** 3-round PageRank of the bounded bipartite subgraph; 9-decimal round
+    * keeps ~6 significant digits at the ~1/N value scale while sitting far
+    * above the ~1e-15 float-order noise between the engines. */
+  def q_graph_pagerank(s: SparkSession, d: String): DataFrame =
+    pageRank(symEdges(rawEdges(s, d, 2000)))
+      .select(col("node"), round(col("pr"), 9).as("pr"))
+      .orderBy("node")
+      .limit(5000)
+
   /** Components of the bounded bipartite subgraph, labeled by min member. */
   def q_graph_cc(s: SparkSession, d: String): DataFrame =
     connectedComponents(symEdges(rawEdges(s, d, 2000)))

@@ -56,6 +56,38 @@ object EventsOps {
       .limit(5000)
   }
 
+  /** Ordered-sequence (funnel) detection: per user, the earliest
+    * view → first click strictly after it → first purchase strictly after
+    * that — the MATCH_RECOGNIZE / CEP pattern expressed as three chained
+    * conditional-min aggregations. `stage` = how far the user got (0-3).
+    *
+    * Scale: three user-keyed groupBys + two user-keyed joins — all ride ONE
+    * hash partitioning on user_id (Exchange reuse keeps it to a single
+    * shuffle of the events scan per pass); no window-over-everything, no
+    * per-user arrays. At 100 TB this is the standard funnel shape: shuffle
+    * by user once, conditional mins are partial-agg friendly. */
+  def q_events_funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("ts") > col("first_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("ts") > col("first_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("first_purchase"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(buys, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view"), col("first_click"), col("first_purchase"),
+        (lit(1) + when(col("first_click").isNotNull, 1).otherwise(0)
+          + when(col("first_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy("user_id")
+      .limit(5000)
+  }
+
   /** Watermark-dedup analog: first row per (user_id, event_id) by ts. */
   def q_events_late_dedup(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id", "event_id")

@@ -126,6 +126,25 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_events_funnel: stage ordering and strict timestamp progression") {
+    val out = ops.EventsOps.q_events_funnel(s, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val stage = r.getAs[Int]("stage")
+      assert(stage >= 1 && stage <= 3, s"stage out of range: $r")
+      val v = r.getAs[java.time.LocalDateTime]("first_view")
+      val c = Option(r.getAs[java.time.LocalDateTime]("first_click"))
+      val p = Option(r.getAs[java.time.LocalDateTime]("first_purchase"))
+      assert(c.isDefined == (stage >= 2) && p.isDefined == (stage == 3))
+      c.foreach(ct => assert(ct.isAfter(v), s"click not after view: $r"))
+      (c, p) match {
+        case (Some(ct), Some(pt)) => assert(pt.isAfter(ct), s"purchase not after click: $r")
+        case (None, Some(_)) => fail(s"purchase without click: $r")
+        case _ => ()
+      }
+    }
+  }
+
   test("q_dedup_shingle leaves no cached RDDs behind (round-3 persist leak)") {
     val before = s.sparkContext.getPersistentRDDs.keySet
     TextOps.q_dedup_shingle(s, sf).collect()

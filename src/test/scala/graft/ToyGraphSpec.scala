@@ -65,6 +65,20 @@ class ToyGraphSpec extends AnyFunSuite {
     assert(labels == (0L to 9L).map(_ -> 0L).toMap)
   }
 
+  test("pagerank: uniform on a symmetric triangle, mass conserved, bridge graph ranks degree") {
+    // triangle is vertex-transitive -> all ranks equal; total mass ~ 1
+    val tri = GraphOps.symEdges(Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst"))
+    val prTri = GraphOps.pageRank(tri).collect().map(_.getAs[Double]("pr"))
+    assert(prTri.distinct.length == 1, s"triangle ranks not uniform: ${prTri.toSeq}")
+    assert(math.abs(prTri.sum - 1.0) < 1e-9)
+    // on the bridged toy graph the degree-3 bridge endpoints (2,3) outrank
+    // the degree-2 nodes
+    val pr = GraphOps.pageRank(edges)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(2L) > pr(0L) && pr(3L) > pr(4L))
+  }
+
   test("seed rank prefers the triangle interiors over the bridge") {
     val ranked = GraphOps.seedRank(edges).orderBy(col("phi"), col("seed"))
       .collect().map(_.getAs[Long]("seed"))
