@@ -46,6 +46,52 @@ object StreamingOps {
 
   // ---- custom state: flatMapGroupsWithState ----
 
+  case class FunnelProgress(user_id: Long, first_view: Option[Timestamp],
+      first_click: Option[Timestamp], first_purchase: Option[Timestamp]) {
+    def stage: Int =
+      1 + (if (first_click.isDefined) 1 else 0) + (if (first_purchase.isDefined) 1 else 0)
+  }
+
+  /** Streaming form of EventsOps.q_events_funnel: per-user ordered-sequence
+    * (view → click → purchase) progress as flatMapGroupsWithState. State is
+    * three optional timestamps per user — O(1), never a buffered event
+    * list. Each micro-batch folds its rows in event-time order, ratcheting
+    * the stage monotonically and emitting the user's progress whenever it
+    * advances. With in-order delivery (or any out-of-orderness that does
+    * not straddle a stage boundary) the final emission per user equals the
+    * batch query exactly — StreamingSpec asserts that; an event arriving
+    * late enough to rewrite an already-passed stage would need the batch
+    * recompute, the standard streaming/batch funnel trade-off. */
+  def funnelStages(events: Dataset[(Long, Timestamp, String)])
+      : Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, Timestamp, String)],
+            state: GroupState[FunnelProgress]) => {
+          val start = state.getOption.getOrElse(FunnelProgress(user, None, None, None))
+          val next = rows.toSeq.sortBy(_._2.getTime).foldLeft(start) { (st, ev) =>
+            val (_, ts, typ) = ev
+            typ match {
+              case "view" if st.first_view.isEmpty =>
+                st.copy(first_view = Some(ts))
+              case "click" if st.first_click.isEmpty &&
+                  st.first_view.exists(v => ts.after(v)) =>
+                st.copy(first_click = Some(ts))
+              case "purchase" if st.first_purchase.isEmpty &&
+                  st.first_click.exists(c => ts.after(c)) =>
+                st.copy(first_purchase = Some(ts))
+              case _ => st
+            }
+          }
+          if (next != start) {
+            state.update(next)
+            Iterator.single(next)
+          } else Iterator.empty
+        })
+  }
+
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
       last_ts: Timestamp)
 

@@ -60,6 +60,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful funnel ratchets view -> click -> purchase across batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.funnelStages(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 views+clicks; user 2's click PRECEDES any view
+      // (must be ignored); user 3's rows arrive out of ts order in one
+      // batch (fold sorts them)
+      mem.addData(
+        (1L, t("2024-01-01 01:00:00"), "view"),
+        (1L, t("2024-01-01 01:10:00"), "click"),
+        (2L, t("2024-01-01 01:00:00"), "click"),
+        (2L, t("2024-01-01 01:05:00"), "view"),
+        (3L, t("2024-01-01 00:45:00"), "click"),
+        (3L, t("2024-01-01 00:30:00"), "view"))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (stage 3); user 2 purchases WITHOUT a
+      // post-view click (stays stage 1); a second view for 3 is a no-op
+      mem.addData(
+        (1L, t("2024-01-01 01:20:00"), "purchase"),
+        (2L, t("2024-01-01 01:06:00"), "purchase"),
+        (3L, t("2024-01-01 02:00:00"), "view"))
+      q.processAllAvailable()
+      val last = spark.sql(
+        """SELECT user_id, first_view, first_click, first_purchase FROM funnel_out""")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))
+        .groupBy(_._1)
+        // update-mode sink accumulates every emission; the monotone ratchet
+        // means the most-advanced emission per user is the final state
+        .map { case (u, rows) => u -> rows.map(_._2).maxBy(s => s.productIterator.count(_ != None)) }
+      assert(last(1L) == (Some(t("2024-01-01 01:00:00")),
+        Some(t("2024-01-01 01:10:00")), Some(t("2024-01-01 01:20:00"))))
+      assert(last(2L) == (Some(t("2024-01-01 01:05:00")), None, None))
+      assert(last(3L) == (Some(t("2024-01-01 00:30:00")),
+        Some(t("2024-01-01 00:45:00")), None))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops the late duplicate") {
     val spark = TestSpark.spark
     import spark.implicits._
