@@ -230,6 +230,15 @@ object Oracles {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id LIMIT 2000""".stripMargin,
 
+    "q_win_range_frame" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS hour_sum,
+        |  count(*) OVER w AS hour_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id LIMIT 2000""".stripMargin,
+
     "q_win_ntile" ->
       """SELECT c_mktsegment, c_custkey,
         |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INT) AS tile
@@ -453,6 +462,17 @@ object Oracles {
         |               CAST(row_number() OVER (ORDER BY phi, seed) AS INT) AS rank
         |             FROM winners)
         |SELECT seed, phi, rank FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin),
+
+    "q_text_ngram_freq" ->
+      """WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT lang, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks),
+        |grams AS (SELECT lang, array_to_string(t[i:i+2], ' ') AS gram FROM idx),
+        |counted AS (SELECT lang, gram, count(*) AS cnt FROM grams GROUP BY lang, gram),
+        |ranked AS (SELECT lang, gram, cnt,
+        |             CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS INT) AS rank
+        |           FROM counted)
+        |SELECT lang, gram, cnt, rank FROM ranked WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin,
 
     "q_text_tokenize" ->
       """SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct

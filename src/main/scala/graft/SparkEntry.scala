@@ -56,6 +56,7 @@ object SparkEntry {
     "q_win_lag_lead" -> Windows.q_win_lag_lead,
     "q_win_ntile" -> Windows.q_win_ntile,
     "q_win_distribution" -> Windows.q_win_distribution,
+    "q_win_range_frame" -> Windows.q_win_range_frame,
     // sort / top-k
     "q_sort_multi" -> Relational.q_sort_multi,
     "q_topk_per_group" -> Relational.q_topk_per_group,
@@ -93,6 +94,7 @@ object SparkEntry {
     "bigclam_select_k_smoke" -> BigClam.bigclam_select_k_smoke,
     // LLM-pipeline: text
     "q_text_tokenize" -> TextOps.q_text_tokenize,
+    "q_text_ngram_freq" -> TextOps.q_text_ngram_freq,
     "q_text_stats" -> TextOps.q_text_stats,
     "q_dedup_exact" -> TextOps.q_dedup_exact,
     "q_dedup_shingle" -> TextOps.q_dedup_shingle,

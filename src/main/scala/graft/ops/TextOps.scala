@@ -19,11 +19,14 @@ object TextOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** 5-gram word shingles of a token array (empty when <5 tokens). */
-  def shingles(t: Column): Column =
-    when(size(t) >= 5,
-      transform(sequence(lit(1), size(t) - 4), i => array_join(slice(t, i, lit(5)), " ")))
+  /** Word n-grams of a token array (empty when the doc has <n tokens). */
+  def ngrams(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)), i => array_join(slice(t, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
+
+  /** 5-gram word shingles of a token array (empty when <5 tokens). */
+  def shingles(t: Column): Column = ngrams(t, 5)
 
   /** split+explode — the Generator (UDTF) surface. */
   def q_text_tokenize(s: SparkSession, d: String): DataFrame =
@@ -89,6 +92,23 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_a", "doc_b")
       .limit(5000)
+  }
+
+  /** Top word-3-grams per language — the corpus-analysis staple (marker
+    * phrase mining / contamination checks). One explode → one
+    * partial-agg-friendly groupBy(lang, gram) → per-lang top-10 by
+    * (count desc, gram asc) via window. Scale: the groupBy collapses the
+    * token stream map-side; the window partitions by lang (bounded
+    * cardinality) over already-aggregated rows. */
+  def q_text_ngram_freq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram").asc)
+    Tables.documents(s, d)
+      .select(col("lang"), explode(ngrams(toks(col("text")), 3)).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .orderBy("lang", "rank")
   }
 
   /** Exact n-gram Jaccard near-dup scoring: candidate pairs come from the

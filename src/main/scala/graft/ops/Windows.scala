@@ -70,6 +70,28 @@ object Windows {
       .limit(2000)
   }
 
+  /** RANGE interval frame — the value-based frame form (vs the ROWS frames
+    * above): per user, the sum of event values in the trailing hour of
+    * EVENT TIME, however many rows that is. The frame key is epoch
+    * microseconds (exact integer on both engines) and the frame sum rides
+    * DECIMAL, so Spark's incremental frame evaluation and DuckDB's
+    * segment tree agree bit-for-bit. ts microsecond ties are resolved by
+    * the range semantics themselves (peers share a frame — no tiebreak
+    * column is legal in RANGE mode). */
+  def q_win_range_frame(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val wHour = Window.partitionBy("user_id").orderBy(col("us").asc)
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), us.as("us"),
+        col("value").cast("decimal(18,6)").as("dv"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        sum(col("dv")).over(wHour).cast("double").as("hour_sum"),
+        count(lit(1)).over(wHour).as("hour_n"))
+      .orderBy("user_id", "event_id")
+      .limit(2000)
+  }
+
   def q_win_ntile(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
