@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.graph.GraphOps
+import graft.bigclam.BigClam
+
+/** The reference's v4 workload — BigCLAM K-grid model selection
+  * (/root/reference/codes/bigclam4-7.scala:16-20,225-266) — end-to-end on a
+  * real edge-list file: walk a log-spaced K grid ascending, fit each K,
+  * early-stop when the relative LLH gain drops below 1e-3, report the
+  * chosen K and the full evaluated grid.
+  *
+  *   runMain graft.RunSelectK <edgeListPath> <minK> <maxK> <steps> <fitIters>
+  */
+object RunSelectK {
+  def main(args: Array[String]): Unit = {
+    val Array(path, minK, maxK, steps, iters) = args.take(5)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val edges = GraphOps.symEdges(GraphOps.loadEdgeList(spark, path)).cache()
+    val nEdges = edges.count()
+    val (bestK, _, grid) = BigClam.selectK(edges, BigClam.Params(k = minK.toInt),
+      minK = minK.toInt, maxK = maxK.toInt, steps = steps.toInt,
+      fitIterations = iters.toInt)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[selectk] $path: $nEdges directed edges, grid " +
+      s"${grid.map(_._1).mkString("{", ",", "}")} ($iters iters each) " +
+      f"in $secs%.1f s")
+    grid.foreach { case (k, llh) => println(f"[selectk]   K=$k%-6d llh=$llh%.2f") }
+    println(s"[selectk] chosen K=$bestK")
+    spark.stop()
+  }
+}
