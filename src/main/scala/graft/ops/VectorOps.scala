@@ -127,38 +127,62 @@ object VectorOps {
     * `greatest(struct(sim, -cent_id)…)` argmax — ZERO shuffles and no
     * ×nCentroids row expansion (the round-2 form paid a full shuffle of
     * every vector through a groupBy argmax after a ×16 broadcast join). */
-  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
-    val cents: Array[(Long, Array[Double], Double)] = emb
-      .filter(col("vec_id") < nCentroids)
+  private def centroids(emb: DataFrame, nCentroids: Int): Array[(Long, Array[Double], Double)] =
+    emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id"), col("v"))
       .collect()
       .map { r =>
         val cv = r.getSeq[Double](1).toArray
         (r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
       }
-    val simStructs = cents.map { case (cid, cv, cnrm) =>
+
+  private def centroidSims(cents: Array[(Long, Array[Double], Double)]): Seq[Column] =
+    cents.toIndexedSeq.map { case (cid, cv, cnrm) =>
       val lcv = array(cv.map(lit).toIndexedSeq: _*)
       struct((dot(col("v"), lcv) / (col("nrm") * lit(cnrm))).as("sim"),
         lit(-cid).as("nid"))
     }
+
+  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame =
+    ivfAssignWith(emb, centroids(emb, nCentroids))
+
+  private def ivfAssignWith(emb: DataFrame, cents: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val sims = centroidSims(cents)
     emb.select(col("vec_id"), col("v"), col("nrm"),
-      (-greatest(simStructs.toIndexedSeq: _*).getField("nid")).as("cell"))
+      (-greatest(sims: _*).getField("nid")).as("cell"))
   }
 
-  /** [no-oracle] The IVF ANN path: assign all vectors to 16 coarse cells,
-    * search each probe only within its own cell (nprobe=1), top-3 by
-    * cosine. Complements q_sim_ann_lsh: IVF adapts cell shapes to the data
-    * where LSH planes are data-independent. Tests measure recall vs the
-    * exact baseline. */
-  def q_sim_ann_ivf(s: SparkSession, d: String): DataFrame = {
+  /** Multiprobe cell assignment: `nprobe` rows per vector — its nprobe
+    * NEAREST cells by centroid cosine (the IVF search-quality knob: probe
+    * the neighboring cells a boundary vector's true neighbors may live in).
+    * Same zero-shuffle shape as ivfAssign: all centroid sims in one
+    * projection, descending sort of the 16-struct array, slice + explode.
+    * Ties break toward the smaller centroid id (nid = -cid). */
+  def ivfProbeCells(emb: DataFrame, nCentroids: Int, nprobe: Int): DataFrame =
+    ivfProbeCellsWith(emb, centroids(emb, nCentroids), nprobe)
+
+  private def ivfProbeCellsWith(emb: DataFrame, cents: Array[(Long, Array[Double], Double)],
+      nprobe: Int): DataFrame = {
+    val sims = centroidSims(cents)
+    emb.select(col("vec_id"), col("v"), col("nrm"),
+      explode(transform(
+        slice(reverse(array_sort(array(sims: _*))), 1, nprobe),
+        s => -s.getField("nid"))).as("cell"))
+  }
+
+  /** IVF top-k ANN: candidates live in their one nearest cell, each probe
+    * searches its `nprobe` nearest cells, exact cosine + top-3 within the
+    * probed set. A candidate appears in exactly one cell, so the
+    * (probe, candidate) pairs are duplicate-free by construction. */
+  private[graft] def ivfTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    val assigned = ivfAssign(emb, nCentroids = 16)
-    val probes = assigned.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("u"), col("v").as("uv"), col("nrm").as("unrm"), col("cell"))
-    val cands = assigned
+    val cents = centroids(emb, 16) // ONE bounded collect feeds both stages
+    val cands = ivfAssignWith(emb, cents)
       .select(col("vec_id").as("w"), col("v").as("wv"), col("nrm").as("wnrm"), col("cell"))
+    val probes = ivfProbeCellsWith(emb.filter(col("vec_id") < 100), cents, nprobe)
+      .select(col("vec_id").as("u"), col("v").as("uv"), col("nrm").as("unrm"), col("cell"))
     val pairs = probes.join(cands, Seq("cell")).filter(col("u") =!= col("w"))
       .select(col("u"), col("w"),
         round(dot(col("uv"), col("wv")) / (col("unrm") * col("wnrm")), 6).as("cosine"))
@@ -169,6 +193,15 @@ object VectorOps {
         col("rn").cast("int").as("rank"))
       .orderBy("vec_id", "rank")
   }
+
+  /** [no-oracle] The IVF ANN path: assign all vectors to 16 coarse cells,
+    * search each probe through its 2 nearest cells (multiprobe — recall
+    * can only improve over nprobe=1, cost scales on the probe side only),
+    * top-3 by cosine. Complements q_sim_ann_lsh: IVF adapts cell shapes to
+    * the data where LSH planes are data-independent. Tests measure recall
+    * vs the exact baseline and vs the single-probe run. */
+  def q_sim_ann_ivf(s: SparkSession, d: String): DataFrame =
+    ivfTopK(s, d, nprobe = 2)
 
   /** [no-oracle] The ANN *scale path*: bucket every vector with 6-bit
     * sign-LSH, self-join per bucket, brute-force cosine only within the

@@ -73,6 +73,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     // determinism
     val again = VectorOps.q_sim_ann_ivf(s, sf).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // multiprobe dominance: nprobe=2 searches a superset of nprobe=1's
+    // candidates, so each probe's best found cosine can only improve
+    val best1 = VectorOps.ivfTopK(s, sf, nprobe = 1).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val best2 = out.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(best1.keySet.subsetOf(best2.keySet))
+    for ((u, c1) <- best1) assert(best2(u) >= c1, s"multiprobe lost recall at probe $u")
   }
 
   test("quality: ratios bounded and stopword counting sane") {
