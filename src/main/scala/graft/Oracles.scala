@@ -140,6 +140,14 @@ object Oracles {
         |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
         |ORDER BY segment, nationkey""".stripMargin,
 
+    "q_agg_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_agg_stats" ->
       """WITH base AS (
         |  SELECT o_orderstatus,

@@ -44,6 +44,7 @@ object SparkEntry {
     "q_agg_cube" -> Aggregates.q_agg_cube,
     "q_agg_grouping_sets" -> Aggregates.q_agg_grouping_sets,
     "q_agg_stats" -> Aggregates.q_agg_stats,
+    "q_agg_corr" -> Aggregates.q_agg_corr,
     "q_agg_scalar" -> Aggregates.q_agg_scalar,
     "q_agg_array_sum" -> Aggregates.q_agg_array_sum,
     "q_agg_approx_distinct" -> Aggregates.q_agg_approx_distinct,

@@ -110,6 +110,20 @@ object Aggregates {
         col("min_price"), col("max_price"), col("cnt"))
       .orderBy("o_orderstatus")
 
+  /** Bivariate aggregates — corr / covar / regression slope per group (the
+    * co-moment family; one partial-agg-friendly pass like any other agg).
+    * corr is scale-free (|r| <= 1, cross-engine drift ~1e-12 << round 6);
+    * covar/slope carry data magnitude so they round at 4. */
+  def q_agg_corr(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
   def q_agg_scalar(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .agg(
