@@ -225,6 +225,13 @@ object GraphOps {
     // symmetric input ⇒ every node appears as src
     var labels = cut(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp")))
+    // hash-min labels are MONOTONE non-increasing, so Σcomp strictly
+    // decreases on every round that changes anything — comparing the sum
+    // (one agg over the fresh checkpoint) is an exact fixpoint witness and
+    // replaces a join-based changed-row count (one fewer job per round)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("comp"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var changed = true
     var it = 0
     while (changed && it < maxIter) {
@@ -233,8 +240,9 @@ object GraphOps {
         .select(col("src").as("node"), col("comp"))
       val next = cut(neighborMin.union(labels)
         .groupBy("node").agg(min(col("comp")).as("comp")))
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("node"))
-        .filter(col("comp") =!= col("prev")).limit(1).count() > 0
+      val s = labelSum(next)
+      changed = s != prevSum
+      prevSum = s
       labels = next
       it += 1
     }
