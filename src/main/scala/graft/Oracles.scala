@@ -245,7 +245,7 @@ object Oracles {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id LIMIT 2000""".stripMargin,
+        |ORDER BY user_id, event_id, ts LIMIT 2000""".stripMargin,
 
     "q_win_ntile" ->
       """SELECT c_mktsegment, c_custkey,

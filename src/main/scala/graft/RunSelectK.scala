@@ -14,6 +14,11 @@ import graft.bigclam.BigClam
   */
 object RunSelectK {
   def main(args: Array[String]): Unit = {
+    if (args.length < 5) {
+      System.err.println(
+        "usage: runMain graft.RunSelectK <edgeListPath> <minK> <maxK> <steps> <fitIters>")
+      sys.exit(2)
+    }
     val Array(path, minK, maxK, steps, iters) = args.take(5)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

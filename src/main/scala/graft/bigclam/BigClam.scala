@@ -93,11 +93,11 @@ object BigClam {
     * inits — the ranking is K-independent, so a K-grid sweep (selectK)
     * computes conductance once per graph instead of once per K. */
   def init(edges: DataFrame, p: Params, ranked: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val seeds = ranked.getOrElse(GraphOps.seedRank(edges))
-      .withColumn("c", row_number().over(Window.orderBy(col("phi").asc, col("seed").asc)) - 1)
-      .filter(col("c") < p.k)
-      .select(col("seed"), col("c"))
+    // top-K seeds by (phi, seed) via distributed TakeOrdered + broadcast
+    // rank join (GraphOps.rankTopSeeds) — never an unpartitioned window
+    // (which would single-task-sort all |V| candidate seeds at scale)
+    val seeds = GraphOps.rankTopSeeds(ranked.getOrElse(GraphOps.seedRank(edges)), p.k)
+      .select(col("seed"), (col("rank") - 1).as("c"))
     val ego = edges.join(seeds, col("src") === col("seed"))
       .select(col("c"), col("dst").as("member"))
       .union(seeds.select(col("c"), col("seed").as("member")))

@@ -194,14 +194,31 @@ object GraphOps {
       .distinct()
   }
 
-  def q_graph_seed_rank(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    seedRank(symEdges(rawEdges(s, d, 2000)))
-      .select(col("seed"), round(col("phi"), 6).as("phi"))
-      .withColumn("rank", row_number().over(Window.orderBy(col("phi").asc, col("seed").asc)).cast("int"))
-      .filter(col("rank") <= 20)
-      .orderBy("rank")
+  /** Rank the top-K rows of a seed frame by (phi, seed) ascending WITHOUT a
+    * global window: `orderBy().limit(k)` is a distributed TakeOrdered (each
+    * partition keeps k, the driver merges k·P candidates), then rank among
+    * the ≤k survivors = 1 + count of strictly-smaller survivors via a
+    * broadcast theta self-join. An unpartitioned `row_number().over(...)`
+    * gives the same output but moves EVERY input row to one WindowExec task
+    * — a single-task sort of |V| rows at 100×; this shape never sorts more
+    * than k rows in one place. seedRank emits one row per distinct seed, so
+    * (phi, seed) is duplicate-free and the rank is gapless. */
+  private[graft] def rankTopSeeds(seeds: DataFrame, k: Int): DataFrame = {
+    val top = seeds.orderBy(col("phi").asc, col("seed").asc).limit(k)
+    val other = broadcast(top.select(col("phi").as("p2"), col("seed").as("s2")))
+    top.join(other,
+        (col("p2") < col("phi")) ||
+          (col("p2") === col("phi") && col("s2") < col("seed")), "left")
+      .groupBy("seed", "phi")
+      .agg((count(col("s2")) + 1L).cast("int").as("rank"))
   }
+
+  def q_graph_seed_rank(s: SparkSession, d: String): DataFrame =
+    rankTopSeeds(
+      seedRank(symEdges(rawEdges(s, d, 2000)))
+        .select(col("seed"), round(col("phi"), 6).as("phi")), 20)
+      .select(col("seed"), col("phi"), col("rank"))
+      .orderBy("rank")
 
   /** Connected components by iterative hash-min label propagation: every
     * node starts labeled with its own id; each round a node takes the min
@@ -228,9 +245,15 @@ object GraphOps {
     // hash-min labels are MONOTONE non-increasing, so Σcomp strictly
     // decreases on every round that changes anything — comparing the sum
     // (one agg over the fresh checkpoint) is an exact fixpoint witness and
-    // replaces a join-based changed-row count (one fewer job per round)
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("comp"))).collect()(0).getLong(0)
+    // replaces a join-based changed-row count (one fewer job per round).
+    // Caveat: the witness is exact modulo Long wraparound — ids near 2^63
+    // could in principle alias two label states to one sum; node ids from
+    // any realistic id space (< 2^62 total mass per partitioned sum with
+    // ANSI off) never get close. Empty input ⇒ sum(comp) is NULL ⇒ 0L.
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum(col("comp"))).collect()(0)
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
     var prevSum = labelSum(labels)
     var changed = true
     var it = 0
@@ -246,6 +269,13 @@ object GraphOps {
       labels = next
       it += 1
     }
+    // Exiting via the iteration cap with changes still in flight means the
+    // labels are NOT components (a >maxIter-diameter path would silently
+    // split); fail loudly rather than return wrong answers.
+    if (changed)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds; " +
+          s"graph diameter exceeds the cap — raise maxIter")
     labels
   }
 
@@ -266,6 +296,9 @@ object GraphOps {
     }
     val deg = degrees(edges)
     val n = deg.count()
+    // empty graph: 1.0/n would poison every rank with Infinity — return the
+    // (empty) node frame with the right schema instead
+    if (n == 0) return deg.select(col("node"), lit(0.0).as("pr"))
     var pr = cut(deg.select(col("node"), (lit(1.0) / n).as("pr")))
     for (_ <- 1 to iterations) {
       val contrib = edges

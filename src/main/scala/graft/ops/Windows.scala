@@ -88,7 +88,11 @@ object Windows {
       .select(col("user_id"), col("event_id"), col("ts"),
         sum(col("dv")).over(wHour).cast("double").as("hour_sum"),
         count(lit(1)).over(wHour).as("hour_n"))
-      .orderBy("user_id", "event_id")
+      // ts in the final sort: events carries duplicate (user_id, event_id)
+      // rows by design (the late-dedup premise), and rows tied on the sort
+      // key but differing in hour_sum could be cut differently at the LIMIT
+      // boundary between engines — ts makes the cut deterministic
+      .orderBy("user_id", "event_id", "ts")
       .limit(2000)
   }
 
