@@ -652,6 +652,65 @@ object BigClam {
         array_join(array_sort(collect_list(col("node"))), ",").as("members_csv"))
       .orderBy("community")
 
+  // ---- ground-truth evaluation (the reference thesis's scoring loop) ----
+
+  /** SNAP ground-truth community file loader: one community per line,
+    * whitespace-separated member ids (the `com-*.all.dedup.cmty.txt`
+    * convention the reference evaluated against; its data/ blob list names
+    * `com-amazon.all.dedup.cmty.txt`). `#` comments and blank lines are
+    * skipped; the line index becomes the community id (ids need not be
+    * dense). zipWithIndex is the one deterministic line-number primitive —
+    * it runs one lightweight pass for partition sizes, no global sort. */
+  def loadSnapCommunities(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.sparkContext.textFile(path).zipWithIndex()
+      .toDF("line", "community")
+      .filter(!col("line").startsWith("#") && length(trim(col("line"))) > 0)
+      .select(col("community"),
+        explode(split(trim(col("line")), "\\s+")).as("m"))
+      .select(col("community"), col("m").cast("bigint").as("node"))
+  }
+
+  /** Symmetric average best-match F1 between two overlapping community
+    * covers — the standard AGM/BigCLAM evaluation metric (Yang & Leskovec
+    * 2013 §5.1): for each fitted community take the F1 of its best-matching
+    * truth community, average; repeat truth→fitted; average the two sides.
+    * Communities that intersect nothing score 0 (the left joins), so
+    * degenerate covers are penalized, not skipped.
+    *
+    * Inputs are exploded (node, community) frames — any id types castable
+    * to BIGINT. Shape at scale: one node-keyed join builds the overlap
+    * table (|pairs| ≤ Σ_node memberships², bounded when memberships-per-node
+    * is bounded, which threshold-δ assignment guarantees); everything after
+    * is community-keyed aggs; community sizes broadcast. No per-community
+    * set materialization, no driver loops. Returns ONE row:
+    * (f1, f1_fitted_best, f1_truth_best, n_fitted, n_truth). */
+  def scoreCommunities(fitted: DataFrame, truth: DataFrame): DataFrame = {
+    val a = fitted.select(col("community").cast("bigint").as("ca"),
+      col("node").cast("bigint").as("node")).distinct()
+    val b = truth.select(col("community").cast("bigint").as("cb"),
+      col("node").cast("bigint").as("node")).distinct()
+    val sa = a.groupBy("ca").agg(count(lit(1)).as("na"))
+    val sb = b.groupBy("cb").agg(count(lit(1)).as("nb"))
+    val overlap = a.join(b, "node").groupBy("ca", "cb").agg(count(lit(1)).as("o"))
+    val pairF1 = overlap.join(broadcast(sa), "ca").join(broadcast(sb), "cb")
+      .select(col("ca"), col("cb"),
+        (lit(2.0) * col("o") / (col("na") + col("nb"))).as("f1"))
+    val bestA = sa.join(pairF1.groupBy("ca").agg(max(col("f1")).as("best")), Seq("ca"), "left")
+      .agg(avg(coalesce(col("best"), lit(0.0))).as("f1_fitted_best"),
+        count(lit(1)).as("n_fitted"))
+    val bestB = sb.join(pairF1.groupBy("cb").agg(max(col("f1")).as("best")), Seq("cb"), "left")
+      .agg(avg(coalesce(col("best"), lit(0.0))).as("f1_truth_best"),
+        count(lit(1)).as("n_truth"))
+    bestA.crossJoin(bestB)
+      .select(
+        ((coalesce(col("f1_fitted_best"), lit(0.0)) +
+          coalesce(col("f1_truth_best"), lit(0.0))) / 2.0).as("f1"),
+        coalesce(col("f1_fitted_best"), lit(0.0)).as("f1_fitted_best"),
+        coalesce(col("f1_truth_best"), lit(0.0)).as("f1_truth_best"),
+        col("n_fitted"), col("n_truth"))
+  }
+
   // ---- declared queries (no-oracle; invariants asserted in scalatest) ----
 
   private def smokeEdges(s: SparkSession, d: String): DataFrame =
@@ -721,6 +780,22 @@ object BigClam {
   /** [no-oracle] inverted (community → members) artifact from the smoke fit. */
   def bigclam_community_members(s: SparkSession, d: String): DataFrame =
     communityMembers(smokeFit(s, d), smokeEdges(s, d), Params(k = 4))
+
+  /** [no-oracle] Ground-truth evaluation smoke: symmetric best-match F1 of
+    * the smoke fit's threshold-δ communities against the bounded subgraph's
+    * connected components — a deterministic in-repo ground truth (every
+    * component IS a true community of the disconnected bounded graph).
+    * Known-answer behavior (identity cover ⇒ 1.0, shuffled ⇒ low, SNAP file
+    * round-trip) is pinned in EvalSpec. One scalar row. */
+  def bigclam_eval_smoke(s: SparkSession, d: String): DataFrame = {
+    val truth = GraphOps.connectedComponents(smokeEdges(s, d))
+      .select(col("comp").as("community"), col("node"))
+    scoreCommunities(bigclam_communities(s, d), truth)
+      .select(round(col("f1"), 6).as("f1"),
+        round(col("f1_fitted_best"), 6).as("f1_fitted_best"),
+        round(col("f1_truth_best"), 6).as("f1_truth_best"),
+        col("n_fitted"), col("n_truth"))
+  }
 
   /** [no-oracle] The v4 model-selection surface
     * (/root/reference/codes/bigclam4-7.scala:16-20,225-266): walk the

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.bigclam.BigClam
+import graft.graph.GraphOps
+
+/** Ground-truth community evaluation: symmetric average best-match F1
+  * (the AGM/BigCLAM metric) must score an identical cover exactly 1.0, a
+  * label-shuffled cover low, and a degenerate one-community cover below a
+  * well-matched one; the SNAP cmty loader must round-trip a file with
+  * comments and blank lines. */
+class EvalSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import s.implicits._
+
+  // planted cover: 3 communities of 4 nodes each, disjoint
+  private lazy val truth = Seq.tabulate(12)(i => (i / 4L, i.toLong))
+    .toDF("community", "node")
+
+  private def f1Of(fitted: org.apache.spark.sql.DataFrame,
+      truthDf: org.apache.spark.sql.DataFrame): Double =
+    BigClam.scoreCommunities(fitted, truthDf)
+      .collect()(0).getAs[Double]("f1")
+
+  test("identical covers score exactly F1 = 1.0") {
+    assert(f1Of(truth, truth) == 1.0)
+  }
+
+  test("community ids need not align: a relabeled identical cover still scores 1.0") {
+    val relabeled = truth.select((col("community") + 100L).as("community"), col("node"))
+    assert(f1Of(relabeled, truth) == 1.0)
+  }
+
+  test("a striped (structure-destroying) cover scores low; one-big-community scores below a perfect match") {
+    // stripe nodes across communities by residue: each striped community
+    // {i : i%4 == c} meets every truth 4-block in exactly one node, so the
+    // best pair F1 is 2·1/(3+4) = 2/7 on both sides — far below 1. (A mere
+    // block-preserving relabeling must still score 1.0 — tested above.)
+    val striped = truth.select((col("node") % 4L).as("community"), col("node"))
+    val fShuffled = f1Of(striped, truth)
+    assert(math.abs(fShuffled - 2.0 / 7.0) < 1e-12, s"striped cover scored $fShuffled")
+    assert(fShuffled < 0.5, s"striped cover scored $fShuffled")
+    // single community holding all 12 nodes: per-pair F1 = 2*4/(12+4) = 0.5
+    val oneBig = Seq.tabulate(12)(i => (0L, i.toLong)).toDF("community", "node")
+    val fOne = f1Of(oneBig, truth)
+    assert(fOne == 0.5, s"one-big-community scored $fOne")
+    assert(fOne < 1.0)
+  }
+
+  test("a fitted community with zero overlap drags the average down, not skipped") {
+    // two fitted communities: one perfect match, one of made-up nodes
+    val fitted = (Seq.tabulate(4)(i => (0L, i.toLong)) ++
+      Seq((1L, 100L), (1L, 101L))).toDF("community", "node")
+    val r = BigClam.scoreCommunities(fitted, truth).collect()(0)
+    // fitted side: (1.0 + 0.0)/2 = 0.5; truth side: (1.0 + 0 + 0)/3 = 1/3
+    assert(math.abs(r.getAs[Double]("f1_fitted_best") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("f1_truth_best") - 1.0 / 3.0) < 1e-12)
+    assert(r.getAs[Long]("n_fitted") == 2L && r.getAs[Long]("n_truth") == 3L)
+  }
+
+  test("loadSnapCommunities parses the one-community-per-line format") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmty")
+    val file = dir.resolve("truth.cmty.txt")
+    java.nio.file.Files.write(file,
+      "# ground truth\n1 2 3\n\n4\t5\t6\n7 8 9 10\n".getBytes)
+    val loaded = BigClam.loadSnapCommunities(s, file.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // communities keyed by line index (comments/blanks consume an index)
+    val byCommunity = loaded.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byCommunity.values.toSet ==
+      Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L), Set(7L, 8L, 9L, 10L)))
+    assert(loaded.size == 10)
+  }
+
+  test("scoring a real fit against connected components lands in (0, 1]") {
+    // two disjoint triangles: CC ground truth = 2 components; a K=2 fit's
+    // threshold communities should align substantially
+    val edges = GraphOps.symEdges(
+      Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L))
+        .toDF("src", "dst")).cache()
+    val (f, _) = BigClam.fit(edges, BigClam.Params(k = 2), iterations = 5)
+    val fitted = BigClam.communities(f, edges, BigClam.Params(k = 2))
+    val truthCc = GraphOps.connectedComponents(edges)
+      .select(col("comp").as("community"), col("node"))
+    val score = f1Of(fitted, truthCc)
+    assert(score > 0.0 && score <= 1.0, s"F1 out of range: $score")
+    edges.unpersist()
+  }
+}
