@@ -509,6 +509,28 @@ object Oracles {
         |  GROUP BY doc_id)
         |ORDER BY doc_id LIMIT 2000""".stripMargin,
 
+    // argmax semantics mirror Spark's greatest(struct(score, lang)): highest
+    // score wins, ties go to the lexicographically LARGEST lang — hence the
+    // CASE chain testing langs in descending name order; 'und' when no
+    // marker hit at all
+    "q_text_langid" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |sc AS (SELECT doc_id, any_value(lang) AS lang,
+        |         sum(CASE WHEN tok IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS s_en,
+        |         sum(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS s_de,
+        |         sum(CASE WHEN tok IN ('el','la','los','y','es') THEN 1 ELSE 0 END) AS s_es,
+        |         sum(CASE WHEN tok IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS s_fr,
+        |         sum(CASE WHEN tok IN ('de','shi','zai','he','le') THEN 1 ELSE 0 END) AS s_zh
+        |       FROM tok GROUP BY doc_id)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       ELSE 'de' END AS pred
+        |FROM sc ORDER BY doc_id LIMIT 2000""".stripMargin,
+
     "q_sample_stratified" ->
       """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
         |FROM documents WHERE doc_id % 10 < 3

@@ -40,10 +40,12 @@ object TextAnalysis {
       .limit(2000)
   }
 
-  /** [no-oracle] Language ID by marker-token voting: per language a small
-    * marker list (the n-gram-profile approach collapsed to whole-token
-    * unigrams for the synthetic corpus); prediction = argmax vote count
-    * with deterministic tiebreak, 'und' when nothing matches. */
+  /** Language ID by marker-token voting: per language a small marker list
+    * (the n-gram-profile approach collapsed to whole-token unigrams for the
+    * synthetic corpus); prediction = argmax vote count with deterministic
+    * tiebreak (lexicographically largest lang — greatest(struct) order),
+    * 'und' when nothing matches. Oracle-checked: the DuckDB mirror encodes
+    * the same tiebreak as a descending CASE chain. */
   def q_text_langid(s: SparkSession, d: String): DataFrame = {
     val markers: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "a", "of", "and", "is"),
