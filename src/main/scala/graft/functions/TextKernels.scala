@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native shingle+hash kernels for the text-dedup hot path.
+  *
+  * Why these exist: `q_minhash_lsh` and `q_text_fingerprint` were dominated
+  * by building every 5-token shingle STRING through interpreted
+  * higher-order functions — `transform(sequence(...), i =>
+  * array_join(slice(tokens, i, 5), " "))` materializes ~5× the document's
+  * bytes as new UTF8Strings, each element through a boxed lambda
+  * interpreter (HOFs are never whole-stage-codegen'd). A variadic-xxhash64
+  * rewrite was tried in round 5 and was 6× SLOWER — still interpreted.
+  *
+  * The kernel exploits a byte-level identity instead: with tokens =
+  * `split(text, " ")` (single-space split, empty tokens preserved), the
+  * joined shingle `array_join(slice(tokens, i, 5), " ")` is EXACTLY the
+  * byte range of the original text from the start of token i to the end of
+  * token i+4 — including any runs of empty tokens. 0x20 never occurs
+  * inside a UTF-8 multibyte sequence, so one byte scan finds all token
+  * boundaries, and each shingle is hashed IN PLACE from the text's own
+  * backing bytes via Spark's XXH64 (bit-identical to the `xxhash64` SQL
+  * function, seed 42) — zero copies, zero allocation beyond the output.
+  * TextKernelsSpec pins bit-equality against the HOF formulation.
+  */
+object TextKernels {
+
+  private val SEED = 42L // Spark's xxhash64 default seed
+
+  /** Byte offsets where each token starts; returns (starts, count).
+    * Token j spans [starts(j), starts(j+1) - 2 + 1) i.e. ends before the
+    * space at starts(j+1)-1; the last token ends at numBytes. */
+  private def tokenStarts(base: AnyRef, off: Long, len: Int): Array[Int] = {
+    // worst case: all spaces → len+1 tokens
+    var starts = new Array[Int](math.min(len + 2, 64))
+    var n = 0
+    def push(p: Int): Unit = {
+      if (n == starts.length) starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+      starts(n) = p; n += 1
+    }
+    push(0)
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) push(i + 1)
+      i += 1
+    }
+    push(len + 1) // sentinel: start of the would-be next token
+    java.util.Arrays.copyOf(starts, n)
+  }
+
+  /** Per-band minima of xxhash64(band, shingle) over the doc's 5-token
+    * shingles — the whole MinHash/LSH banding in one text pass. Returns
+    * null when the doc has fewer than 5 tokens (no shingles), mirroring
+    * the `size(tokens) >= 5` pre-filter of the HOF form. Band seed chain
+    * matches xxhash64(lit(b), sh): lit(b) is an INT literal, so the chain
+    * is hashInt(b, 42) then the string bytes. */
+  def bandMins(s: UTF8String, nBands: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    val starts = tokenStarts(base, off, len)
+    val nTokens = starts.length - 1
+    if (nTokens < 5) return null
+    val seeds = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) { seeds(b) = XXH64.hashInt(b, SEED); b += 1 }
+    val mins = Array.fill(nBands)(Long.MaxValue)
+    var i = 0
+    while (i <= nTokens - 5) {
+      val from = starts(i)
+      val until = starts(i + 5) - 1 // strip the trailing space / sentinel
+      b = 0
+      while (b < nBands) {
+        val h = XXH64.hashUnsafeBytes(base, off + from, until - from, seeds(b))
+        if (h < mins(b)) mins(b) = h
+        b += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** The k smallest xxhash64(shingle) values (ascending, multiset — equal
+    * hashes kept, exactly like sort+slice of the full hash list) over the
+    * doc's 5-token shingles; fewer than k when the doc has fewer shingles,
+    * empty when it has none. The winnowing-style sketch of
+    * q_text_fingerprint. */
+  def smallestK(s: UTF8String, k: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    val starts = tokenStarts(base, off, len)
+    val nTokens = starts.length - 1
+    val nSh = math.max(nTokens - 4, 0)
+    val keep = math.min(k, nSh)
+    val best = Array.fill(keep max 1)(Long.MaxValue)
+    var i = 0
+    while (i <= nTokens - 5) {
+      val from = starts(i)
+      val until = starts(i + 5) - 1
+      val h = XXH64.hashUnsafeBytes(base, off + from, until - from, SEED)
+      if (keep > 0 && h < best(keep - 1)) {
+        // insertion into the tiny sorted buffer
+        var j = keep - 1
+        while (j > 0 && best(j - 1) > h) { best(j) = best(j - 1); j -= 1 }
+        best(j) = h
+      }
+      i += 1
+    }
+    new GenericArrayData(if (keep == 0) Array.emptyLongArray else best)
+  }
+}
+
+private[functions] trait ShingleHashExpr extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+}
+
+/** Native MinHash band minima: ARRAY<BIGINT>(nBands), null when <5 tokens. */
+case class ShingleBandMins(child: Expression, nBands: Int) extends ShingleHashExpr {
+  override def nullable: Boolean = true // null on shingle-less docs
+  override def prettyName: String = "shingle_band_mins"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.bandMins(s.asInstanceOf[UTF8String], nBands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.TextKernels.bandMins($s, $nBands);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+    code
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleBandMins =
+    copy(child = c)
+}
+
+/** Native k-smallest shingle hashes: ascending ARRAY<BIGINT> of ≤ k. */
+case class ShingleMinK(child: Expression, k: Int) extends ShingleHashExpr {
+  override def prettyName: String = "shingle_min_k"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.smallestK(s.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.smallestK($s, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleMinK =
+    copy(child = c)
+}
+
+object ShingleHash {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def bandMins(text: Column, nBands: Int): Column =
+    Bridge.column(ShingleBandMins(Bridge.expression(text), nBands))
+  def minK(text: Column, k: Int): Column =
+    Bridge.column(ShingleMinK(Bridge.expression(text), k))
+}

@@ -102,13 +102,14 @@ object TextAnalysis {
     * 64-bit hashes over the doc's 5-gram shingles (a rolling-hash sketch;
     * near-identical docs share most sketch entries). The sketch is emitted
     * comma-joined (BIGINT→string is engine-stable; the driver comparator
-    * cannot sort raw array cells). */
+    * cannot sort raw array cells). Shingle hashing is the native
+    * ShingleMinK kernel — bit-identical to the sort+slice HOF form it
+    * replaced (TextKernelsSpec), no shingle-string materialization. */
   def q_text_fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        array_join(slice(array_sort(transform(
-          TextOps.shingles(split(col("text"), " ")),
-          sh => xxhash64(sh))), 1, 4), ",").as("fingerprint"))
+        array_join(graft.functions.ShingleHash.minK(col("text"), 4)
+          .cast("array<string>"), ",").as("fingerprint"))
       .orderBy("doc_id")
       .limit(5000)
 }

@@ -218,24 +218,19 @@ object TextOps {
     * Exact-duplicate texts share all 4 buckets (invariant-tested); docs
     * sharing any (band, bucket) are the candidate near-dup pairs at scale.
     *
-    * Plan shape matters here (round-2 lesson): the four band minima as
-    * separate projections let CollapseProject duplicate the O(T²)-char
-    * `shingles()` expression into each band — 74.5 s at sf0.1. Instead ONE
-    * `aggregate` fold walks the shingle array once, keeping the elementwise
-    * min of all 4 band hashes in a single 4-long accumulator; `posexplode`
-    * (a Generator — never duplicated by CollapseProject) unpacks it into
-    * the (band, bucket) rows. Fully narrow: no shuffle until the sort. */
+    * Evolution (rounds 2-7): four separate band projections let
+    * CollapseProject duplicate the shingling ×4 (74.5 s at sf0.1); one
+    * `aggregate` fold fixed that but still built every shingle STRING
+    * through the interpreted HOF machinery (~6 s); now the whole
+    * shingle→hash→band-min pipeline is ONE native codegen'd expression
+    * (ShingleBandMins) hashing shingle byte-ranges in place — bit-identical
+    * band minima (TextKernelsSpec), no string materialization, fully
+    * narrow: no shuffle until the sort. */
   def q_minhash_lsh(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .filter(size(toks(col("text"))) >= 5) // docs with <5 tokens have no shingles
       .select(col("doc_id"),
-        aggregate(
-          shingles(toks(col("text"))),
-          array((0 until 4).map(_ => lit(Long.MaxValue)): _*),
-          (acc, sh) => zip_with(
-            acc,
-            array((0 until 4).map(b => xxhash64(lit(b), sh)): _*),
-            (m, h) => least(m, h))).as("mins"))
+        graft.functions.ShingleHash.bandMins(col("text"), 4).as("mins"))
+      .filter(col("mins").isNotNull) // <5 tokens ⇒ no shingles ⇒ null
       .select(col("doc_id"), posexplode(col("mins")).as(Seq("band", "bucket")))
       .orderBy("doc_id", "band")
 }

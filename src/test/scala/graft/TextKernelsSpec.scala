@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.ShingleHash
+import graft.ops.TextOps
+
+/** The native shingle+hash kernels must be BIT-IDENTICAL to the HOF
+  * formulations they replaced: same split(" ") token semantics (empty
+  * tokens preserved), same xxhash64 seed chain, same multiset-k-smallest
+  * sketch. Verified on the real documents table plus adversarial strings
+  * (runs of spaces, exactly-5 tokens, multibyte UTF-8). */
+class TextKernelsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import s.implicits._
+
+  private val adversarial = Seq(
+    "",                       // 1 empty token
+    "a b c d",                // 4 tokens — no shingle
+    "a b c d e",              // exactly one shingle
+    "a  b   c d e f",         // runs of spaces → empty tokens preserved
+    " leading and trailing ", // boundary empty tokens
+    "čeští vědci žijí v Ústí nad Labem", // multibyte UTF-8
+    "x " * 300 + "x")         // long doc
+
+  private def corpus = Tables.documents(s, TestSpark.sf).select("doc_id", "text")
+    .union(adversarial.zipWithIndex
+      .map { case (t, i) => (100000L + i, t) }.toDF("doc_id", "text"))
+
+  test("ShingleBandMins matches the aggregate-fold HOF band minima bit for bit") {
+    val hof = corpus
+      .select(col("doc_id"),
+        when(size(split(col("text"), " ")) >= 5,
+          aggregate(
+            TextOps.shingles(split(col("text"), " ")),
+            array((0 until 4).map(_ => lit(Long.MaxValue)): _*),
+            (acc, sh) => zip_with(
+              acc,
+              array((0 until 4).map(b => xxhash64(lit(b), sh)): _*),
+              (m, h) => least(m, h)))).as("mins"))
+    val native = corpus
+      .select(col("doc_id"), ShingleHash.bandMins(col("text"), 4).as("mins"))
+    val diff = hof.join(native.withColumnRenamed("mins", "mins2"), "doc_id")
+      .filter(!(col("mins") <=> col("mins2")))
+    assert(diff.count() == 0, diff.limit(5).collect().mkString("\n"))
+  }
+
+  test("ShingleMinK matches sort+slice of the full shingle hash list bit for bit") {
+    val hof = corpus
+      .select(col("doc_id"),
+        slice(array_sort(transform(
+          TextOps.shingles(split(col("text"), " ")),
+          sh => xxhash64(sh))), 1, 4).as("fp"))
+    val native = corpus
+      .select(col("doc_id"), ShingleHash.minK(col("text"), 4).as("fp"))
+    val diff = hof.join(native.withColumnRenamed("fp", "fp2"), "doc_id")
+      .filter(!(col("fp") <=> col("fp2")))
+    assert(diff.count() == 0, diff.limit(5).collect().mkString("\n"))
+  }
+
+  test("kernel queries still satisfy their invariants: exact dups share all 4 LSH buckets") {
+    val dup = Seq((1L, "one two three four five six"),
+      (2L, "one two three four five six"),
+      (3L, "totally different text goes here now")).toDF("doc_id", "text")
+    val mins = dup.select(col("doc_id"),
+      ShingleHash.bandMins(col("text"), 4).as("mins")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(mins(1L) == mins(2L))
+    assert(mins(1L) != mins(3L))
+  }
+}
