@@ -86,6 +86,31 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
+  /** All 5-token shingle STRINGS of the text — the exact values
+    * `transform(sequence(...), i => array_join(slice(tokens, i, 5), " "))`
+    * builds, but sliced directly out of the text's bytes in one loop (each
+    * shingle copied exactly once into its own UTF8String; the HOF form
+    * allocates every token AND every join). Empty array when <5 tokens. */
+  def shingleArray(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    val starts = tokenStarts(base, off, len)
+    val nTokens = starts.length - 1
+    val n = math.max(nTokens - 4, 0)
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val from = starts(i)
+      val until = starts(i + 5) - 1
+      // fromAddress is a VIEW over the text's buffer; clone() copies the
+      // shingle's bytes once so the value survives buffer reuse downstream
+      out(i) = UTF8String.fromAddress(base, off + from, until - from).clone()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The k smallest xxhash64(shingle) values (ascending, multiset — equal
     * hashes kept, exactly like sort+slice of the full hash list) over the
     * doc's 5-token shingles; fewer than k when the doc has fewer shingles,
@@ -144,6 +169,22 @@ case class ShingleBandMins(child: Expression, nBands: Int) extends ShingleHashEx
     copy(child = c)
 }
 
+/** Native shingle-string array: ARRAY<STRING> of the 5-token shingles. */
+case class ShingleStrings(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.shingleArray(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.shingleArray($s)")
+  override protected def withNewChildInternal(c: Expression): ShingleStrings =
+    copy(child = c)
+}
+
 /** Native k-smallest shingle hashes: ascending ARRAY<BIGINT> of ≤ k. */
 case class ShingleMinK(child: Expression, k: Int) extends ShingleHashExpr {
   override def prettyName: String = "shingle_min_k"
@@ -161,4 +202,6 @@ object ShingleHash {
     Bridge.column(ShingleBandMins(Bridge.expression(text), nBands))
   def minK(text: Column, k: Int): Column =
     Bridge.column(ShingleMinK(Bridge.expression(text), k))
+  def shingleArr(text: Column): Column =
+    Bridge.column(ShingleStrings(Bridge.expression(text)))
 }

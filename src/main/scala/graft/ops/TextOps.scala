@@ -75,7 +75,8 @@ object TextOps {
     // doesn't — without them the shared exchange canonicalizes differently
     // and ReuseExchange runs the shingling twice
     val docShingle = Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(toks(col("text")))).as("shingle"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash.shingleArr(col("text"))).as("shingle"))
       .filter(col("doc_id").isNotNull && col("shingle").isNotNull)
       .distinct()
     val rare = docShingle.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -130,7 +131,8 @@ object TextOps {
     * identically-partitioned subtrees. */
   def q_dedup_jaccard(s: SparkSession, d: String): DataFrame = {
     val docShingle = Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(toks(col("text")))).as("shingle"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash.shingleArr(col("text"))).as("shingle"))
       .filter(col("doc_id").isNotNull && col("shingle").isNotNull)
       .distinct()
     val sizes = docShingle.groupBy("doc_id").agg(count(lit(1)).as("sz"))

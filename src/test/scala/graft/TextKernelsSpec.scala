@@ -58,6 +58,15 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(diff.count() == 0, diff.limit(5).collect().mkString("\n"))
   }
 
+  test("ShingleStrings matches the transform/slice/array_join HOF shingles bit for bit") {
+    val hof = corpus.select(col("doc_id"),
+      TextOps.shingles(split(col("text"), " ")).as("sh"))
+    val native = corpus.select(col("doc_id"),
+      graft.functions.ShingleHash.shingleArr(col("text")).as("sh2"))
+    val diff = hof.join(native, "doc_id").filter(!(col("sh") <=> col("sh2")))
+    assert(diff.count() == 0, diff.limit(5).collect().mkString("\n"))
+  }
+
   test("kernel queries still satisfy their invariants: exact dups share all 4 LSH buckets") {
     val dup = Seq((1L, "one two three four five six"),
       (2L, "one two three four five six"),
