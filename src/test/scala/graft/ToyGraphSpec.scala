@@ -65,6 +65,23 @@ class ToyGraphSpec extends AnyFunSuite {
     assert(labels == (0L to 9L).map(_ -> 0L).toMap)
   }
 
+  test("connected components fail loudly at the iteration cap instead of returning wrong labels") {
+    // a 12-node path needs ~11 hash-min rounds; cap at 3 must throw, not
+    // silently return a split component
+    val path = GraphOps.symEdges(
+      (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst"))
+    val e = intercept[IllegalStateException] {
+      GraphOps.connectedComponents(path, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("empty edge input: cc yields empty labels (no NPE), pagerank yields empty ranks (no NaN)") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.connectedComponents(empty).count() == 0)
+    assert(GraphOps.pageRank(empty).count() == 0)
+  }
+
   test("pagerank: uniform on a symmetric triangle, mass conserved, bridge graph ranks degree") {
     // triangle is vertex-transitive -> all ranks equal; total mass ~ 1
     val tri = GraphOps.symEdges(Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst"))
