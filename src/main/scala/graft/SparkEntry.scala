@@ -114,6 +114,7 @@ object SparkEntry {
     "q_sim_neardup_cosine" -> VectorOps.q_sim_neardup_cosine,
     "q_sim_ann_lsh" -> VectorOps.q_sim_ann_lsh,
     "q_sim_ann_ivf" -> VectorOps.q_sim_ann_ivf,
+    "q_cluster_kmeans" -> VectorOps.q_cluster_kmeans,
     // LLM-pipeline: multimodal (binary media + stub decode)
     "q_multimodal_features" -> graft.multimodal.MultimodalOps.q_multimodal_features
   )

@@ -115,10 +115,9 @@ object VectorOps {
       when(dot(v, lp) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** IVF coarse quantizer: deterministic centroids (the vectors with the
-    * `nCentroids` smallest ids — at scale: a sampled k-means run), each
-    * vector assigned to its nearest centroid by cosine. Returns
-    * (vec_id, v, nrm, cell).
+  /** IVF coarse quantizer seeds: deterministic centroids (the vectors with
+    * the `nCentroids` smallest ids), refined by [[kmeansCentroids]] before
+    * use. Returns (cell_id, centroid, norm).
     *
     * The centroid table is MODEL STATE, not data — nCentroids × dim doubles
     * — so it is collected once and embedded as plan literals (the same
@@ -135,6 +134,37 @@ object VectorOps {
         val cv = r.getSeq[Double](1).toArray
         (r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
       }
+
+  /** Distributed spherical k-means (Lloyd): assign every vector to its
+    * nearest centroid by cosine (the zero-shuffle literal-centroid argmax
+    * projection), recompute each centroid as its cell's element-wise mean
+    * (direction of the mean = the spherical centroid), repeat. Per
+    * iteration: ONE map-side-combining shuffle keyed by cell (ArraySumAgg)
+    * and one k-row collect — centroids stay model state (k × dim doubles),
+    * vectors never leave the executors. Empty cells keep their previous
+    * centroid (deterministic; no re-seeding randomness). This is the real
+    * coarse quantizer the IVF path trains at scale — same dataflow at 100 TB,
+    * with k·dim doubles the only driver-side object. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[(Long, Array[Double], Double)] = {
+    val vsum = udaf(ArraySumAgg)
+    var cents = centroids(emb, k)
+    for (_ <- 1 to iters) {
+      val assigned = emb.select(col("v"),
+        (-greatest(centroidSims(cents): _*).getField("nid")).as("cell"))
+      val next = assigned.groupBy("cell")
+        .agg(vsum(col("v")).as("sum"), count(lit(1)).as("n"))
+        .collect()
+        .map { r =>
+          val sum = r.getSeq[Double](1).toArray
+          val n = r.getLong(2).toDouble
+          val mean = sum.map(_ / n)
+          (r.getLong(0), mean, math.sqrt(mean.map(x => x * x).sum))
+        }
+      val byId = next.map(t => t._1 -> t).toMap
+      cents = cents.map { case old @ (cid, _, _) => byId.getOrElse(cid, old) }
+    }
+    cents
+  }
 
   private def centroidSims(cents: Array[(Long, Array[Double], Double)]): Seq[Column] =
     cents.toIndexedSeq.map { case (cid, cv, cnrm) =>
@@ -178,7 +208,9 @@ object VectorOps {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    val cents = centroids(emb, 16) // ONE bounded collect feeds both stages
+    // Lloyd-refined coarse quantizer (2 rounds): ONE k-row model-state
+    // collect per round, shared across assignment and probing stages
+    val cents = kmeansCentroids(emb, 16, iters = 2)
     val cands = ivfAssignWith(emb, cents)
       .select(col("vec_id").as("w"), col("v").as("wv"), col("nrm").as("wnrm"), col("cell"))
     val probes = ivfProbeCellsWith(emb.filter(col("vec_id") < 100), cents, nprobe)
@@ -202,6 +234,29 @@ object VectorOps {
     * vs the exact baseline and vs the single-probe run. */
   def q_sim_ann_ivf(s: SparkSession, d: String): DataFrame =
     ivfTopK(s, d, nprobe = 2)
+
+  /** [no-oracle] Embedding clustering — the diversity-sampling /
+    * coverage-analysis primitive of a training-data pipeline: 2-round
+    * spherical k-means over all vectors, reporting per-cluster size and
+    * mean cosine-to-centroid (the cohesion statistic). Scale: each Lloyd
+    * round is one map-combining shuffle + a k-row collect; the final stats
+    * pass is one more narrow projection + groupBy. KmeansSpec asserts the
+    * partition property, count preservation, and that Lloyd refinement
+    * does not lose cohesion vs the unrefined seeds. */
+  def q_cluster_kmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val cents = kmeansCentroids(emb, 16, iters = 2)
+    val sims = centroidSims(cents)
+    emb.select(col("vec_id"),
+        greatest(sims: _*).getField("sim").as("cos"),
+        (-greatest(sims: _*).getField("nid")).as("cluster"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("cos")), 6).as("avg_cos"))
+      .orderBy("cluster")
+  }
 
   /** [no-oracle] The ANN *scale path*: bucket every vector with 6-bit
     * sign-LSH, self-join per bucket, brute-force cosine only within the
