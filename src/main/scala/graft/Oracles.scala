@@ -337,6 +337,17 @@ object Oracles {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
+    // each event lies in exactly two 1h/30min sliding windows: the one
+    // starting at its 30-min bucket and the one 30 min earlier. Spark's
+    // window() epoch alignment and DuckDB's time_bucket 2000-01-01 origin
+    // agree for 30-min buckets (both origins are midnight-aligned).
+    "q_events_sliding" ->
+      """SELECT win_start, count(*) AS cnt FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
+        |GROUP BY win_start ORDER BY win_start LIMIT 3000""".stripMargin,
+
     "q_events_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,

@@ -24,8 +24,10 @@ object EventsOps {
       .select(col("w.start").cast("date").as("day"), col("event_type"), col("cnt"), col("sum_val"))
       .orderBy("day", "event_type")
 
-  /** [no-oracle] 1h window sliding every 30min — each event lands in two
-    * windows (duplicate-assignment semantics); invariant-tested instead. */
+  /** 1h window sliding every 30min — each event lands in exactly two
+    * windows (duplicate-assignment semantics). Oracle-checked: the DuckDB
+    * mirror materializes both window memberships per event via UNION ALL
+    * of the event's 30-min bucket and the bucket 30 min earlier. */
   def q_events_sliding(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
