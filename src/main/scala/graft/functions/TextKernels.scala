@@ -86,30 +86,33 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
-  /** All 5-token shingle STRINGS of the text — the exact values
-    * `transform(sequence(...), i => array_join(slice(tokens, i, 5), " "))`
+  /** All g-token n-gram STRINGS of the text — the exact values
+    * `transform(sequence(...), i => array_join(slice(tokens, i, g), " "))`
     * builds, but sliced directly out of the text's bytes in one loop (each
-    * shingle copied exactly once into its own UTF8String; the HOF form
-    * allocates every token AND every join). Empty array when <5 tokens. */
-  def shingleArray(s: UTF8String): ArrayData = {
+    * gram copied exactly once into its own UTF8String; the HOF form
+    * allocates every token AND every join). Empty array when <g tokens. */
+  def ngramArray(s: UTF8String, g: Int): ArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val len = s.numBytes()
     val starts = tokenStarts(base, off, len)
     val nTokens = starts.length - 1
-    val n = math.max(nTokens - 4, 0)
+    val n = math.max(nTokens - (g - 1), 0)
     val out = new Array[AnyRef](n)
     var i = 0
     while (i < n) {
       val from = starts(i)
-      val until = starts(i + 5) - 1
+      val until = starts(i + g) - 1
       // fromAddress is a VIEW over the text's buffer; clone() copies the
-      // shingle's bytes once so the value survives buffer reuse downstream
+      // gram's bytes once so the value survives buffer reuse downstream
       out(i) = UTF8String.fromAddress(base, off + from, until - from).clone()
       i += 1
     }
     new GenericArrayData(out)
   }
+
+  /** 5-token shingles — the dedup-pipeline specialization of [[ngramArray]]. */
+  def shingleArray(s: UTF8String): ArrayData = ngramArray(s, 5)
 
   /** The k smallest xxhash64(shingle) values (ascending, multiset — equal
     * hashes kept, exactly like sort+slice of the full hash list) over the
@@ -169,19 +172,19 @@ case class ShingleBandMins(child: Expression, nBands: Int) extends ShingleHashEx
     copy(child = c)
 }
 
-/** Native shingle-string array: ARRAY<STRING> of the 5-token shingles. */
-case class ShingleStrings(child: Expression) extends UnaryExpression {
+/** Native n-gram-string array: ARRAY<STRING> of the g-token grams. */
+case class NgramStrings(child: Expression, g: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects STRING, got ${child.dataType.catalogString}")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "shingle_strings"
+  override def prettyName: String = "ngram_strings"
   override def nullSafeEval(s: Any): Any =
-    TextKernels.shingleArray(s.asInstanceOf[UTF8String])
+    TextKernels.ngramArray(s.asInstanceOf[UTF8String], g)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.shingleArray($s)")
-  override protected def withNewChildInternal(c: Expression): ShingleStrings =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.ngramArray($s, $g)")
+  override protected def withNewChildInternal(c: Expression): NgramStrings =
     copy(child = c)
 }
 
@@ -203,5 +206,7 @@ object ShingleHash {
   def minK(text: Column, k: Int): Column =
     Bridge.column(ShingleMinK(Bridge.expression(text), k))
   def shingleArr(text: Column): Column =
-    Bridge.column(ShingleStrings(Bridge.expression(text)))
+    Bridge.column(NgramStrings(Bridge.expression(text), 5))
+  def ngramArr(text: Column, g: Int): Column =
+    Bridge.column(NgramStrings(Bridge.expression(text), g))
 }

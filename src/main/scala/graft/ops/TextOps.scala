@@ -105,7 +105,8 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram").asc)
     Tables.documents(s, d)
-      .select(col("lang"), explode(ngrams(toks(col("text")), 3)).as("gram"))
+      .select(col("lang"),
+        explode(graft.functions.ShingleHash.ngramArr(col("text"), 3)).as("gram"))
       .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= 10)

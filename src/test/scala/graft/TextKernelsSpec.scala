@@ -58,13 +58,15 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(diff.count() == 0, diff.limit(5).collect().mkString("\n"))
   }
 
-  test("ShingleStrings matches the transform/slice/array_join HOF shingles bit for bit") {
-    val hof = corpus.select(col("doc_id"),
-      TextOps.shingles(split(col("text"), " ")).as("sh"))
-    val native = corpus.select(col("doc_id"),
-      graft.functions.ShingleHash.shingleArr(col("text")).as("sh2"))
-    val diff = hof.join(native, "doc_id").filter(!(col("sh") <=> col("sh2")))
-    assert(diff.count() == 0, diff.limit(5).collect().mkString("\n"))
+  test("NgramStrings matches the transform/slice/array_join HOF grams bit for bit (g = 3 and 5)") {
+    for (g <- Seq(3, 5)) {
+      val hof = corpus.select(col("doc_id"),
+        TextOps.ngrams(split(col("text"), " "), g).as("sh"))
+      val native = corpus.select(col("doc_id"),
+        graft.functions.ShingleHash.ngramArr(col("text"), g).as("sh2"))
+      val diff = hof.join(native, "doc_id").filter(!(col("sh") <=> col("sh2")))
+      assert(diff.count() == 0, s"g=$g: " + diff.limit(5).collect().mkString("\n"))
+    }
   }
 
   test("kernel queries still satisfy their invariants: exact dups share all 4 LSH buckets") {
