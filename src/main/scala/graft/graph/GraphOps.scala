@@ -181,9 +181,11 @@ object GraphOps {
       .orderBy("node")
 
   /** Locally-minimal-conductance seed ordering: per node the (phi, id)-min
-    * member of its closed neighborhood; distinct winners ranked ascending. */
-  def seedRank(edges: DataFrame): DataFrame = {
-    val phi = conductance(edges).select(col("node").as("member"), col("phi"))
+    * member of its closed neighborhood; distinct winners ranked ascending.
+    * `hotDegCap` flows to conductance's ego-truncation guard — required on
+    * power-law graphs where a hub's ego expansion is deg² rows. */
+  def seedRank(edges: DataFrame, hotDegCap: Option[Long] = None): DataFrame = {
+    val phi = conductance(edges, hotDegCap).select(col("node").as("member"), col("phi"))
     val deg = degrees(edges)
     val closed = edges.select(col("src").as("node"), col("dst").as("member"))
       .union(deg.select(col("node"), col("node").as("member")))
@@ -196,21 +198,27 @@ object GraphOps {
 
   /** Rank the top-K rows of a seed frame by (phi, seed) ascending WITHOUT a
     * global window: `orderBy().limit(k)` is a distributed TakeOrdered (each
-    * partition keeps k, the driver merges k·P candidates), then rank among
-    * the ≤k survivors = 1 + count of strictly-smaller survivors via a
-    * broadcast theta self-join. An unpartitioned `row_number().over(...)`
-    * gives the same output but moves EVERY input row to one WindowExec task
-    * — a single-task sort of |V| rows at 100×; this shape never sorts more
-    * than k rows in one place. seedRank emits one row per distinct seed, so
-    * (phi, seed) is duplicate-free and the rank is gapless. */
+    * partition keeps k, the driver merges k·P candidates), and the ≤k
+    * survivors are MODEL STATE — k rows, the same class of driver-side
+    * object as BigCLAM's sumF or the IVF centroids — so they are collected
+    * once and ranked in memory, returning a k-row literal frame. An
+    * unpartitioned `row_number().over(...)` gives the same output but moves
+    * EVERY candidate row to one WindowExec task (a single-task sort of |V|
+    * rows at 100×), and a self-join rank over the limit would duplicate the
+    * whole upstream conductance pipeline into both join sides (a limit is
+    * not an exchange — AQE cannot reuse it). seedRank emits one row per
+    * distinct seed, so (phi, seed) is duplicate-free and the rank gapless. */
   private[graft] def rankTopSeeds(seeds: DataFrame, k: Int): DataFrame = {
+    val s = seeds.sparkSession
+    import s.implicits._
     val top = seeds.orderBy(col("phi").asc, col("seed").asc).limit(k)
-    val other = broadcast(top.select(col("phi").as("p2"), col("seed").as("s2")))
-    top.join(other,
-        (col("p2") < col("phi")) ||
-          (col("p2") === col("phi") && col("s2") < col("seed")), "left")
-      .groupBy("seed", "phi")
-      .agg((count(col("s2")) + 1L).cast("int").as("rank"))
+      .select(col("seed").cast("bigint"), col("phi").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (seed, phi) => (phi, seed) } // defensive re-sort
+    top.zipWithIndex
+      .map { case ((seed, phi), i) => (seed, phi, i + 1) }
+      .toSeq.toDF("seed", "phi", "rank")
   }
 
   def q_graph_seed_rank(s: SparkSession, d: String): DataFrame =
