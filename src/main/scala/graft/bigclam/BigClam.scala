@@ -114,6 +114,35 @@ object BigClam {
           .as("f"))
   }
 
+  /** Sparse-native init: exactly the rows of `toSparse(init(...))` —
+    * property-tested bit-for-bit in SparseParitySpec — without ever
+    * materializing the dense length-K array per node. `init` builds a
+    * K-double array for every node and `toSparse` immediately filters it
+    * back down; at v3 scale (|V|=1M, K=1000) that is 8 GB of transient
+    * arrays plus three K-wide passes per row for ~32 surviving entries.
+    * Here covered nodes emit their sorted ego-membership set directly and
+    * uncovered nodes filter the K-range through the same xxhash64 padding
+    * predicate — the identical hash on the identical int argument, so the
+    * selected dims match the dense path's exactly. */
+  def initSparse(edges: DataFrame, p: Params, ranked: Option[DataFrame] = None): DataFrame = {
+    val seeds = GraphOps.rankTopSeeds(ranked.getOrElse(GraphOps.seedRank(edges)), p.k)
+      .select(col("seed"), (col("rank") - 1).as("c"))
+    val ego = edges.join(seeds, col("src") === col("seed"))
+      .select(col("c"), col("dst").as("member"))
+      .union(seeds.select(col("c"), col("seed").as("member")))
+      .distinct()
+    val memberships = ego.groupBy("member")
+      .agg(sort_array(collect_set(col("c"))).as("cs"))
+    GraphOps.degrees(edges).select(col("node").as("id"))
+      .join(memberships, col("id") === col("member"), "left")
+      .select(col("id"),
+        coalesce(col("cs"),
+          filter(sequence(lit(0), lit(p.k - 1)),
+            i => pmod(xxhash64(col("id"), i), lit(16)) === 0))
+          .cast("array<int>").as("fi"))
+      .withColumn("fv", transform(col("fi"), _ => lit(1.0)))
+  }
+
   /** One gradient+LLH pass: per node (llh at F, gradient array, ‖∇‖²).
     * sumF is the K-vector of column sums, passed as a literal (K doubles of
     * driver state — the only non-distributed object in the loop). */
@@ -377,25 +406,6 @@ object BigClam {
           (acc, s) => acc + s.getField("v") * s.getField("v")).as("gnorm2"))
   }
 
-  /** Joint (index, fu-value, grad-value) rows over support(fu) ∪ support(g):
-    * the candidate step at t is then ONE narrow transform+filter over it —
-    * no per-step map rebuilds in the 16-candidate loop. */
-  private def sparseBase: Column = {
-    val ma = map_from_arrays(col("ui"), col("uv"))
-    val mg = map_from_arrays(col("gi"), col("gv"))
-    transform(array_sort(array_union(col("ui"), col("gi"))), i => struct(
-      i.as("i"),
-      coalesce(element_at(ma, i), lit(0.0)).as("a"),
-      coalesce(element_at(mg, i), lit(0.0)).as("g")))
-  }
-
-  private def sparseFnewAt(t: Column, p: Params): Column = filter(
-    transform(col("base"), s => struct(
-      s.getField("i").as("i"),
-      least(greatest(s.getField("a") + t * s.getField("g"), lit(p.minF)),
-        lit(p.maxF)).as("v"))),
-    s => s.getField("v") =!= 0.0)
-
   /** Armijo backtracking on sparse rows — same shuffle shape as the dense
     * `lineSearch` (the 16 candidate neighbor-LLH terms ride as one 16-long
     * array per edge), but the edge payload is the sparse (ui, uv, gi, gv)
@@ -423,27 +433,20 @@ object BigClam {
           stepsLit, p.minF, p.maxF, p.minP, p.maxP).as("terms"))
     val neighLlh = termArrays.groupBy(col("src").as("id"))
       .agg(vsum(col("terms")).as("llh_neigh_new"))
-    val mu = map_from_arrays(col("ui"), col("uv"))
+    // whole per-node step selection in one native kernel: the HOF form
+    // (16-step filter × fnew transform × two aggregate folds, each probing
+    // a map literal REBUILT per element) was O(steps·nnz²) interpreted
+    // evals per node — the measured dominant iteration cost once the
+    // per-edge terms went native (98k-node RunSynth probe: ~1040 s/iter)
     live.join(neighLlh, Seq("id"))
-      .withColumn("base", sparseBase)
-      .withColumn("bi",
-        try_element_at(
-          filter(sequence(lit(1), lit(steps.length)), i => {
-            val t = element_at(stepsLit, i)
-            val fnew = sparseFnewAt(t, p)
-            val fnewDotSumF = aggregate(fnew, lit(0.0), (acc, s) =>
-              acc + s.getField("v") * element_at(sumFc, s.getField("i") + 1))
-            val fnewDotFu = aggregate(fnew, lit(0.0), (acc, s) =>
-              acc + s.getField("v") *
-                coalesce(element_at(mu, s.getField("i")), lit(0.0)))
-            val llhNew = element_at(col("llh_neigh_new"), i) - fnewDotSumF + fnewDotFu
-            llhNew >= col("llh") + lit(p.alpha) * t * col("gnorm2")
-          }), lit(1)))
-      .filter(col("bi").isNotNull)
-      .withColumn("fnew", sparseFnewAt(element_at(stepsLit, col("bi")), p))
+      .withColumn("upd", graft.functions.SparseLineStepExpr.step(
+        col("ui"), col("uv"), col("gi"), col("gv"),
+        col("llh_neigh_new"), stepsLit, sumFc, col("llh"), col("gnorm2"),
+        p.alpha, p.minF, p.maxF))
+      .filter(col("upd").isNotNull)
       .select(col("id"),
-        transform(col("fnew"), s => s.getField("i")).as("fi_new"),
-        transform(col("fnew"), s => s.getField("v")).as("fv_new"))
+        col("upd").getField("fi").as("fi_new"),
+        col("upd").getField("fv").as("fv_new"))
   }
 
   /** Cap every row of a sparse F to its `m` largest entries (no-op when
@@ -486,7 +489,7 @@ object BigClam {
     // cap >= K can't prune anything: use the uncapped path so "no-op cap"
     // means bit-identical, not merely value-close (float op order matters)
     val cap = supportCap.filter(_ < p.k)
-    var f = checkpointF(capF(toSparse(init(edges, p, ranked)), cap))
+    var f = checkpointF(capF(initSparse(edges, p, ranked), cap))
     val history = scala.collection.mutable.ArrayBuffer[Double]()
     for (it <- 1 to iterations) {
       val t0 = System.nanoTime()

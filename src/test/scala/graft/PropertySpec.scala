@@ -179,4 +179,20 @@ class PropertySpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(entries == Map(0 -> 2.5, 2 -> 2.0, 3 -> 0.5))
   }
+
+  test("initSparse matches toSparse(init) row-for-row, incl. hash padding") {
+    // k well above the seed count so rankTopSeeds returns fewer than k egos
+    // and some nodes take the xxhash64 padding path in both implementations
+    for (seed <- Seq(5, 17)) {
+      val (edges, _, _, _) = fixtures(seed, 12)
+      val pk = BigClam.Params(k = 20)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getSeq[Double](2).toList))
+        .sortBy(_._1).toList
+      val viaDense = rows(BigClam.toSparse(BigClam.init(edges, pk)))
+      val direct = rows(BigClam.initSparse(edges, pk))
+      assert(direct == viaDense)
+      assert(direct.exists(_._2.nonEmpty))
+    }
+  }
 }
