@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.{GraphGen, GraphOps}
+
+/** The synthetic power-law generator behind the v3-scale run (RunSynth):
+  * deterministic in its parameters, self-loop-free, in-range, and actually
+  * skewed (the whole point — a uniform graph would not exercise hub
+  * handling in seeding or AQE skew joins).
+  */
+class GraphGenSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private def checksum(n: Long, e: Long, seed: Long = 42L): (Long, Long) = {
+    val df = GraphGen.powerLawEdges(s, n, e, seed = seed)
+      .agg(count(lit(1)).as("c"), expr("bit_xor(xxhash64(src, dst))").as("h"))
+    val r = df.collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("deterministic in (nNodes, nEdges, seed); different seed differs") {
+    val a = checksum(20000, 60000)
+    val b = checksum(20000, 60000)
+    val c = checksum(20000, 60000, seed = 43L)
+    assert(a == b)
+    assert(a != c)
+    assert(a._1 > 50000) // only self-loops/duplicate draws drop out
+  }
+
+  test("no self-loops, ids in range, power-law degree skew") {
+    val e = GraphGen.powerLawEdges(s, 20000, 60000).cache()
+    assert(e.filter(col("src") === col("dst")).count() == 0)
+    assert(e.filter(col("src") < 0 || col("src") >= 20000
+      || col("dst") < 0 || col("dst") >= 20000).count() == 0)
+    val deg = GraphOps.degrees(GraphOps.symEdges(e)).cache()
+    val r = deg.agg(avg(col("degree")), max(col("degree"))).collect()(0)
+    val (avgDeg, maxDeg) = (r.getDouble(0), r.getLong(1))
+    assert(maxDeg > 20 * avgDeg, s"expected hub skew, got avg=$avgDeg max=$maxDeg")
+    // the heaviest hubs are the low ids (truncated-Pareto head)
+    val top = deg.orderBy(col("degree").desc).limit(1).collect()(0).getLong(0)
+    assert(top < 100, s"max-degree node should be a low id, got $top")
+    e.unpersist(); deg.unpersist()
+  }
+}
