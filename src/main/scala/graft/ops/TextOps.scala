@@ -84,12 +84,18 @@ object TextOps {
       .select("shingle")
     val blocked = docShingle.hint("merge").join(rare, Seq("shingle"))
       .select(col("shingle"), col("doc_id"))
-    val a = blocked.select(col("shingle"), col("doc_id").as("doc_a"))
-    val b = blocked.select(col("shingle"), col("doc_id").as("doc_b"))
-    // merge hint: a broadcast self-join would clone the subplan (shingling
-    // twice); sort-merge keeps both sides as the SAME exchange → ReusedExchange
-    a.hint("merge").join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    // pair generation WITHOUT a self-join (which would statically re-derive
+    // the whole blocked pipeline on its b-side): each rare shingle's doc
+    // list is ≤ 10 by construction, so collect_set is bounded-safe here —
+    // and the groupBy inherits the join's shingle partitioning, so the
+    // ≤ C(10,2)=45 combinations explode with no further exchange
+    blocked.groupBy("shingle")
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .select(explode(
+        flatten(transform(col("docs"), (a, i) =>
+          transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_a", "doc_b")
       .limit(5000)
@@ -122,40 +128,61 @@ object TextOps {
     *
     * Scale stance: never all-pairs. The candidate set is bounded by the
     * blocking (df ≤ 10 caps each shingle's pair fan-out at 45), and the
-    * full-set intersection is computed by routing candidates through TWO
-    * hash joins keyed (doc, shingle) — each pair costs O(|shingles(a)|)
-    * probe rows, not a set-compare of materialized arrays (a collect_set
-    * per doc would put a whole document's shingle set in one row: fine at
-    * 5k tokens, wrong for 1 M-token docs). The shingling subplan recomputes
-    * per consumer rather than persisting — deliberate (round-3's cache-leak
-    * lesson); the scan+explode is narrow and ReuseExchange collapses the
-    * identically-partitioned subtrees. */
+    * full-set comparison is computed by routing candidates through hash
+    * joins keyed on a doc column — each pair costs O(|shingles(a)| +
+    * |shingles(b)|) probe rows, not a set-compare of materialized arrays (a
+    * collect_set per doc would put a whole document's shingle set in one
+    * row: fine at 5k tokens, wrong for 1 M-token docs). The shingling
+    * subplan recomputes per consumer rather than persisting — deliberate
+    * (round-3's cache-leak lesson); the scan+explode is narrow and
+    * ReuseExchange collapses the identically-partitioned subtrees.
+    *
+    * Round-7 trim (15 → 8 exchanges). Two structural moves:
+    * (1) Candidate pairs WITHOUT a self-join: after the rare join, each
+    *     shingle's doc list is ≤ 10 BY CONSTRUCTION (the df filter already
+    *     ran), so a collect_set per shingle is bounded and safe — the hot
+    *     shingle that makes an unfiltered collect_set a one-task buffer
+    *     bomb (the round-4 window lesson) was dropped by the df filter
+    *     upstream. The grouping inherits the join's shingle partitioning
+    *     (no exchange), and the ≤ C(10,2)=45 pair combinations explode from
+    *     the sorted array directly — the self-join that statically
+    *     re-derived the whole blocked pipeline on its b-side is gone.
+    * (2) Intersections via |A∩B| = (|A|+|B|) − |A∪B|: each pair melts into
+    *     two (pair, doc) rows, ONE join against docShingle fetches both
+    *     sides' shingles, and per pair the probe-row total gives |A|+|B|
+    *     while the distinct-shingle count gives |A∪B| — which is also
+    *     exactly the Jaccard denominator. No (doc, shingle)-keyed second
+    *     probe, no separate per-doc sizes agg joined back twice. */
   def q_dedup_jaccard(s: SparkSession, d: String): DataFrame = {
     val docShingle = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.ShingleHash.shingleArr(col("text"))).as("shingle"))
       .filter(col("doc_id").isNotNull && col("shingle").isNotNull)
       .distinct()
-    val sizes = docShingle.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val rare = docShingle.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 10))
       .select("shingle")
     val blocked = docShingle.hint("merge").join(rare, Seq("shingle"))
-    val pairs = blocked.select(col("shingle"), col("doc_id").as("doc_a"))
-      .hint("merge")
-      .join(blocked.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val inter = pairs
-      .join(docShingle.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(docShingle.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"),
-        round(col("n_inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("n_inter")), 6).as("jaccard"))
+    val pairs = blocked.groupBy("shingle")
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .select(explode(
+        flatten(transform(col("docs"), (a, i) =>
+          transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    val melt = pairs.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    // docShingle is distinct per (doc, shingle), so each (pair, shingle)
+    // appears once per side: cnt per shingle ∈ {1, 2}, 2 ⇔ shared
+    melt.join(docShingle, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b", "shingle").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_union"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("tot") - col("n_union")).as("n_inter"),
+        round((col("tot") - col("n_union")).cast("double") / col("n_union"), 6)
+          .as("jaccard"))
       .orderBy("doc_a", "doc_b")
       .limit(5000)
   }
