@@ -589,6 +589,18 @@ object Oracles {
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin,
 
+    "q_text_contamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, source, t,
+        |        unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i FROM toks),
+        |gr AS (SELECT DISTINCT doc_id, source, array_to_string(t[i:i+7], ' ') AS g FROM idx),
+        |bench AS (SELECT doc_id AS bench_id, g FROM gr WHERE source = 'src0'),
+        |corpus AS (SELECT doc_id, g FROM gr WHERE source <> 'src0')
+        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+        |FROM corpus c JOIN bench b USING (g)
+        |GROUP BY c.doc_id, b.bench_id
+        |ORDER BY doc_id, bench_id LIMIT 5000""".stripMargin,
+
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |sig AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM tok),

@@ -187,6 +187,34 @@ object TextOps {
       .limit(5000)
   }
 
+  /** Eval-set decontamination — the training-pipeline staple: find corpus
+    * documents sharing any long n-gram (8 words here) with a benchmark
+    * split, so contaminated training docs can be dropped before a model
+    * sees eval data. Benchmark = source 'src0'; corpus = every other
+    * source; reports shared-8-gram counts per (corpus doc, benchmark doc).
+    *
+    * Scale stance: the benchmark side is an eval set — thousands of docs,
+    * not billions — so it is explicitly `broadcast()`: the corpus side
+    * (the 100 TB side) streams through a map-side hash join with NO
+    * shuffle of corpus n-grams by join key, and the per-pair groupBy is
+    * partial-agg friendly. 8-gram granularity keeps fan-out tiny: long
+    * n-grams are nearly unique, so a corpus gram matches ≈0 or 1 benchmark
+    * docs (the standard n-gram-overlap decontamination design). */
+  def q_text_contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def grams(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs),
+        explode(graft.functions.ShingleHash.ngramArr(col("text"), 8)).as("g"))
+      .distinct()
+    val bench = grams(docs.filter(col("source") === "src0"), "bench_id")
+    val corpus = grams(docs.filter(col("source") =!= "src0"), "doc_id")
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id", "bench_id")
+      .limit(5000)
+  }
+
   /** SimHash dedup buckets: 64-bit SimHash over the doc's tokens (with
     * multiplicity), split into 4 bands of 16 bits — docs sharing any
     * (band, bucket) are near-dup candidates at Hamming distance <= 3.
