@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.graph.{GraphGen, GraphOps}
+
+/** Iterative-graph scale demo on the same deterministic power-law synthetic
+  * RunSynth fits: connected components (hash-min label propagation with the
+  * label-sum fixpoint witness) and PageRank, timed at ~1M nodes — the two
+  * O(iterations × |E|) algorithms whose per-round lineage/planning behavior
+  * only misbehaves at scale (the exponential-stats class of bug the BigCLAM
+  * loop hit).
+  *
+  *   runMain graft.RunGraphScale <nNodes> <nEdges> [prIters=5]
+  */
+object RunGraphScale {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: RunGraphScale <nNodes> <nEdges> [prIters=5]")
+      sys.exit(2)
+    }
+    val Array(nNodes, nEdges) = args.take(2).map(_.toLong)
+    val prIters = args.lift(2).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    def secs = (System.nanoTime() - t0) / 1e9
+    val edges = GraphOps.symEdges(GraphGen.powerLawEdges(spark, nNodes, nEdges))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    println(f"[graphscale] ${edges.count()} directed edge rows ($secs%.0f s)")
+
+    val tCc = System.nanoTime()
+    val cc = GraphOps.connectedComponents(edges)
+    val comps = cc.groupBy("comp").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_comps"), max(col("sz")).as("giant")).collect()(0)
+    println(f"[graphscale] CC: ${comps.getLong(0)} components, giant=${comps.getLong(1)} " +
+      f"(${(System.nanoTime() - tCc) / 1e9}%.0f s)")
+
+    val tPr = System.nanoTime()
+    val pr = GraphOps.pageRank(edges, prIters)
+    val stats = pr.agg(sum(col("pr")).as("mass"), max(col("pr")).as("top")).collect()(0)
+    println(f"[graphscale] PageRank($prIters): mass=${stats.getDouble(0)}%.4f " +
+      f"top=${stats.getDouble(1)}%.6f (${(System.nanoTime() - tPr) / 1e9}%.0f s)")
+    println(f"[graphscale] total $secs%.0f s")
+    spark.stop()
+  }
+}
