@@ -589,6 +589,18 @@ object Oracles {
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin,
 
+    "q_text_pack" ->
+      """WITH t AS (SELECT source, doc_id % 4 AS shard, doc_id,
+        |             len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT source, shard, doc_id, n_tok,
+        |      coalesce(sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM t)
+        |SELECT source, shard, CAST(floor(cum_before / 512.0) AS BIGINT) AS bin,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY source, shard, bin
+        |ORDER BY source, shard, bin""".stripMargin,
+
     "q_text_contamination" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
         |idx AS (SELECT doc_id, source, t,

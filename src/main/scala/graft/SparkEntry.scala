@@ -102,6 +102,7 @@ object SparkEntry {
     "q_dedup_shingle" -> TextOps.q_dedup_shingle,
     "q_dedup_jaccard" -> TextOps.q_dedup_jaccard,
     "q_text_contamination" -> TextOps.q_text_contamination,
+    "q_text_pack" -> TextOps.q_text_pack,
     "q_dedup_simhash" -> TextOps.q_dedup_simhash,
     "q_minhash_lsh" -> TextOps.q_minhash_lsh,
     // LLM-pipeline: text analysis

@@ -187,6 +187,32 @@ object TextOps {
       .limit(5000)
   }
 
+  /** Greedy sample packing — the pre-training step that concatenates
+    * documents into fixed-size token contexts (512 here): each doc lands in
+    * the context bin where its running token total starts, and the output
+    * reports per-bin document and token counts. Deterministic: docs pack in
+    * doc_id order within a (source, shard) stream.
+    *
+    * Scale stance: the window partitions by (source, shard), not source
+    * alone — source cardinality is bounded (~20), so a source-only window
+    * would funnel a 100 TB corpus through ~20 single-task sorts. The shard
+    * column (doc_id mod 4 here; thousands in production) is the explicit
+    * parallelism knob packing pipelines use: packing quality is per-stream
+    * greedy either way, and each stream sorts independently. */
+  def q_text_pack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("source"), pmod(col("doc_id"), lit(4)).as("shard"),
+        col("doc_id"), size(toks(col("text"))).as("n_tok"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / lit(512.0)).cast("bigint"))
+      .groupBy("source", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("source", "shard", "bin")
+  }
+
   /** Eval-set decontamination — the training-pipeline staple: find corpus
     * documents sharing any long n-gram (8 words here) with a benchmark
     * split, so contaminated training docs can be dropped before a model
