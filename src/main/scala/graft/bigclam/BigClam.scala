@@ -52,9 +52,6 @@ object BigClam {
   private def clipP(c: Column, p: Params): Column =
     least(greatest(c, lit(p.minP)), lit(p.maxP))
 
-  private def clipF(arr: Column, p: Params): Column =
-    transform(arr, x => least(greatest(x, lit(p.minF)), lit(p.maxF)))
-
   private def litArr(a: Array[Double]): Column = array(a.map(lit).toIndexedSeq: _*)
 
   /** Eager localCheckpoint + stats reset — the per-iteration lineage cut.
@@ -205,43 +202,35 @@ object BigClam {
     val sumFc = litArr(sumF)
     val vsum = udaf(VectorOps.ArraySumAgg)
     val fv = f.select(col("id").as("dst"), col("f").as("fv"))
-    val fnewAt = (t: Column) =>
-      clipF(zip_with(col("fu"), col("grad"), (x, g) => x + t * g), p)
     // gnorm2 = ‖P(∇)‖² = 0 ⟺ every dim is pinned or flat ⟺ fnew ≡ fu at any
     // step: those nodes cannot move, so skip their whole line search (on a
     // near-zero init that prunes almost every node from the |E|-row join)
     val live = state.filter(col("gnorm2") > lit(0.0))
-    // per edge: neighbor LLH term of every candidate step, one array
+    // per edge: neighbor LLH term of every candidate step, one array — a
+    // native kernel, like the sparse path: the HOF form rebuilt a K-wide
+    // interpreted zip_with per step per EDGE (16·K boxed evals/edge)
     val termArrays = edges
       .join(live.select(col("id").as("src"), col("fu"), col("grad")), "src")
       .join(fv, "dst")
       .select(col("src"),
-        transform(stepsLit, t => {
-          val dotv = dot(fnewAt(t), col("fv"))
-          val pc = clipP(exp(-dotv), p)
-          log(lit(1.0) - pc) + dotv
-        }).as("terms"))
+        graft.functions.DenseStepTermsExpr.terms(
+          col("fu"), col("grad"), col("fv"), stepsLit,
+          p.minF, p.maxF, p.minP, p.maxP).as("terms"))
     val neighLlh = termArrays.groupBy(col("src").as("id"))
       .agg(vsum(col("terms")).as("llh_neigh_new"))
     // per node: candidate background term uses sumF adjusted for this
     // node's own move: −fnew·(sumF − fu + fnew) + fnew·fnew =
     // −fnew·sumF + fnew·fu (reference: sfT = sumF − fu + newfu,
     // Bigclamv2.scala:141). Accept iff the Armijo bound holds; take the
-    // first (largest-t) accepted index.
+    // first (largest-t) accepted step — the whole selection is one native
+    // kernel returning the accepted row or NULL (node stays put).
     live.select(col("id"), col("fu"), col("grad"), col("llh"), col("gnorm2"))
       .join(neighLlh, Seq("id"))
-      .withColumn("bi",
-        // try_element_at: NULL (not an ANSI error) when no step is accepted
-        try_element_at(
-          filter(sequence(lit(1), lit(steps.length)), i => {
-            val t = element_at(stepsLit, i)
-            val fnew = fnewAt(t)
-            val llhNew =
-              element_at(col("llh_neigh_new"), i) - dot(fnew, sumFc) + dot(fnew, col("fu"))
-            llhNew >= col("llh") + lit(p.alpha) * t * col("gnorm2")
-          }), lit(1)))
-      .filter(col("bi").isNotNull)
-      .select(col("id"), fnewAt(element_at(stepsLit, col("bi"))).as("fnew"))
+      .withColumn("fnew", graft.functions.DenseLineStepExpr.step(
+        col("fu"), col("grad"), col("llh_neigh_new"), stepsLit, sumFc,
+        col("llh"), col("gnorm2"), p.alpha, p.minF, p.maxF))
+      .filter(col("fnew").isNotNull)
+      .select(col("id"), col("fnew"))
   }
 
   /** Per-node (llh, gradient, ‖∇‖²) at the current F — the distributed
