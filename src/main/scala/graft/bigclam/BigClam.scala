@@ -313,9 +313,6 @@ object BigClam {
     a
   }
 
-  private val emptyGm =
-    map_from_arrays(array().cast("array<int>"), array().cast("array<double>"))
-
   /** Sparse per-node fit state: (id, ui, uv, llh, gi, gv, gnorm2).
     *
     * The gradient is kept SPARSE on support(fu) ∪ {dims touched by a
@@ -339,7 +336,9 @@ object BigClam {
       .groupBy(col("src").as("id"))
       .agg(first(col("ui")).as("ui"), first(col("uv")).as("uv"),
         sum(log(lit(1.0) - col("pc")) + col("dotv")).as("llh_neigh"))
-    // neighbor-gradient: only non-zero (node, dim) entries shuffle
+    // neighbor-gradient: only non-zero (node, dim) entries shuffle; the two
+    // collect_lists aggregate in the same row order, so (gk, gvs) stay
+    // aligned (the previous map_from_arrays form relied on the same fact)
     val gradEntries = pairs
       .select(col("src").as("id"),
         explode(arrays_zip(col("vi"), col("vv"))).as("e"),
@@ -347,52 +346,32 @@ object BigClam {
       .select(col("id"), col("e.vi").as("dim"), (col("e.vv") * col("coef")).as("g"))
       .groupBy("id", "dim").agg(sum(col("g")).as("g"))
       .groupBy("id")
-      .agg(map_from_arrays(collect_list(col("dim")), collect_list(col("g"))).as("gm"))
-    val mu = map_from_arrays(col("ui"), col("uv"))
+      .agg(collect_list(col("dim")).as("gk"), collect_list(col("g")).as("gvs"))
     val muDotSumF = aggregate(
       zip_with(col("ui"), col("uv"), (i, v) => v * element_at(sumFc, i + 1)),
       lit(0.0), (acc, x) => acc + x)
     val muDotMu = aggregate(col("uv"), lit(0.0), (acc, x) => acc + x * x)
     // left join: a node whose neighbors all carry empty F still has state
     // (its gradient is −sumF + fu on the support) — dropping it would drop
-    // its llh from the history the dense fit reports
-    // per support dim: (index, gradient value, fu value); the projection
-    // (projGrad, dense path) zeroes dims pinned at a bound against the
-    // gradient — those also drop out of the sparse step entries, since the
-    // clip would undo their move anyway
-    val projected = (s: Column) =>
-      when((s.getField("a") <= lit(p.minF) && s.getField("v") < lit(0.0)) ||
-           (s.getField("a") >= lit(p.maxF) && s.getField("v") > lit(0.0)), lit(0.0))
-        .otherwise(s.getField("v"))
+    // its llh from the history the dense fit reports.
+    // The whole per-node gradient-state block (support union, the
+    // (g − sumF) + fu values, the feasible-direction projection that also
+    // drops natural zeros, the optional top-m support cap — still a true
+    // ascent direction, and gnorm2 MUST be the post-prune norm for the
+    // Armijo bound to match the step taken — and Σv²) is one native kernel:
+    // the HOF form probed a per-row map via linear-scan element_at inside
+    // an interpreted lambda, O(nnz²) boxed evals per node.
     llhPart.join(gradEntries, Seq("id"), "left")
-      .withColumn("gmc", coalesce(col("gm"), emptyGm))
-      .withColumn("graw",
-        transform(array_sort(array_union(col("ui"), map_keys(col("gmc")))), i =>
-          struct(i.as("i"),
-            (coalesce(element_at(col("gmc"), i), lit(0.0)) - element_at(sumFc, i + 1) +
-              coalesce(element_at(mu, i), lit(0.0))).as("v"),
-            coalesce(element_at(mu, i), lit(0.0)).as("a"))))
+      .withColumn("st", graft.functions.SparseGradStateExpr.grad(
+        col("ui"), col("uv"),
+        coalesce(col("gk"), array().cast("array<int>")),
+        coalesce(col("gvs"), array().cast("array<double>")),
+        sumFc, p.minF, p.maxF, supportCap.getOrElse(-1)))
       .select(col("id"), col("ui"), col("uv"),
         (col("llh_neigh") - muDotSumF + muDotMu).as("llh"),
-        // keep only feasible directions: for kept entries projected(s) == v
-        filter(col("graw"), s => projected(s) =!= 0.0).as("ge"))
-      // support cap (the v3 scale knob): ascend along only the `m`
-      // largest-|g| feasible coordinates. Still a true ascent direction —
-      // the directional derivative along the pruned step is exactly the
-      // pruned Σg², so gnorm2 MUST be computed after the prune for the
-      // Armijo bound to stay consistent with the step actually taken.
-      .withColumn("ge", supportCap.fold(col("ge")) { m =>
-        transform(
-          SparseF.topMByMagnitude(
-            transform(col("ge"), s => s.getField("i")),
-            transform(col("ge"), s => s.getField("v")), m),
-          s => struct(s.getField("i").as("i"), s.getField("v").as("v")))
-      })
-      .select(col("id"), col("ui"), col("uv"), col("llh"),
-        transform(col("ge"), s => s.getField("i")).as("gi"),
-        transform(col("ge"), s => s.getField("v")).as("gv"),
-        aggregate(col("ge"), lit(0.0),
-          (acc, s) => acc + s.getField("v") * s.getField("v")).as("gnorm2"))
+        col("st").getField("gi").as("gi"),
+        col("st").getField("gv").as("gv"),
+        col("st").getField("gnorm2").as("gnorm2"))
   }
 
   /** Armijo backtracking on sparse rows — same shuffle shape as the dense

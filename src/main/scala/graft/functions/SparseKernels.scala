@@ -184,6 +184,78 @@ object SparseKernels {
     null
   }
 
+  /** Per-node sparse gradient state — the graw/filter/cap/gnorm2 block of
+    * `nodeStateSparse` as one loop. Support = sorted union of support(fu)
+    * and the neighbor-gradient dims; per dim d:
+    * v = (g_neigh(d) − sumF[d]) + fu(d) (that float association, exactly
+    * like the HOF), kept unless pinned-at-a-bound-against-v OR v == 0
+    * (the HOF's `projected(s) =!= 0.0` drops natural zeros too). With
+    * cap m ≥ 0: keep the m largest by (|v| desc, index asc), re-sorted by
+    * index. gnorm2 = Σv² over the kept entries in ascending-index order.
+    *
+    * Replaces a transform whose per-element `element_at(map, i)` probes
+    * were linear scans of a per-row MapData plus an interpreted lambda —
+    * O(nnz²) boxed evals per node, the same pathology [[lineStep]] fixed
+    * in the line search. */
+  def sparseGradState(ui: ArrayData, uv: ArrayData, gk: ArrayData, gvs: ArrayData,
+      sumF: ArrayData, minF: Double, maxF: Double, cap: Int): InternalRow = {
+    val ng = gk.numElements()
+    // gradient dims arrive in collect_list order — sort (keys are unique)
+    val ks = new Array[Int](ng)
+    val vs = new Array[Double](ng)
+    var i = 0
+    while (i < ng) { ks(i) = gk.getInt(i); vs(i) = gvs.getDouble(i); i += 1 }
+    // insertion sort by key: ng is a node's neighbor-dim count, small
+    i = 1
+    while (i < ng) {
+      val k = ks(i); val v = vs(i)
+      var j = i - 1
+      while (j >= 0 && ks(j) > k) { ks(j + 1) = ks(j); vs(j + 1) = vs(j); j -= 1 }
+      ks(j + 1) = k; vs(j + 1) = v
+      i += 1
+    }
+    val nu = ui.numElements()
+    val ki = new Array[Int](nu + ng)
+    val kv = new Array[Double](nu + ng)
+    var iu = 0
+    var ig = 0
+    var nk = 0
+    while (iu < nu || ig < ng) {
+      val du = if (iu < nu) ui.getInt(iu) else Int.MaxValue
+      val dg = if (ig < ng) ks(ig) else Int.MaxValue
+      val d = if (du < dg) du else dg
+      val a = if (du == d) uv.getDouble(iu) else 0.0
+      val g = if (dg == d) vs(ig) else 0.0
+      val v = (g - sumF.getDouble(d)) + a
+      val pinned = (a <= minF && v < 0.0) || (a >= maxF && v > 0.0)
+      if (!pinned && v != 0.0) { ki(nk) = d; kv(nk) = v; nk += 1 }
+      if (du == d) iu += 1
+      if (dg == d) ig += 1
+    }
+    var n = nk
+    if (cap >= 0 && nk > cap) {
+      // order kept entries by (|v| desc, index asc), take cap, restore
+      // index order — the topMByMagnitude contract
+      val order = Array.range(0, nk).sortBy(j => (-StrictMath.abs(kv(j)), ki(j)))
+      val sel = java.util.Arrays.copyOf(order, cap)
+      java.util.Arrays.sort(sel)
+      val si = new Array[Int](cap)
+      val sv = new Array[Double](cap)
+      var j = 0
+      while (j < cap) { si(j) = ki(sel(j)); sv(j) = kv(sel(j)); j += 1 }
+      System.arraycopy(si, 0, ki, 0, cap)
+      System.arraycopy(sv, 0, kv, 0, cap)
+      n = cap
+    }
+    var gnorm2 = 0.0
+    i = 0
+    while (i < n) { gnorm2 += kv(i) * kv(i); i += 1 }
+    InternalRow(
+      new GenericArrayData(java.util.Arrays.copyOf(ki, n)),
+      new GenericArrayData(java.util.Arrays.copyOf(kv, n)),
+      gnorm2)
+  }
+
   /** Dense variant of [[stepTerms]]: per-edge candidate line-search terms
     * over length-K arrays — the v2 dense path's per-edge hot loop (16 steps
     * × a K-wide interpreted `zip_with` per edge before this existed).
@@ -443,6 +515,66 @@ object SparseLineStepExpr {
       Bridge.expression(terms), Bridge.expression(steps),
       Bridge.expression(sumF), Bridge.expression(llh),
       Bridge.expression(gnorm2), alpha, minF, maxF))
+}
+
+/** Native per-node sparse gradient state (see
+  * [[SparseKernels.sparseGradState]]): STRUCT<gi ARRAY<INT>,
+  * gv ARRAY<DOUBLE>, gnorm2 DOUBLE> — the feasible (optionally capped)
+  * gradient support and its projected norm. */
+case class SparseGradStateExpr(ui: Expression, uv: Expression,
+    gk: Expression, gvs: Expression, sumF: Expression,
+    minF: Double, maxF: Double, cap: Int)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(ui, uv, gk, gvs, sumF)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SparseKernels.checkIdxVal(Seq((ui, uv), (gk, gvs)), prettyName) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        sumF.dataType match {
+          case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+          case t => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects ARRAY<DOUBLE> sumF, got ${t.catalogString}")
+        }
+      case fail => fail
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("gi", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("gv", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("gnorm2", DoubleType, nullable = false)))
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "sparse_grad_state"
+
+  override def eval(input: InternalRow): Any = {
+    val vals = new Array[AnyRef](5)
+    var i = 0
+    while (i < 5) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vals(i) = v.asInstanceOf[AnyRef]
+      i += 1
+    }
+    SparseKernels.sparseGradState(
+      vals(0).asInstanceOf[ArrayData], vals(1).asInstanceOf[ArrayData],
+      vals(2).asInstanceOf[ArrayData], vals(3).asInstanceOf[ArrayData],
+      vals(4).asInstanceOf[ArrayData], minF, maxF, cap)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SparseGradStateExpr =
+    copy(ui = newChildren(0), uv = newChildren(1), gk = newChildren(2),
+      gvs = newChildren(3), sumF = newChildren(4))
+}
+
+object SparseGradStateExpr {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def grad(ui: Column, uv: Column, gk: Column, gvs: Column, sumF: Column,
+      minF: Double, maxF: Double, cap: Int): Column =
+    Bridge.column(SparseGradStateExpr(
+      Bridge.expression(ui), Bridge.expression(uv),
+      Bridge.expression(gk), Bridge.expression(gvs),
+      Bridge.expression(sumF), minF, maxF, cap))
 }
 
 /** Native dense per-edge candidate-step terms (see
