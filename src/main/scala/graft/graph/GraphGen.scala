@@ -44,4 +44,47 @@ object GraphGen {
       .filter(col("src") =!= col("dst"))
       .distinct()
   }
+
+  /** Planted-partition graph: `nCommunities` contiguous equal blocks of
+    * [0, nNodes), `intraEdges` draws whose endpoints land inside one
+    * (hash-chosen) block and `interEdges` uniform noise draws across the
+    * whole id space. The planted assignment is the ground truth the
+    * community-recovery loop (fit → `communities` → `scoreCommunities`)
+    * is measured against — the synthetic stand-in for SNAP's
+    * `com-*.all.cmty.txt` files the reference's datasets ship with
+    * (offline container). Deterministic in (nNodes, nCommunities,
+    * intraEdges, interEdges, seed) by the same edge-index-hash
+    * construction as [[powerLawEdges]]; same output convention (single
+    *-direction rows, self-loops dropped, duplicate draws collapsed).
+    */
+  def plantedPartitionEdges(s: SparkSession, nNodes: Long, nCommunities: Int,
+      intraEdges: Long, interEdges: Long, seed: Long = 42L): DataFrame = {
+    require(nNodes >= nCommunities && nCommunities >= 1, "need nNodes >= nCommunities >= 1")
+    require(intraEdges > 0, "need at least one intra-community edge draw")
+    require(interEdges >= 0, "inter-community edge draws must be >= 0")
+    val blockSize = (nNodes + nCommunities - 1) / nCommunities
+    def h(salt: Int) = xxhash64(col("id"), lit(seed), lit(salt))
+    // intra draw: pick a block, then two uniform offsets within it (the last
+    // block can be short when nCommunities does not divide nNodes)
+    val block = pmod(h(10), lit(nCommunities.toLong))
+    val start = block * lit(blockSize)
+    val size = least(lit(blockSize), lit(nNodes) - start)
+    val intra = s.range(intraEdges).select(
+      (start + pmod(h(11), size)).as("src"),
+      (start + pmod(h(12), size)).as("dst"))
+    val inter = s.range(interEdges).select(
+      pmod(h(13), lit(nNodes)).as("src"),
+      pmod(h(14), lit(nNodes)).as("dst"))
+    intra.unionAll(inter)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** The ground-truth (community, node) assignment matching
+    * [[plantedPartitionEdges]]' blocks, in `scoreCommunities`' truth shape. */
+  def plantedTruth(s: SparkSession, nNodes: Long, nCommunities: Int): DataFrame = {
+    val blockSize = (nNodes + nCommunities - 1) / nCommunities
+    s.range(nNodes).select(
+      expr(s"id DIV $blockSize").as("community"), col("id").as("node"))
+  }
 }

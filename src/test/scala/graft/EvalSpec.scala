@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.bigclam.BigClam
-import graft.graph.GraphOps
+import graft.graph.{GraphGen, GraphOps}
 
 /** Ground-truth community evaluation: symmetric average best-match F1
   * (the AGM/BigCLAM metric) must score an identical cover exactly 1.0, a
@@ -71,6 +71,31 @@ class EvalSpec extends AnyFunSuite {
     assert(byCommunity.values.toSet ==
       Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L), Set(7L, 8L, 9L, 10L)))
     assert(loaded.size == 10)
+  }
+
+  test("end-to-end planted-community recovery: fitSparse recovers a dense planted partition") {
+    // 600 nodes in 4 planted 150-node blocks, dense intra (15k draws) plus
+    // 300 cross-block noise draws: the full production path (plantedPartition
+    // -> seedRank -> fitSparse -> communities -> scoreCommunities) recovered
+    // this fixture at F1 = 1.0 when probed standalone; assert comfortable
+    // margin so legitimate kernel changes don't flake the suite
+    val edges = GraphOps.symEdges(
+      GraphGen.plantedPartitionEdges(s, 600, 4, 15000, 300)).cache()
+    val ranked = GraphOps.seedRank(edges, Some(200L))
+    val p = BigClam.Params(k = 4)
+    val (fs, history) = BigClam.fitSparse(edges, p, iterations = 12,
+      ranked = Some(ranked), supportCap = Some(16))
+    // per-node Armijo steps applied Jacobi-style (all nodes at once) are
+    // monotone per coordinate block but only empirically monotone jointly;
+    // allow sub-percent dips while requiring real overall ascent
+    history.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - a.abs * 0.01, s"LLH step dropped >1%: $a -> $b in $history")
+    }
+    assert(history.last > history.head, s"no LLH ascent: $history")
+    val fitted = BigClam.communities(BigClam.toDenseF(fs, p.k), edges, p)
+    val score = f1Of(fitted, GraphGen.plantedTruth(s, 600, 4))
+    assert(score > 0.9, s"planted recovery degraded: F1 = $score")
+    edges.unpersist()
   }
 
   test("scoring a real fit against connected components lands in (0, 1]") {

@@ -42,4 +42,27 @@ class GraphGenSpec extends AnyFunSuite {
     assert(top < 100, s"max-degree node should be a low id, got $top")
     e.unpersist(); deg.unpersist()
   }
+
+  test("planted partition: deterministic, in-range, intra edges stay in-block") {
+    val a = GraphGen.plantedPartitionEdges(s, 1000, 4, 5000, 0).cache()
+    // with zero inter draws every edge must stay inside its 250-id block
+    assert(a.filter(expr("src DIV 250") =!= expr("dst DIV 250")).count() == 0)
+    assert(a.filter(col("src") === col("dst")).count() == 0)
+    assert(a.filter(col("src") < 0 || col("src") >= 1000
+      || col("dst") < 0 || col("dst") >= 1000).count() == 0)
+    val h = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(expr("bit_xor(xxhash64(src, dst))")).collect()(0).getLong(0)
+    assert(h(GraphGen.plantedPartitionEdges(s, 1000, 4, 5000, 200)) ==
+      h(GraphGen.plantedPartitionEdges(s, 1000, 4, 5000, 200)))
+    assert(h(GraphGen.plantedPartitionEdges(s, 1000, 4, 5000, 200)) !=
+      h(GraphGen.plantedPartitionEdges(s, 1000, 4, 5000, 200, seed = 7L)))
+    // noise draws do cross blocks
+    val b = GraphGen.plantedPartitionEdges(s, 1000, 4, 5000, 500)
+    assert(b.filter(expr("src DIV 250") =!= expr("dst DIV 250")).count() > 0)
+    a.unpersist()
+    // truth shape: every node exactly once, communities 0..3
+    val t = GraphGen.plantedTruth(s, 1000, 4)
+    assert(t.count() == 1000 && t.select("node").distinct().count() == 1000)
+    assert(t.select("community").distinct().count() == 4)
+  }
 }
