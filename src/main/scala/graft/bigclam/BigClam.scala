@@ -759,8 +759,13 @@ object BigClam {
     * Known-answer behavior (identity cover ⇒ 1.0, shuffled ⇒ low, SNAP file
     * round-trip) is pinned in EvalSpec. One scalar row. */
   def bigclam_eval_smoke(s: SparkSession, d: String): DataFrame = {
-    val truth = GraphOps.connectedComponents(smokeEdges(s, d))
-      .select(col("comp").as("community"), col("node"))
+    // the iterative CC fixpoint is the dominant cost and, like the fit, is
+    // pure MODEL STATE for the session — memoize it; the F1 scoring joins
+    // stay live per call like the other smoke consumers' artifacts
+    val truth = smokeCached(s, d, "cc-truth") {
+      GraphOps.connectedComponents(smokeEdges(s, d))
+        .select(col("comp").as("community"), col("node"))
+    }
     scoreCommunities(bigclam_communities(s, d), truth)
       .select(round(col("f1"), 6).as("f1"),
         round(col("f1_fitted_best"), 6).as("f1_fitted_best"),
