@@ -21,12 +21,14 @@ object RunPlanted {
   def main(args: Array[String]): Unit = {
     if (args.length < 5) {
       System.err.println("usage: RunPlanted <nNodes> <nCommunities> " +
-        "<intraEdges> <interEdges> <iterations> [supportCap=16] [hotDegCap=200]")
+        "<intraEdges> <interEdges> <maxIterations> [supportCap=16] " +
+        "[hotDegCap=200] [stableTol — e.g. 0.01 stops at <1% argmax churn]")
       sys.exit(2)
     }
     val Array(nNodes, nComms, intra, inter, iters) = args.take(5).map(_.toLong)
     val cap = args.lift(5).map(_.toInt).getOrElse(16)
     val hotCap = args.lift(6).map(_.toLong).getOrElse(200L)
+    val stableTol = args.lift(7).map(_.toDouble)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -49,7 +51,7 @@ object RunPlanted {
 
     val p = BigClam.Params(k = nComms.toInt)
     val (fs, history) = BigClam.fitSparse(edges, p, iterations = iters.toInt,
-      ranked = Some(ranked), supportCap = Some(cap))
+      ranked = Some(ranked), supportCap = Some(cap), stableTol = stableTol)
     val f = BigClam.toDenseF(fs, p.k).persist(StorageLevel.MEMORY_AND_DISK)
     println(f"[planted] fit done ($secs%.0f s); " +
       s"LLH ${history.map(v => f"$v%.4e").mkString(" -> ")}")

@@ -453,13 +453,23 @@ object BigClam {
     * real subgraph). */
   def fitSparse(edges: DataFrame, p: Params, iterations: Int,
       trackHistory: Boolean = true, ranked: Option[DataFrame] = None,
-      supportCap: Option[Int] = None): (DataFrame, Seq[Double]) = {
+      supportCap: Option[Int] = None,
+      stableTol: Option[Double] = None): (DataFrame, Seq[Double]) = {
     // cap >= K can't prune anything: use the uncapped path so "no-op cap"
     // means bit-identical, not merely value-close (float op order matters)
     val cap = supportCap.filter(_ < p.k)
     var f = checkpointF(capF(initSparse(edges, p, ranked), cap))
+    // membership-stability stop rule (the 100k planted-recovery lesson:
+    // recovery converges later than LLH, so the stop observable is argmax
+    // membership churn, not the LLH delta): halt once the fraction of nodes
+    // whose argmax community moved this iteration drops below stableTol.
+    // One row per node in F (initSparse joins on degrees), so count once.
+    val nNodes = stableTol.fold(0L)(_ => f.count())
     val history = scala.collection.mutable.ArrayBuffer[Double]()
-    for (it <- 1 to iterations) {
+    var it = 0
+    var stop = false
+    while (!stop && it < iterations) {
+      it += 1
       val t0 = System.nanoTime()
       val sf = sumFSparse(f, p)
       val state = nodeStateSparse(edges, f, sf, p, cap)
@@ -474,6 +484,22 @@ object BigClam {
         .select(col("id"),
           coalesce(col("fi_new"), col("fi")).as("fi"),
           coalesce(col("fv_new"), col("fv")).as("fv")), cap))
+      stop = stableTol.exists { tol =>
+        // churn is read off the two CHECKPOINTED frames, projected to
+        // (id, argmax) before the join — two longs per node of shuffle, and
+        // the fit's own plan is untouched (persisting the line-search output
+        // for this count instead would reorder the checkpoint's rows and
+        // drift the float-sum LLH by an ulp; PropertySpec pins bit-equality
+        // with the untracked fit)
+        def am(df: DataFrame) = df.select(col("id"),
+          SparseF.argmaxIndex(col("fi"), col("fv")).as("am"))
+        val changed = am(f).join(am(next).withColumnRenamed("am", "am2"), Seq("id"))
+          .filter(col("am") =!= col("am2")).count()
+        val frac = changed.toDouble / math.max(nNodes, 1L)
+        System.err.println(f"[bigclam] sparse iter $it membership churn: " +
+          f"$changed/$nNodes = $frac%.4f (stop < $tol)")
+        frac < tol
+      }
       state.unpersist()
       f = next
     }

@@ -58,6 +58,18 @@ object SparseF {
     array_sort(picked)
   }
 
+  /** Community index of the row's largest factor value (first max — with
+    * `fi` sorted ascending, the lowest community id wins ties); −1 for a
+    * row with no support. This is the membership observable behind the
+    * stability stop rule: the 100k-node planted recovery showed argmax
+    * membership keeps moving long after the LLH curve flattens (F1 0.077 at
+    * 8 iterations vs 0.854 at 20 despite <2%/iter LLH gains), so community
+    * fits should stop on the stability of THIS value, not on LLH deltas. */
+  def argmaxIndex(indices: Column, values: Column): Column =
+    coalesce(
+      element_at(indices, array_position(values, array_max(values)).cast("int")),
+      lit(-1))
+
   /** Sparse·sparse dot product: walk the shorter side, probe the other via
     * a map literal — O(nnz) per row, null-safe on missing keys (replaces
     * the reference's try/catch Flookup, bigclamv3-7.scala:94-104). */

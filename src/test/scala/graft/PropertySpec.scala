@@ -127,6 +127,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("argmaxIndex: first max wins ties via ascending fi; empty support is -1") {
+    import s.implicits._
+    val rows = Seq(
+      (Seq(1, 4, 7), Seq(0.5, 2.0, 1.0), 4),  // plain max
+      (Seq(2, 5, 9), Seq(3.0, 3.0, 1.0), 2),  // tie -> lowest community id
+      (Seq.empty[Int], Seq.empty[Double], -1) // no support
+    ).toDF("fi", "fv", "want")
+    val bad = rows.filter(
+      graft.bigclam.SparseF.argmaxIndex(col("fi"), col("fv")) =!= col("want"))
+    assert(bad.count() == 0, bad.collect().mkString(", "))
+  }
+
+  test("stableTol: tracking never perturbs the fit; a loose tolerance stops after one iteration") {
+    val (edges, _, _, _) = fixtures(11, 10)
+    val (fa, ha) = BigClam.fitSparse(edges, p, iterations = 3)
+    val (fb, hb) = BigClam.fitSparse(edges, p, iterations = 3,
+      stableTol = Some(0.0)) // churn fraction is never < 0 -> never stops
+    // the tracked run adds read-only jobs (count + churn joins), which can
+    // shift task completion order and with it the float-sum merge order of
+    // the LLH aggregations — compare at relative 1e-12 (ulp-class), the
+    // parity suite's convention for cross-run float reductions
+    def close(x: Double, y: Double) = math.abs(x - y) <= 1e-12 * math.abs(y)
+    assert(ha.size == hb.size && ha.zip(hb).forall((close _).tupled),
+      s"stability tracking changed the fit: $ha vs $hb")
+    val a = BigClam.toDenseF(fa, p.k).select("id", "f").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = BigClam.toDenseF(fb, p.k).select("id", "f").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a.keySet == b.keySet, "stability tracking changed F's node set")
+    for (id <- a.keys)
+      assert(a(id).zip(b(id)).forall { case (x, y) =>
+        math.abs(x - y) <= 1e-12 * math.max(1.0, math.abs(y)) },
+        s"stability tracking changed F at node $id: ${a(id)} vs ${b(id)}")
+    // churn fraction is always <= 1 < 1.5: stops after iteration 1 -> the
+    // tracked history is [llh before iter 1, final llh]
+    val (_, h1) = BigClam.fitSparse(edges, p, iterations = 3,
+      stableTol = Some(1.5))
+    assert(h1.size == 2, s"loose tolerance did not stop after 1 iteration: $h1")
+    assert(h1.zip(ha.take(2)).forall((close _).tupled),
+      s"early-stopped prefix diverged: $h1 vs $ha")
+  }
+
   test("fitSparse with supportCap >= K is exactly the uncapped fit") {
     val (edges, _, _, _) = fixtures(7, 10)
     val (fu, hu) = BigClam.fitSparse(edges, p, iterations = 3)
