@@ -9,13 +9,15 @@ import graft.bigclam.BigClam
   * gradient ascent with Armijo line search → threshold/argmax communities)
   * as one command:
   *
-  *   runMain graft.RunBigClam <edgeListPath> <K> <iterations> <outDir> [dense|sparse|sparse:<m>]
+  *   runMain graft.RunBigClam <edgeListPath> <K> <iterations> <outDir> [dense|sparse|sparse:<m>] [stableTol]
   *
   * e.g. the graph bundled with the reference:
   *   runMain graft.RunBigClam /root/reference/data/facebook_combined.txt 8 3 /tmp/fb_out
   * `sparse` runs the v3 large-K path (fitSparse) — same math, sparse rows.
   * `sparse:<m>` adds the per-row support cap (keep the m largest entries) —
   * the bounded-cost configuration for K in the thousands.
+  * `stableTol` (sparse modes only) stops early once the per-iteration argmax
+  * membership churn drops below the tolerance, making `iterations` a cap.
   */
 object RunBigClam {
   def main(args: Array[String]): Unit = {
@@ -37,7 +39,7 @@ object RunBigClam {
     val (f, history) =
       if (sparse) {
         val (fs, h) = BigClam.fitSparse(edges, p, iterations = itStr.toInt,
-          supportCap = supportCap)
+          supportCap = supportCap, stableTol = args.lift(5).map(_.toDouble))
         (BigClam.toDenseF(fs, p.k), h)
       } else BigClam.fit(edges, p, iterations = itStr.toInt)
     val com = BigClam.communities(f, edges, p)

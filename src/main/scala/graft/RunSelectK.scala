@@ -10,16 +10,22 @@ import graft.bigclam.BigClam
   * early-stop when the relative LLH gain drops below 1e-3, report the
   * chosen K and the full evaluated grid.
   *
-  *   runMain graft.RunSelectK <edgeListPath> <minK> <maxK> <steps> <fitIters>
-  */
+  *   runMain graft.RunSelectK <edgeListPath> <minK> <maxK> <steps> <fitIters> [dense|sparse:<m>] [stableTol]
+  *
+  * `sparse:<m>` walks the grid over the capped sparse fit — the reference's
+  * own published grid (K=1000→9000) is only reachable that way; `stableTol`
+  * further lets each grid point stop on membership stability. */
 object RunSelectK {
   def main(args: Array[String]): Unit = {
     if (args.length < 5) {
-      System.err.println(
-        "usage: runMain graft.RunSelectK <edgeListPath> <minK> <maxK> <steps> <fitIters>")
+      System.err.println("usage: runMain graft.RunSelectK <edgeListPath> " +
+        "<minK> <maxK> <steps> <fitIters> [dense|sparse:<m>] [stableTol]")
       sys.exit(2)
     }
     val Array(path, minK, maxK, steps, iters) = args.take(5)
+    val mode = args.lift(5).getOrElse("dense")
+    val supportCap = if (mode.startsWith("sparse:")) Some(mode.drop(7).toInt) else None
+    val stableTol = args.lift(6).map(_.toDouble)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -30,9 +36,16 @@ object RunSelectK {
     val t0 = System.nanoTime()
     val edges = GraphOps.symEdges(GraphOps.loadEdgeList(spark, path)).cache()
     val nEdges = edges.count()
-    val (bestK, _, grid) = BigClam.selectK(edges, BigClam.Params(k = minK.toInt),
-      minK = minK.toInt, maxK = maxK.toInt, steps = steps.toInt,
-      fitIterations = iters.toInt)
+    val (bestK, _, grid) =
+      if (mode.startsWith("sparse"))
+        BigClam.selectKSparse(edges, BigClam.Params(k = minK.toInt),
+          minK = minK.toInt, maxK = maxK.toInt, steps = steps.toInt,
+          fitIterations = iters.toInt, supportCap = supportCap,
+          stableTol = stableTol)
+      else
+        BigClam.selectK(edges, BigClam.Params(k = minK.toInt),
+          minK = minK.toInt, maxK = maxK.toInt, steps = steps.toInt,
+          fitIterations = iters.toInt)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[selectk] $path: $nEdges directed edges, grid " +
       s"${grid.map(_._1).mkString("{", ",", "}")} ($iters iters each) " +

@@ -26,11 +26,13 @@ object RunSynth {
   def main(args: Array[String]): Unit = {
     if (args.length < 5) {
       System.err.println(
-        "usage: RunSynth <nNodes> <nEdges> <K> <iterations> <supportCap> [hotDegCap=200]")
+        "usage: RunSynth <nNodes> <nEdges> <K> <maxIterations> <supportCap> " +
+          "[hotDegCap=200] [stableTol — e.g. 0.01 stops at <1% argmax churn]")
       sys.exit(2)
     }
     val Array(nNodes, nEdges, k, iters, cap) = args.take(5).map(_.toLong)
     val hotCap = args.lift(5).map(_.toLong).getOrElse(200L)
+    val stableTol = args.lift(6).map(_.toDouble)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -53,7 +55,7 @@ object RunSynth {
 
     val p = BigClam.Params(k = k.toInt)
     val (fs, history) = BigClam.fitSparse(edges, p, iterations = iters.toInt,
-      ranked = Some(ranked), supportCap = Some(cap.toInt))
+      ranked = Some(ranked), supportCap = Some(cap.toInt), stableTol = stableTol)
     val fit = fs.persist(StorageLevel.MEMORY_AND_DISK)
     val supp = fit.agg(
       count(lit(1)).as("rows"),

@@ -610,6 +610,38 @@ object BigClam {
     (bk, bf, evals.reverse)
   }
 
+  /** `selectK` over the sparse fit — the configuration the v4 surface
+    * actually needs at its own scale: the reference's published grid runs
+    * K=1000→9000 (bigclam4-7.scala:16-20), far past where dense K-wide rows
+    * stay shuffleable, while capped sparse rows keep per-row payload O(m)
+    * regardless of the grid point. Same walk/early-stop/retention contract
+    * as [[selectK]]; `stableTol` additionally bounds each grid point's
+    * iterations by membership stability, making `fitIterations` a cap. */
+  def selectKSparse(edges: DataFrame, base: Params, minK: Int, maxK: Int,
+      steps: Int, kTol: Double = 1e-3, fitIterations: Int = 3,
+      supportCap: Option[Int] = None, stableTol: Option[Double] = None,
+      retainedProbe: Int => Unit = _ => ()): (Int, DataFrame, Seq[(Int, Double)]) = {
+    val grid = logSpacedK(minK, maxK, steps)
+    val ranked = GraphOps.seedRank(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    var evals = List.empty[(Int, Double)]
+    var best: Option[(Int, Double, DataFrame)] = None
+    var prevLlh = Option.empty[Double]
+    var stop = false
+    for (k <- grid if !stop) {
+      val (fs, hist) = fitSparse(edges, base.copy(k = k), fitIterations,
+        ranked = Some(ranked), supportCap = supportCap, stableTol = stableTol)
+      val llh = hist.last
+      retainedProbe(1 + best.size)
+      prevLlh.foreach(pl => if (math.abs(1.0 - llh / pl) < kTol) stop = true)
+      prevLlh = Some(llh)
+      if (best.forall(_._2 < llh)) best = Some((k, llh, fs))
+      evals = (k, llh) :: evals
+    }
+    ranked.unpersist()
+    val (bk, _, bf) = best.get
+    (bk, bf, evals.reverse)
+  }
+
   /** Log-spaced ascending K grid, deduped (bigclam4-7.scala:16-20:
     * conGap = exp(log(max/min)/steps), K_i = min * conGap^i). */
   def logSpacedK(minK: Int, maxK: Int, steps: Int): Seq[Int] = {

@@ -55,6 +55,29 @@ class ModelSelectionSpec extends AnyFunSuite {
     assert(f.count() == 6)
   }
 
+  test("selectKSparse mirrors selectK: same grid walk over the capped sparse fit") {
+    val (k, fs, history) = BigClam.selectKSparse(edges, BigClam.Params(k = 2),
+      minK = 2, maxK = 4, steps = 2, fitIterations = 2, supportCap = Some(2))
+    assert(history.nonEmpty)
+    assert(history.map(_._1) == history.map(_._1).sorted)
+    assert(Set(2, 3, 4).contains(k))
+    assert(fs.count() == 6)
+    assert(fs.columns.toSet == Set("id", "fi", "fv")) // sparse rows
+    val bestLlh = history.find(_._1 == k).get._2
+    assert(history.forall(_._2 <= bestLlh + 1e-9))
+    // without a cap the sparse walk IS the dense walk (PropertySpec parity):
+    // grid LLHs must agree with selectK's to float-reduction noise
+    val (_, _, hd) = BigClam.selectK(edges, BigClam.Params(k = 2),
+      minK = 2, maxK = 4, steps = 2, fitIterations = 2)
+    val (_, _, hs) = BigClam.selectKSparse(edges, BigClam.Params(k = 2),
+      minK = 2, maxK = 4, steps = 2, fitIterations = 2)
+    assert(hd.map(_._1) == hs.map(_._1), s"grids diverged: $hd vs $hs")
+    hd.zip(hs).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(a)),
+        s"uncapped sparse grid LLH diverged: $hd vs $hs")
+    }
+  }
+
   test("fitConverged terminates and improves LLH overall") {
     // NOTE: per-node Armijo acceptance does not guarantee *joint* LLH
     // monotonicity under simultaneous updates — the reference has the same
