@@ -850,4 +850,34 @@ object BigClam {
         .toDF("k", "llh")
         .orderBy("k")
     }
+
+  /** [no-oracle] The full scientific loop as one declared query: generate a
+    * graph with KNOWN communities (planted partition, deterministic xxhash64
+    * construction — input-dir independent by design), recover it with the
+    * production sparse path (seedRank → fitSparse under the membership-
+    * stability stop rule → threshold-δ communities), and score symmetric
+    * best-match F1 against the planted truth. The reference ships SNAP
+    * ground-truth `.cmty` files but never closes this loop. One scalar row;
+    * EvalSpec pins the same fixture end-to-end at F1 > 0.9 (measured 1.0).
+    * The fit is session model state like the other smoke fits — memoized. */
+  def bigclam_recovery_smoke(s: SparkSession, d: String): DataFrame =
+    smokeCached(s, d, "recovery") {
+      val edges = GraphOps.symEdges(
+          graft.graph.GraphGen.plantedPartitionEdges(s, 600, 4, 15000, 300))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val p = Params(k = 4)
+      val (fs, history) = fitSparse(edges, p, iterations = 12,
+        ranked = Some(GraphOps.seedRank(edges, Some(200L))),
+        supportCap = Some(16), stableTol = Some(0.01))
+      val fitted = communities(toDenseF(fs, p.k), edges, p)
+      val truth = graft.graph.GraphGen.plantedTruth(s, 600, 4)
+      val out = scoreCommunities(fitted, truth)
+        .select(round(col("f1"), 6).as("f1"),
+          round(col("f1_fitted_best"), 6).as("f1_fitted_best"),
+          round(col("f1_truth_best"), 6).as("f1_truth_best"),
+          col("n_fitted"), col("n_truth"),
+          lit(history.size - 1).as("iterations"))
+      edges.unpersist()
+      out
+    }
 }

@@ -98,6 +98,16 @@ class EvalSpec extends AnyFunSuite {
     edges.unpersist()
   }
 
+  test("bigclam_recovery_smoke: the declared query recovers the planted fixture under the stop rule") {
+    val r = BigClam.bigclam_recovery_smoke(s, TestSpark.sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Double]("f1") > 0.9, s"recovery degraded: $row")
+    val iters = row.getAs[Int]("iterations")
+    assert(iters >= 1 && iters <= 12, s"iteration count out of range: $row")
+    assert(row.getAs[Long]("n_fitted") >= 1L && row.getAs[Long]("n_truth") == 4L)
+  }
+
   test("scoring a real fit against connected components lands in (0, 1]") {
     // two disjoint triangles: CC ground truth = 2 components; a K=2 fit's
     // threshold communities should align substantially
