@@ -12,7 +12,7 @@ import graft.bigclam.BigClam
   * communities, fit BigCLAM, and report symmetric best-match F1 against the
   * planted assignment.
   *
-  *   runMain graft.RunPlanted <nNodes> <nCommunities> <intraEdges> <interEdges> <iterations> [supportCap=16] [hotDegCap=200]
+  *   runMain graft.RunPlanted <nNodes> <nCommunities> <intraEdges> <interEdges> <maxIterations> [supportCap=16] [hotDegCap=200] [stableTol]
   *
   * K is set to the planted community count. e.g. a 100k-node, 50-community
   * recovery: runMain graft.RunPlanted 100000 50 1000000 50000 5
