@@ -65,4 +65,24 @@ class GraphGenSpec extends AnyFunSuite {
     assert(t.count() == 1000 && t.select("node").distinct().count() == 1000)
     assert(t.select("community").distinct().count() == 4)
   }
+
+  test("planted partition: non-dividing community count leaves a short last block, still consistent") {
+    // 10 nodes / 3 communities -> blockSize 4: blocks {0..3} {4..7} {8,9}
+    val t = GraphGen.plantedTruth(s, 10, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(t.map(_._2).toSeq == (0L until 10L))
+    assert(t.groupBy(_._1).view.mapValues(_.length).toMap ==
+      Map(0L -> 4, 1L -> 4, 2L -> 2))
+    // generator respects the same short block: with zero noise every edge
+    // stays inside a truth block, including the 2-node tail block's only
+    // possible edge (8,9)
+    val e = GraphGen.plantedPartitionEdges(s, 10, 3, 2000, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.nonEmpty)
+    val blockOf = (i: Long) => i / 4
+    assert(e.forall { case (a, b) => blockOf(a) == blockOf(b) },
+      s"cross-block intra edge: ${e.filter(p => blockOf(p._1) != blockOf(p._2)).take(3).toSeq}")
+    assert(e.forall { case (a, b) => a >= 0 && a < 10 && b >= 0 && b < 10 && a != b })
+    assert(e.exists { case (a, b) => blockOf(a) == 2 }, "tail block never drawn")
+  }
 }
