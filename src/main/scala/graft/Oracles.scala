@@ -589,6 +589,74 @@ object Oracles {
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin,
 
+    // Connected components of the candidate-pair graph via a recursive
+    // reachability CTE: tiny per-cluster node sets by construction (blocking
+    // caps fan-out), so enumerating (node, reachable) pairs is bounded.
+    // min(reachable ∪ self) per node = the same canonical label hash-min
+    // label propagation converges to.
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle FROM idx),
+        |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN freq f ON s.shingle = f.shingle
+        |         WHERE f.df BETWEEN 2 AND 10),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT src AS node, src AS r FROM edges
+        |  UNION
+        |  SELECT re.node, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+        |canon AS (SELECT node AS doc_id, min(r) AS canon_id FROM reach GROUP BY node),
+        |sizes AS (SELECT canon_id, count(*) AS n_cluster FROM canon GROUP BY canon_id)
+        |SELECT c.doc_id, c.canon_id, s.n_cluster
+        |FROM canon c JOIN sizes s USING (canon_id)
+        |ORDER BY doc_id LIMIT 5000""".stripMargin,
+
+    "q_text_quality_gopher" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |ts AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+        |       FROM tok GROUP BY doc_id),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bidx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM toks),
+        |bc AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g, count(*) AS cnt
+        |       FROM bidx GROUP BY doc_id, g),
+        |bs AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bigrams FROM bc GROUP BY doc_id),
+        |r AS (SELECT ts.doc_id, CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+        |        round(1.0 - CAST(ts.n_distinct AS DOUBLE) / ts.n_tokens, 6) AS rep_ratio,
+        |        round(coalesce(CAST(bs.top_cnt AS DOUBLE) / bs.n_bigrams, 0.0), 6) AS top_bigram_frac
+        |      FROM ts LEFT JOIN bs USING (doc_id))
+        |SELECT doc_id, n_tokens, rep_ratio, top_bigram_frac,
+        |  CAST(CASE WHEN n_tokens >= 20 AND rep_ratio <= 0.6 AND top_bigram_frac <= 0.05
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM r ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    // single-window form: the global per-lang top-25 by (md5(text), doc_id)
+    // equals the Spark side's two-phase shard-then-global selection — each
+    // global winner is necessarily within its shard's top-25
+    "q_sample_quota" ->
+      """WITH h AS (SELECT lang, doc_id, md5(text) AS h FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
+        |SELECT lang, CAST(rk AS INT) AS rk, doc_id
+        |FROM r WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |st AS (SELECT vec_id, any_value(label) AS label, max(abs(v)) AS maxabs,
+        |              count(*) AS n FROM ex GROUP BY vec_id),
+        |er AS (SELECT e.vec_id,
+        |         abs(floor(e.v / (s.maxabs / 127.0) + 0.5) * (s.maxabs / 127.0) - e.v) AS err
+        |       FROM ex e JOIN st s USING (vec_id) WHERE s.maxabs > 0)
+        |SELECT vec_id, s.label, round(s.maxabs / 127.0, 6) AS scale,
+        |  round(max(er.err), 6) AS max_err,
+        |  round(sum(er.err * er.err) / s.n, 9) AS mse
+        |FROM er JOIN st s USING (vec_id)
+        |GROUP BY vec_id, s.label, s.maxabs, s.n
+        |ORDER BY vec_id LIMIT 2000""".stripMargin,
+
     "q_text_pack" ->
       """WITH t AS (SELECT source, doc_id % 4 AS shard, doc_id,
         |             len(string_split(text, ' ')) AS n_tok FROM documents),

@@ -106,8 +106,11 @@ object SparkEntry {
     "q_text_pack" -> TextOps.q_text_pack,
     "q_dedup_simhash" -> TextOps.q_dedup_simhash,
     "q_minhash_lsh" -> TextOps.q_minhash_lsh,
+    "q_dedup_cluster" -> TextOps.q_dedup_cluster,
     // LLM-pipeline: text analysis
     "q_text_quality" -> TextAnalysis.q_text_quality,
+    "q_text_quality_gopher" -> TextAnalysis.q_text_quality_gopher,
+    "q_sample_quota" -> TextAnalysis.q_sample_quota,
     "q_text_langid" -> TextAnalysis.q_text_langid,
     "q_text_fingerprint" -> TextAnalysis.q_text_fingerprint,
     "q_sample_stratified" -> TextAnalysis.q_sample_stratified,
@@ -118,6 +121,7 @@ object SparkEntry {
     "q_sim_ann_lsh" -> VectorOps.q_sim_ann_lsh,
     "q_sim_ann_ivf" -> VectorOps.q_sim_ann_ivf,
     "q_cluster_kmeans" -> VectorOps.q_cluster_kmeans,
+    "q_embed_quantize" -> VectorOps.q_embed_quantize,
     // LLM-pipeline: multimodal (binary media + stub decode)
     "q_multimodal_features" -> graft.multimodal.MultimodalOps.q_multimodal_features
   )

@@ -98,6 +98,69 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** Repetition-based quality filtering — the Gopher/MassiveText-style
+    * signals that length/stopword heuristics (q_text_quality) miss:
+    * duplicate-token ratio (1 − distinct/total) and the fraction of
+    * bigram mass held by the single most frequent bigram. Docs failing
+    * the thresholds get keep=0 (boilerplate / TEXT-loop spam shape).
+    * The keep decision compares the ROUNDED ratios so both engines
+    * agree at threshold boundaries.
+    *
+    * Scale stance: two explode → partial-agg groupBy(doc_id) pipelines
+    * joined on doc_id — no windows, no arrays-per-row; the bigram count
+    * collapses map-side before the per-doc max. */
+  def q_text_quality_gopher(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tstats = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+    val bstats = docs
+      .select(col("doc_id"), explode(TextOps.ngrams(split(col("text"), " "), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_bigrams"))
+    tstats.join(bstats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("rep_ratio"),
+        round(coalesce(col("top_cnt").cast("double") / col("n_bigrams"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
+      .withColumn("keep",
+        when(col("n_tokens") >= 20 && col("rep_ratio") <= 0.6 &&
+          col("top_bigram_frac") <= 0.05, 1L).otherwise(0L))
+      .orderBy("doc_id")
+      .limit(2000)
+  }
+
+  /** Deterministic per-language quota sampling — the data-mixing step that
+    * caps each stratum at a fixed document budget, selected by content hash
+    * (md5(text), doc_id tiebreak for duplicate texts) so the sample is
+    * reproducible across runs and engines, with no rand() anywhere.
+    *
+    * Scale stance: a lang-partitioned window alone would funnel each
+    * language's ENTIRE corpus through one task's sort (the seed-rank
+    * global-window lesson). Instead the classic two-phase top-K: phase 1
+    * ranks within (lang, shard = doc_id mod 32) — 32-way parallel, each
+    * sort 1/32 of the stratum — and keeps quota survivors per shard; the
+    * global per-lang quota is a subset of that union, so phase 2's window
+    * sees ≤ 32×quota bounded rows per lang. */
+  def q_sample_quota(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quota = 25
+    val shardW = Window.partitionBy("lang", "shard").orderBy("h", "doc_id")
+    val langW = Window.partitionBy("lang").orderBy("h", "doc_id")
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), md5(col("text")).as("h"),
+        pmod(col("doc_id"), lit(32)).as("shard"))
+      .withColumn("srk", row_number().over(shardW))
+      .filter(col("srk") <= quota)
+      .withColumn("rk", row_number().over(langW).cast("int"))
+      .filter(col("rk") <= quota)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
   /** [no-oracle] Winnowing-style document fingerprint: the 4 smallest
     * 64-bit hashes over the doc's 5-gram shingles (a rolling-hash sketch;
     * near-identical docs share most sketch entries). The sketch is emitted

@@ -55,51 +55,58 @@ object TextOps {
       .orderBy("h")
       .limit(5000)
 
-  /** Near-dup candidate pairs: docs sharing >=1 *rare* 5-gram shingle
-    * (2 <= doc-frequency <= 10) with a lower-id doc. The frequency filter is
-    * the blocking step that keeps the self-join linear-ish at scale. */
-  def q_dedup_shingle(s: SparkSession, d: String): DataFrame = {
-    // The (doc, shingle) relation feeds the frequency count AND both sides
-    // of the self-join. Round 3 persisted it (and leaked the cache into
-    // long-lived sessions); round 4 used a window over partitionBy(shingle)
-    // (cache-free, but a window has no map-side partial aggregation and no
-    // AQE skew-split — a mega-shingle would buffer in ONE task before being
-    // discarded). Now: a groupBy(shingle) df-count joined back — partial-agg
-    // friendly, skew-splittable — while the shared `docShingle` subplan
-    // below the distinct is still deduped by ReuseExchange, so the O(tokens²)
-    // shingling runs once with zero cache state left behind. The df side is
-    // merge-hinted: at 100 TB the rare-shingle set is huge (broadcast would
-    // be wrong), and its agg output is already hash-partitioned by shingle.
-    // the explicit isnotnull filters keep BOTH consumers' subtrees identical:
-    // the self-join infers isnotnull(doc_id) on its side but the df-count agg
-    // doesn't — without them the shared exchange canonicalizes differently
-    // and ReuseExchange runs the shingling twice
-    val docShingle = Tables.documents(s, d)
+  /** The distinct (doc_id, 5-gram shingle) relation — the shared base of
+    * every shingle-blocked dedup query. Recomputed per consumer rather than
+    * persisted (round-3's cache-leak lesson); the scan+explode is narrow and
+    * ReuseExchange collapses the identically-partitioned subtrees. The
+    * explicit isnotnull filters keep every consumer's subtree identical:
+    * a self-join side infers isnotnull(doc_id) but a df-count agg doesn't —
+    * without them the shared exchange canonicalizes differently and
+    * ReuseExchange runs the shingling twice. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.ShingleHash.shingleArr(col("text"))).as("shingle"))
       .filter(col("doc_id").isNotNull && col("shingle").isNotNull)
       .distinct()
+
+  /** Rare-shingle blocking: one row per (rare shingle, ordered candidate
+    * pair) for shingles with doc-frequency in [2, 10]. The frequency filter
+    * is the blocking step that keeps pair generation linear-ish at scale.
+    *
+    * The df-count is a groupBy(shingle) joined back — partial-agg friendly
+    * and AQE-skew-splittable (round 4's window formulation buffered a
+    * mega-shingle in ONE task before discarding it). The df side is
+    * merge-hinted: at 100 TB the rare-shingle set is huge (broadcast would
+    * be wrong), and its agg output is already hash-partitioned by shingle.
+    * Pairs are generated WITHOUT a self-join (which would statically
+    * re-derive the whole blocked pipeline on its b-side): each rare
+    * shingle's doc list is ≤ 10 BY CONSTRUCTION, so collect_set is
+    * bounded-safe, the groupBy inherits the join's shingle partitioning,
+    * and the ≤ C(10,2)=45 combinations explode with no further exchange. */
+  private def rareShinglePairRows(docShingle: DataFrame): DataFrame = {
     val rare = docShingle.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 10))
       .select("shingle")
-    val blocked = docShingle.hint("merge").join(rare, Seq("shingle"))
+    docShingle.hint("merge").join(rare, Seq("shingle"))
       .select(col("shingle"), col("doc_id"))
-    // pair generation WITHOUT a self-join (which would statically re-derive
-    // the whole blocked pipeline on its b-side): each rare shingle's doc
-    // list is ≤ 10 by construction, so collect_set is bounded-safe here —
-    // and the groupBy inherits the join's shingle partitioning, so the
-    // ≤ C(10,2)=45 combinations explode with no further exchange
-    blocked.groupBy("shingle")
+      .groupBy("shingle")
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
       .select(explode(
         flatten(transform(col("docs"), (a, i) =>
           transform(slice(col("docs"), i + lit(2), size(col("docs"))),
             b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+  }
+
+  /** Near-dup candidate pairs: docs sharing >=1 *rare* 5-gram shingle
+    * (2 <= doc-frequency <= 10) with a lower-id doc. */
+  def q_dedup_shingle(s: SparkSession, d: String): DataFrame =
+    rareShinglePairRows(docShingles(s, d))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_a", "doc_b")
       .limit(5000)
-  }
 
   /** Top word-3-grams per language — the corpus-analysis staple (marker
     * phrase mining / contamination checks). One explode → one
@@ -154,23 +161,8 @@ object TextOps {
     *     exactly the Jaccard denominator. No (doc, shingle)-keyed second
     *     probe, no separate per-doc sizes agg joined back twice. */
   def q_dedup_jaccard(s: SparkSession, d: String): DataFrame = {
-    val docShingle = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleHash.shingleArr(col("text"))).as("shingle"))
-      .filter(col("doc_id").isNotNull && col("shingle").isNotNull)
-      .distinct()
-    val rare = docShingle.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 10))
-      .select("shingle")
-    val blocked = docShingle.hint("merge").join(rare, Seq("shingle"))
-    val pairs = blocked.groupBy("shingle")
-      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
-      .select(explode(
-        flatten(transform(col("docs"), (a, i) =>
-          transform(slice(col("docs"), i + lit(2), size(col("docs"))),
-            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+    val docShingle = docShingles(s, d)
+    val pairs = rareShinglePairRows(docShingle).distinct()
     val melt = pairs.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     // docShingle is distinct per (doc, shingle), so each (pair, shingle)
@@ -317,4 +309,30 @@ object TextOps {
       .filter(col("mins").isNotNull) // <5 tokens ⇒ no shingles ⇒ null
       .select(col("doc_id"), posexplode(col("mins")).as(Seq("band", "bucket")))
       .orderBy("doc_id", "band")
+
+  /** Near-dup cluster canonicalization — the dedup end game: candidate
+    * pairs (rare-shingle blocking, same as q_dedup_shingle) are edges of a
+    * similarity graph; its connected components are the duplicate clusters;
+    * each doc maps to a canonical representative (the cluster's minimum
+    * doc_id — keep that one, drop the rest). This is how production
+    * pipelines (CCNet/SlimPajama-style) turn pairwise near-dup evidence
+    * into a drop list: pair relations aren't transitive, components are.
+    *
+    * Scale stance: the pair graph is SPARSE by construction (blocking caps
+    * fan-out), clusters are small and shallow, and hash-min label
+    * propagation (GraphOps.connectedComponents) converges in O(cluster
+    * diameter) rounds of |pairs|-row joins — labels never leave the
+    * cluster, nothing driver-side but one Boolean per round. */
+  def q_dedup_cluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = rareShinglePairRows(docShingles(s, d)).distinct()
+    // symmetrize: hash-min CC expects every node to appear as src
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val labels = graft.graph.GraphOps.connectedComponents(edges)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_cluster"))
+    labels.join(sizes, Seq("comp"))
+      .select(col("node").as("doc_id"), col("comp").as("canon_id"), col("n_cluster"))
+      .orderBy("doc_id")
+      .limit(5000)
+  }
 }

@@ -145,6 +145,48 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_cluster: clusters are consistent closures of the pair graph") {
+    val labels = TextOps.q_dedup_cluster(s, sf).collect()
+    assert(labels.nonEmpty)
+    val canon = labels.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canon_id")).toMap
+    val sizes = labels.map(r => r.getAs[Long]("canon_id") -> r.getAs[Long]("n_cluster")).toMap
+    // canonical id is the cluster minimum: <= every member, and itself a member
+    labels.foreach { r =>
+      val (d, c) = (r.getAs[Long]("doc_id"), r.getAs[Long]("canon_id"))
+      assert(c <= d, s"canon above member: $r")
+      assert(canon.get(c).contains(c), s"canonical $c is not its own canon")
+    }
+    // cluster sizes tally with membership, every cluster has >= 2 docs
+    // (every node in the pair graph has at least one neighbor)
+    val counts = labels.groupBy(_.getAs[Long]("canon_id")).view.mapValues(_.length)
+    counts.foreach { case (c, n) =>
+      assert(n >= 2, s"singleton cluster $c")
+      assert(sizes(c) == n.toLong, s"n_cluster mismatch for $c: ${sizes(c)} vs $n")
+    }
+    // both endpoints of every candidate pair landed in the same cluster
+    TextOps.q_dedup_shingle(s, sf).collect().foreach { p =>
+      val (a, b) = (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))
+      assert(canon(a) == canon(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("q_embed_quantize: int8 error bounded by scale/2, mse <= max_err^2") {
+    val rows = ops.VectorOps.q_embed_quantize(s, sf).collect()
+    assert(rows.nonEmpty)
+    val nVec = graft.Tables.embeddings(s, sf).count()
+    assert(rows.length == math.min(nVec, 2000L).toInt,
+      s"dropped vectors: ${rows.length} of $nVec")
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val maxErr = r.getAs[Double]("max_err")
+      val mse = r.getAs[Double]("mse")
+      assert(scale > 0, s"non-positive scale: $r")
+      // half-up rounding error bound (plus display-rounding slack)
+      assert(maxErr <= scale / 2 + 1e-6, s"err above scale/2: $r")
+      assert(mse >= 0 && mse <= maxErr * maxErr + 1e-9, s"mse above max_err^2: $r")
+    }
+  }
+
   test("q_dedup_shingle leaves no cached RDDs behind (round-3 persist leak)") {
     val before = s.sparkContext.getPersistentRDDs.keySet
     TextOps.q_dedup_shingle(s, sf).collect()

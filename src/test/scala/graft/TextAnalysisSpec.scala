@@ -82,6 +82,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     for ((u, c1) <- best1) assert(best2(u) >= c1, s"multiprobe lost recall at probe $u")
   }
 
+  test("gopher quality: ratios bounded, keep decision matches its thresholds") {
+    val rows = TextAnalysis.q_text_quality_gopher(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rep = r.getAs[Double]("rep_ratio")
+      val top = r.getAs[Double]("top_bigram_frac")
+      val keep = r.getAs[Long]("keep")
+      assert(rep >= 0.0 && rep < 1.0, s"rep_ratio out of range: $r")
+      assert(top >= 0.0 && top <= 1.0, s"top_bigram_frac out of range: $r")
+      val expect =
+        if (r.getAs[Long]("n_tokens") >= 20 && rep <= 0.6 && top <= 0.05) 1L else 0L
+      assert(keep == expect, s"keep decision disagrees with thresholds: $r")
+    }
+    // the synthetic corpus must split non-trivially or the filter is vacuous
+    val kept = rows.count(_.getAs[Long]("keep") == 1L)
+    assert(kept > 0 && kept < rows.length, s"degenerate keep split: $kept/${rows.length}")
+  }
+
+  test("quota sample: per-lang cap respected, ranks gapless, deterministic") {
+    val rows = TextAnalysis.q_sample_quota(s, sf).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val docs = graft.Tables.documents(s, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == math.min(docs(lang), 25L).toInt,
+        s"$lang quota: ${rs.length} of ${docs(lang)}")
+      // ranks are 1..n with no gaps, each mapping to a distinct doc
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length),
+        s"$lang ranks not gapless")
+      assert(rs.map(_.getAs[Long]("doc_id")).distinct.length == rs.length)
+    }
+    val again = TextAnalysis.q_sample_quota(s, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("quality: ratios bounded and stopword counting sane") {
     val rows = TextAnalysis.q_text_quality(s, sf).collect()
     assert(rows.nonEmpty)
