@@ -65,6 +65,17 @@ class ToyGraphSpec extends AnyFunSuite {
     assert(labels == (0L to 9L).map(_ -> 0L).toMap)
   }
 
+  test("connected components: 60-node path converges under the default cap (pointer jumping)") {
+    // plain hash-min needs 59 rounds here — past the 50-round default cap
+    // (the silent-wrong-answer hazard before fail-loudly, the throw after);
+    // label doubling converges in O(log diameter) rounds
+    val path = GraphOps.symEdges(
+      (0L until 59L).map(i => (i, i + 1)).toDF("src", "dst"))
+    val labels = GraphOps.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (0L to 59L).map(_ -> 0L).toMap)
+  }
+
   test("connected components fail loudly at the iteration cap instead of returning wrong labels") {
     // a 12-node path needs ~11 hash-min rounds; cap at 3 must throw, not
     // silently return a split component
