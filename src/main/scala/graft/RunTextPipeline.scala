@@ -47,9 +47,14 @@ object RunTextPipeline {
     val d1 = docs.join(keepers, Seq("doc_id"), "left_semi").cache()
     stage("exact_dedup", d1.count())
 
-    // 2. near-dup drop: doc_b of every blocked shingle pair loses
-    val nearDupLosers = TextOps.q_dedup_shingle(spark, d)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // 2. near-dup drop, cluster-canonical: pair evidence isn't transitive,
+    // so dropping pair losers directly can keep two docs that are both
+    // near-dups of a third. Connected components of the pair graph give
+    // the duplicate clusters; keep only each cluster's canonical (min-id)
+    // doc — the CCNet/SlimPajama-style keep-one rule.
+    val nearDupLosers = TextOps.q_dedup_cluster(spark, d)
+      .filter(col("doc_id") =!= col("canon_id"))
+      .select("doc_id")
     val d2 = d1.join(nearDupLosers, Seq("doc_id"), "left_anti").cache()
     stage("near_dedup", d2.count())
 
