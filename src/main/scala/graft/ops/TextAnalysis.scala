@@ -109,8 +109,14 @@ object TextAnalysis {
     * Scale stance: two explode → partial-agg groupBy(doc_id) pipelines
     * joined on doc_id — no windows, no arrays-per-row; the bigram count
     * collapses map-side before the per-doc max. */
-  def q_text_quality_gopher(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def q_text_quality_gopher(s: SparkSession, d: String): DataFrame =
+    gopherQuality(Tables.documents(s, d))
+
+  /** Core of [[q_text_quality_gopher]] over any (doc_id, text) frame —
+    * separated so specs can drive the bigram-less path (single-token docs
+    * have no bigrams: left join misses, top_bigram_frac coalesces to 0),
+    * which the synthetic corpus (min 10 tokens/doc) never exercises. */
+  private[graft] def gopherQuality(docs: DataFrame): DataFrame = {
     val tstats = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id")

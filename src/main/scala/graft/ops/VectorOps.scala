@@ -297,8 +297,15 @@ object VectorOps {
     * shuffles before the output sort; at 100 TB this is a map-only pass
     * whose output is one short row per vector (the audit report), never
     * the quantized payload itself. */
-  def q_embed_quantize(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+  def q_embed_quantize(s: SparkSession, d: String): DataFrame =
+    quantizeAudit(Tables.embeddings(s, d))
+
+  /** Core of [[q_embed_quantize]] over any (vec_id, label, embedding)
+    * frame — separated so specs can drive the all-zero-vector path (maxabs
+    * = 0 has no valid scale; such vectors are excluded, not NaN-poisoned),
+    * which the synthetic embeddings never exercise. */
+  private[graft] def quantizeAudit(raw: DataFrame): DataFrame = {
+    val emb = raw
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("maxabs",
         aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))

@@ -187,6 +187,22 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantizeAudit edge cases: zero vector excluded, extremes exact") {
+    val sess = s
+    import sess.implicits._
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0),        // all-zero: no valid scale
+      (2L, Array(1.27f, -1.27f, 0.0f, 0.0f), 1)      // extremes + zeros: all on-grid
+    ).toDF("vec_id", "embedding", "label")
+    val out = ops.VectorOps.quantizeAudit(emb).collect()
+    // the zero vector is excluded rather than emitting NaN stats
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(2L))
+    val r = out.head
+    assert(r.getAs[Double]("scale") == 0.01) // 1.27/127
+    // every element sits exactly on the grid (k * 0.01): zero error
+    assert(r.getAs[Double]("max_err") == 0.0 && r.getAs[Double]("mse") == 0.0)
+  }
+
   test("q_dedup_shingle leaves no cached RDDs behind (round-3 persist leak)") {
     val before = s.sparkContext.getPersistentRDDs.keySet
     TextOps.q_dedup_shingle(s, sf).collect()

@@ -119,6 +119,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("gopher quality edge cases: single-token doc (no bigrams) and pure repetition") {
+    val sess = s
+    import sess.implicits._
+    val docs = Seq(
+      (1L, "hello"),                                        // 1 token, no bigrams
+      (2L, Seq.fill(30)("spam").mkString(" ")),             // pure repetition
+      (3L, (1 to 30).map(i => s"tok$i").mkString(" "))      // clean, all distinct
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // bigram-less doc: top_bigram_frac coalesces to 0, fails the length floor
+    assert(out(1L).getAs[Long]("n_tokens") == 1L)
+    assert(out(1L).getAs[Double]("rep_ratio") == 0.0)
+    assert(out(1L).getAs[Double]("top_bigram_frac") == 0.0)
+    assert(out(1L).getAs[Long]("keep") == 0L)
+    // 30x one token: rep_ratio = 1 - 1/30, one bigram holds all mass
+    assert(math.abs(out(2L).getAs[Double]("rep_ratio") - (1.0 - 1.0 / 30)) < 1e-6)
+    assert(out(2L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(out(2L).getAs[Long]("keep") == 0L)
+    // all-distinct doc: rep 0, every bigram unique (1/29), passes
+    assert(out(3L).getAs[Double]("rep_ratio") == 0.0)
+    assert(math.abs(out(3L).getAs[Double]("top_bigram_frac") - 1.0 / 29) < 1e-4)
+    assert(out(3L).getAs[Long]("keep") == 1L)
+  }
+
   test("quality: ratios bounded and stopword counting sane") {
     val rows = TextAnalysis.q_text_quality(s, sf).collect()
     assert(rows.nonEmpty)
