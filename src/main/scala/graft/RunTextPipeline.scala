@@ -52,7 +52,7 @@ object RunTextPipeline {
     // near-dups of a third. Connected components of the pair graph give
     // the duplicate clusters; keep only each cluster's canonical (min-id)
     // doc — the CCNet/SlimPajama-style keep-one rule.
-    val nearDupLosers = TextOps.q_dedup_cluster(spark, d)
+    val nearDupLosers = TextOps.dedupClusterLabels(spark, d)
       .filter(col("doc_id") =!= col("canon_id"))
       .select("doc_id")
     val d2 = d1.join(nearDupLosers, Seq("doc_id"), "left_anti").cache()

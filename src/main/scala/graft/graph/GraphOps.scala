@@ -242,11 +242,22 @@ object GraphOps {
     * loop — without it the plan doubles per iteration and the driver pays
     * exponential planning (round-5 lesson, README "Exponential planning
     * stats"). */
+  /** Eager lineage cut for iterative loops: localCheckpoint + RDD re-wrap,
+    * so each round plans against a flat scan instead of a per-round-doubling
+    * logical tree (round-5 "exponential planning stats" lesson). One shared
+    * definition — CC, PageRank and the dedup-cluster materialization all
+    * use this exact idiom, and its subtleties (eager storage level, the
+    * re-wrap that truncates the plan) must not drift apart. Note the
+    * checkpoint blocks stay registered until the RDD is unreferenced and
+    * the ContextCleaner collects them — unlike cache(), nothing must be
+    * remembered and manually unpersisted, but the release is GC-paced. */
+  private[graft] def cutLineage(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    def cut(df: DataFrame): DataFrame = {
-      val cp = df.localCheckpoint(true)
-      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    }
+    def cut(df: DataFrame): DataFrame = cutLineage(df)
     // symmetric input ⇒ every node appears as src
     var labels = cut(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp")))
@@ -313,10 +324,7 @@ object GraphOps {
     * than literal 0.15 and would hash-mismatch the oracle at full
     * precision). */
   def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
-    def cut(df: DataFrame): DataFrame = {
-      val cp = df.localCheckpoint(true)
-      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    }
+    def cut(df: DataFrame): DataFrame = cutLineage(df)
     val deg = degrees(edges)
     val n = deg.count()
     // empty graph: 1.0/n would poison every rank with Infinity — return the

@@ -323,19 +323,30 @@ object TextOps {
     * propagation (GraphOps.connectedComponents) converges in O(cluster
     * diameter) rounds of |pairs|-row joins — labels never leave the
     * cluster, nothing driver-side but one Boolean per round. */
-  def q_dedup_cluster(s: SparkSession, d: String): DataFrame = {
-    // materialize the pair rows ONCE before the loop: connectedComponents
+  def q_dedup_cluster(s: SparkSession, d: String): DataFrame =
+    dedupClusterLabels(s, d)
+      .orderBy("doc_id")
+      .limit(5000)
+
+  /** The UNCAPPED cluster labeling — what the composed pipeline consumes.
+    * q_dedup_cluster adds only the display sort + limit on top; a consumer
+    * that anti-joins the drop list must use THIS (a 5000-row cap there
+    * would silently under-deduplicate any corpus with more clustered docs
+    * than the cap). */
+  private[graft] def dedupClusterLabels(s: SparkSession, d: String): DataFrame = {
+    // materialize the pairs ONCE before the loop: connectedComponents
     // joins edges every propagation round, and without the lineage cut
     // each round re-derives the whole O(tokens²) shingle-blocking pipeline
-    // (measured 16 s → ~5 s at sf0.1). localCheckpoint, not cache —
-    // nothing stays registered after the query (round-3 persist-leak
-    // stance). Checkpointing BEFORE the symmetrizing union (and without a
-    // pair-distinct) keeps the materialize job single-pass: hash-min CC is
-    // indifferent to duplicate edges (min over neighbors), so the distinct
-    // and the union's second derivation of the explode stage would both be
-    // pure overhead.
-    val cp = rareShinglePairRows(docShingles(s, d)).localCheckpoint(true)
-    val pairs = cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    // (measured 16 s → ~5 s at sf0.1). localCheckpoint, not cache — no
+    // persist handle the query must remember to release (the checkpoint
+    // blocks themselves are freed by the ContextCleaner once the loop
+    // drops its reference; see GraphOps.cutLineage). The distinct is NOT
+    // optional cost: a pair of near-identical long docs repeats once per
+    // shared rare shingle — unbounded in doc length — and without the
+    // dedup every duplicate row would be stored in the checkpoint and
+    // re-joined in every propagation round.
+    val pairs = graft.graph.GraphOps.cutLineage(
+      rareShinglePairRows(docShingles(s, d)).distinct())
     // symmetrize: hash-min CC expects every node to appear as src
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -343,7 +354,5 @@ object TextOps {
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_cluster"))
     labels.join(sizes, Seq("comp"))
       .select(col("node").as("doc_id"), col("comp").as("canon_id"), col("n_cluster"))
-      .orderBy("doc_id")
-      .limit(5000)
   }
 }
