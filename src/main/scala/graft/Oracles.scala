@@ -643,6 +643,27 @@ object Oracles {
         |SELECT lang, CAST(rk AS INT) AS rk, doc_id
         |FROM r WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
 
+    // the planted-PII salt mirrors the Spark side exactly; patterns are in
+    // the Java-regex/RE2 common subset so both engines match identically;
+    // DuckDB regexp_replace needs the 'g' option (Spark replaces all by
+    // default), and counts come from len(regexp_extract_all) pre-mask
+    "q_text_pii_mask" ->
+      """WITH s AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@mail.example.com tel +1-555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |  ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS masked,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+\d{1,3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips
+        |FROM s ORDER BY doc_id LIMIT 2000""".stripMargin,
+
     "q_embed_quantize" ->
       """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
         |st AS (SELECT vec_id, any_value(label) AS label, max(abs(v)) AS maxabs,

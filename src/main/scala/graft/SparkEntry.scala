@@ -113,6 +113,7 @@ object SparkEntry {
     "q_sample_quota" -> TextAnalysis.q_sample_quota,
     "q_text_langid" -> TextAnalysis.q_text_langid,
     "q_text_fingerprint" -> TextAnalysis.q_text_fingerprint,
+    "q_text_pii_mask" -> TextAnalysis.q_text_pii_mask,
     "q_sample_stratified" -> TextAnalysis.q_sample_stratified,
     "q_text_token_bpe" -> TextAnalysis.q_text_token_bpe,
     // LLM-pipeline: vectors

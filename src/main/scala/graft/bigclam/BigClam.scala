@@ -740,6 +740,58 @@ object BigClam {
         col("n_fitted"), col("n_truth"))
   }
 
+  /** Normalized mutual information between two PARTITIONS — the other
+    * standard community-recovery score next to best-match F1
+    * (Danon et al. 2005): NMI = 2·I(A;B) / (H(A) + H(B)) over the
+    * contingency table of the two labelings, restricted to the common node
+    * support (a node only carries agreement information if both sides
+    * label it).
+    *
+    * CONTRACT: inputs must be partitions — exactly one community per node
+    * on each side. Overlapping covers (threshold-δ memberships) must be
+    * reduced first (e.g. one deterministic label per node, as
+    * [[bigclam_eval_smoke]] does); feeding a cover double-counts the
+    * margins and the score stops being NMI. Use [[scoreCommunities]] when
+    * overlap must be scored as-is.
+    *
+    * Conventions at the degenerate ends: two single-cluster partitions are
+    * identical ⇒ 1.0 (the 0/0 case); disjoint node supports carry no
+    * information ⇒ 0.0.
+    *
+    * Shape at scale: one node-keyed join builds the contingency cells
+    * (≤ one row per node), then everything is community-keyed aggs over
+    * the CELLS (|cells| ≤ min(#A·#B, n) rows — tiny), with the n scalar
+    * and the margins riding broadcasts. One row out:
+    * (nmi, mi, h_fitted, h_truth, n_nodes). */
+  def scoreCommunitiesNMI(fitted: DataFrame, truth: DataFrame): DataFrame = {
+    val a = fitted.select(col("node").cast("bigint").as("node"),
+      col("community").cast("bigint").as("ca")).distinct()
+    val b = truth.select(col("node").cast("bigint").as("node"),
+      col("community").cast("bigint").as("cb")).distinct()
+    val cells = a.join(b, "node").groupBy("ca", "cb").agg(count(lit(1)).as("nij"))
+    val ni = cells.groupBy("ca").agg(sum("nij").as("ni"))
+    val nj = cells.groupBy("cb").agg(sum("nij").as("nj"))
+    val tot = cells.agg(coalesce(sum("nij"), lit(0L)).as("n"))
+    def entropy(margin: DataFrame, m: String, out: String): DataFrame =
+      margin.crossJoin(broadcast(tot))
+        .agg(coalesce(
+          sum(-(col(m) / col("n")) * log(col(m) / col("n"))), lit(0.0)).as(out))
+    val mi = cells.join(broadcast(ni), "ca").join(broadcast(nj), "cb")
+      .crossJoin(broadcast(tot))
+      .agg(coalesce(
+        sum((col("nij") / col("n")) *
+          log(col("n") * col("nij") / (col("ni") * col("nj")))), lit(0.0)).as("mi"))
+    mi.crossJoin(entropy(ni, "ni", "h_fitted"))
+      .crossJoin(entropy(nj, "nj", "h_truth"))
+      .crossJoin(broadcast(tot))
+      .select(
+        when(col("n") === 0L, lit(0.0))
+          .when(col("h_fitted") + col("h_truth") === 0.0, lit(1.0))
+          .otherwise(lit(2.0) * col("mi") / (col("h_fitted") + col("h_truth")))
+          .as("nmi"),
+        col("mi"), col("h_fitted"), col("h_truth"), col("n").as("n_nodes"))
+  }
+
   // ---- declared queries (no-oracle; invariants asserted in scalatest) ----
 
   private def smokeEdges(s: SparkSession, d: String): DataFrame =
@@ -810,12 +862,13 @@ object BigClam {
   def bigclam_community_members(s: SparkSession, d: String): DataFrame =
     communityMembers(smokeFit(s, d), smokeEdges(s, d), Params(k = 4))
 
-  /** [no-oracle] Ground-truth evaluation smoke: symmetric best-match F1 of
-    * the smoke fit's threshold-δ communities against the bounded subgraph's
-    * connected components — a deterministic in-repo ground truth (every
-    * component IS a true community of the disconnected bounded graph).
-    * Known-answer behavior (identity cover ⇒ 1.0, shuffled ⇒ low, SNAP file
-    * round-trip) is pinned in EvalSpec. One scalar row. */
+  /** [no-oracle] Ground-truth evaluation smoke: symmetric best-match F1
+    * AND partition NMI of the smoke fit's threshold-δ communities against
+    * the bounded subgraph's connected components — a deterministic in-repo
+    * ground truth (every component IS a true community of the disconnected
+    * bounded graph). Known-answer behavior (identity cover ⇒ 1.0, shuffled
+    * ⇒ low, SNAP file round-trip, NMI hand-checked contingency) is pinned
+    * in EvalSpec. One scalar row. */
   def bigclam_eval_smoke(s: SparkSession, d: String): DataFrame = {
     // the iterative CC fixpoint is the dominant cost and, like the fit, is
     // pure MODEL STATE for the session — memoize it; the F1 scoring joins
@@ -824,11 +877,18 @@ object BigClam {
       GraphOps.connectedComponents(smokeEdges(s, d))
         .select(col("comp").as("community"), col("node"))
     }
-    scoreCommunities(bigclam_communities(s, d), truth)
+    val fitted = bigclam_communities(s, d)
+    // NMI scores the fit as a PARTITION: reduce the threshold-δ cover to
+    // one deterministic label per node (min community id). Truth (CC
+    // labels) is a partition already.
+    val fittedPart = fitted.groupBy("node").agg(min(col("community")).as("community"))
+    scoreCommunities(fitted, truth)
+      .crossJoin(scoreCommunitiesNMI(fittedPart, truth).select(col("nmi")))
       .select(round(col("f1"), 6).as("f1"),
         round(col("f1_fitted_best"), 6).as("f1_fitted_best"),
         round(col("f1_truth_best"), 6).as("f1_truth_best"),
-        col("n_fitted"), col("n_truth"))
+        col("n_fitted"), col("n_truth"),
+        round(col("nmi"), 6).as("nmi"))
   }
 
   /** [no-oracle] The v4 model-selection surface

@@ -181,4 +181,44 @@ object TextAnalysis {
           .cast("array<string>"), ",").as("fingerprint"))
       .orderBy("doc_id")
       .limit(5000)
+
+  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val phoneRe = """\+\d{1,3}-\d{3}-\d{4}"""
+  private val ipRe = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"""
+
+  /** PII redaction — the scrub stage every released training corpus runs:
+    * mask emails, international phone numbers, and IPv4 addresses with
+    * typed placeholders, and report per-document match counts. The
+    * synthetic corpus is word soup, so the query first plants one
+    * deterministic instance of each PII kind derived from doc_id (the
+    * oracle plants the identical strings) — the masking and counting are
+    * then exercised on every row rather than vacuously passing on text
+    * with nothing to find. Patterns stay in the common Java-regex/RE2
+    * subset (no backrefs, no lookaround) so both engines match
+    * identically; masking order (email → phone → IP) matters only in that
+    * placeholders contain no digits, so later passes can't re-match
+    * earlier replacements; counts are taken on the pre-mask text.
+    *
+    * Scale stance: pure per-row column expressions inside one codegen
+    * stage — no shuffle until the display sort. */
+  def q_text_pii_mask(s: SparkSession, d: String): DataFrame = {
+    val salted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com tel +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), salted.as("t"))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), lit(emailRe), lit("<EMAIL>")),
+            lit(phoneRe), lit("<PHONE>")),
+          lit(ipRe), lit("<IP>")).as("masked"),
+        regexp_count(col("t"), lit(emailRe)).cast("bigint").as("n_emails"),
+        regexp_count(col("t"), lit(phoneRe)).cast("bigint").as("n_phones"),
+        regexp_count(col("t"), lit(ipRe)).cast("bigint").as("n_ips"))
+      .orderBy("doc_id")
+      .limit(2000)
+  }
 }

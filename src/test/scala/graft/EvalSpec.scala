@@ -59,6 +59,48 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_fitted") == 2L && r.getAs[Long]("n_truth") == 3L)
   }
 
+  private def nmiOf(fitted: org.apache.spark.sql.DataFrame,
+      truthDf: org.apache.spark.sql.DataFrame): Double =
+    BigClam.scoreCommunitiesNMI(fitted, truthDf)
+      .collect()(0).getAs[Double]("nmi")
+
+  test("NMI: identical partitions score 1.0, relabeling included") {
+    assert(math.abs(nmiOf(truth, truth) - 1.0) < 1e-12)
+    val relabeled = truth.select((col("community") * 7L + 3L).as("community"), col("node"))
+    assert(math.abs(nmiOf(relabeled, truth) - 1.0) < 1e-12)
+  }
+
+  test("NMI: independent and degenerate partitions score 0") {
+    // A = {1,2|3,4}, B = {1,3|2,4}: every contingency cell is 1 of n=4 with
+    // margins 2×2, so each MI term is (1/4)·ln(4·1/(2·2)) = 0 exactly
+    val a = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("community", "node")
+    val b = Seq((0L, 1L), (0L, 3L), (1L, 2L), (1L, 4L)).toDF("community", "node")
+    assert(math.abs(nmiOf(a, b)) < 1e-12)
+    // one-big-cluster vs a real partition: H(fitted) = 0 and MI = 0 → 0
+    val oneBig = Seq.tabulate(12)(i => (0L, i.toLong)).toDF("community", "node")
+    assert(math.abs(nmiOf(oneBig, truth)) < 1e-12)
+    // disjoint node supports carry no information → 0, not NaN
+    val elsewhere = Seq((0L, 100L), (1L, 101L)).toDF("community", "node")
+    assert(nmiOf(elsewhere, truth) == 0.0)
+  }
+
+  test("NMI: hand-computed 3-node contingency matches to 1e-12") {
+    // A = {1,2|3}, B = {1|2,3}: cells (a0,b0)=1,(a0,b1)=1,(a1,b1)=1, n=3
+    val a = Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("community", "node")
+    val b = Seq((0L, 1L), (1L, 2L), (1L, 3L)).toDF("community", "node")
+    val mi = (math.log(3.0 / 2.0) + math.log(3.0 / 4.0) + math.log(3.0 / 2.0)) / 3.0
+    val h = -(2.0 / 3.0 * math.log(2.0 / 3.0) + 1.0 / 3.0 * math.log(1.0 / 3.0))
+    assert(math.abs(nmiOf(a, b) - 2.0 * mi / (2.0 * h)) < 1e-12)
+    // symmetric in its arguments (margins here are mirror images)
+    assert(math.abs(nmiOf(a, b) - nmiOf(b, a)) < 1e-12)
+  }
+
+  test("NMI: two single-cluster partitions are identical → 1.0 by convention") {
+    val a = Seq((5L, 1L), (5L, 2L)).toDF("community", "node")
+    val b = Seq((9L, 1L), (9L, 2L)).toDF("community", "node")
+    assert(nmiOf(a, b) == 1.0)
+  }
+
   test("loadSnapCommunities parses the one-community-per-line format") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cmty")
     val file = dir.resolve("truth.cmty.txt")
@@ -106,6 +148,15 @@ class EvalSpec extends AnyFunSuite {
     val iters = row.getAs[Int]("iterations")
     assert(iters >= 1 && iters <= 12, s"iteration count out of range: $row")
     assert(row.getAs[Long]("n_fitted") >= 1L && row.getAs[Long]("n_truth") == 4L)
+  }
+
+  test("bigclam_eval_smoke: one scalar row with f1 and nmi both in range") {
+    val r = BigClam.bigclam_eval_smoke(s, TestSpark.sf).collect()
+    assert(r.length == 1)
+    val f1 = r(0).getAs[Double]("f1")
+    val nmi = r(0).getAs[Double]("nmi")
+    assert(f1 > 0.0 && f1 <= 1.0, s"f1 out of range: $f1")
+    assert(nmi >= 0.0 && nmi <= 1.0 + 1e-12, s"nmi out of range: $nmi")
   }
 
   test("scoring a real fit against connected components lands in (0, 1]") {

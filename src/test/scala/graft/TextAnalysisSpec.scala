@@ -22,6 +22,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("pii mask: every planted instance found and redacted, none survive") {
+    val rows = TextAnalysis.q_text_pii_mask(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[String]("masked")
+      // exactly the planted instance of each kind (base corpus is word soup)
+      assert(r.getAs[Long]("n_emails") == 1L, s"emails: $r")
+      assert(r.getAs[Long]("n_phones") == 1L, s"phones: $r")
+      assert(r.getAs[Long]("n_ips") == 1L, s"ips: $r")
+      assert(m.contains("<EMAIL>") && m.contains("<PHONE>") && m.contains("<IP>"))
+      // nothing PII-shaped survives the mask
+      assert(!m.contains("@"), s"unmasked email in: $m")
+      assert(!m.matches(""".*\+\d{1,3}-\d{3}-\d{4}.*"""), s"unmasked phone in: $m")
+      assert(!m.matches(""".*\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}.*"""), s"unmasked ip in: $m")
+    }
+  }
+
   test("fingerprint: 4 sorted hashes per doc; identical docs share sketches") {
     val fps = TextAnalysis.q_text_fingerprint(s, sf).collect()
     assert(fps.nonEmpty)
