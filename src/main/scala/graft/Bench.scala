@@ -51,15 +51,41 @@ object Bench {
       best(name) = best.get(name).fold(t)(math.min(_, t))
     }
     val results = qlist.map { case (name, _) => name -> best(name) }
-    // ms precision keeps the single JSON line short: the driver captures a
-    // bounded tail of the run's stdout, and round-5's full-double line
-    // (~2.9 KB over 71 queries) overflowed it — the driver recorded
-    // parsed:null. 3 decimals is far below bench noise and ~40% shorter.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of stdout (measured from
+    // BENCH_r01..r06: every `tail` field is exactly 2000 chars and every
+    // `parsed` is null — the full 80-to-90-entry queries map has NEVER fit
+    // once sbt's ~75-char "[success] Total time" suffix is subtracted). So
+    // the stdout line is budgeted to ≤ ~1800 chars: queries are listed
+    // individually from slowest down while the line stays under budget,
+    // and the remainder — all faster than anything listed — is aggregated
+    // as rest_n/rest_s. `value` is still the total over ALL queries. The
+    // complete per-query map goes to bench_full.json next to the repo for
+    // local analysis (written before the line prints, never to stdout).
+    val fullJson = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (s"""{"total":${fmt(total)},"sf":"$sfDir","queries":$fullJson}""" + "\n")
+        .getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val bySlow = results.sortBy { case (k, v) => (-v, k) }
+    val budget = 1800
+    val sb = new StringBuilder
+    var listed = 0
+    var restN = 0
+    var restS = 0.0
+    val fixedOverhead = 140 + sfDir.length // header + rest_n/rest_s + sf suffix
+    for ((k, v) <- bySlow) {
+      val entry = "\"" + k + "\":" + fmt(v)
+      if (sb.length + entry.length + 1 + fixedOverhead < budget) {
+        if (listed > 0) sb.append(',')
+        sb.append(entry); listed += 1
+      } else { restN += 1; restS += v }
+    }
+    val restPart =
+      if (restN > 0) s""","rest_n":$restN,"rest_s":${fmt(restS)}""" else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.toString}}$restPart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
