@@ -43,10 +43,17 @@ object Bench {
     // true 2.3 s query). With passes spaced a full sweep apart, a loaded
     // window inflates one pass of a few queries and the min survives.
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // a query that throws must not pass silently: its (meaningless) timing
+    // still lands in the map so the driver sees every declared name, but
+    // the line carries an "errs" count naming the driver's attention
+    val failed = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to reps; (name, fn) <- qlist) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
       val t = (System.nanoTime() - t0) / 1e9
       best(name) = best.get(name).fold(t)(math.min(_, t))
     }
@@ -85,7 +92,8 @@ object Bench {
     }
     val restPart =
       if (restN > 0) s""","rest_n":$restN,"rest_s":${fmt(restS)}""" else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.toString}}$restPart,"sf":"$sfDir"}""")
+    val errPart = if (failed.nonEmpty) s""","errs":${failed.size}""" else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.toString}}$restPart$errPart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
