@@ -17,11 +17,21 @@ import graft.Tables
   * inherits their scale stances (hash-groupBy dedup, bounded blocking,
   * broadcast benchmark side, sharded packing windows).
   *
-  *   runMain graft.RunTextPipeline [sfDir=/root/testdata/sf0.1]
+  *   runMain graft.RunTextPipeline [sfDir=/root/testdata/sf0.1] [shingle|lsh]
+  *
+  * The optional second arg picks the near-dup PROPOSER: `shingle`
+  * (default — rare-shingle df-band blocking, the q_dedup_cluster path) or
+  * `lsh` (MinHash band buckets + chain + Jaccard verify, the
+  * q_dedup_lsh_cluster path). The df-band blocker goes blind on document
+  * families replicated past its df ≤ 10 cap (see ScaleCorpus); LSH has no
+  * multiplicity ceiling.
   */
 object RunTextPipeline {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val proposer = args.lift(1).getOrElse("shingle")
+    require(proposer == "shingle" || proposer == "lsh",
+      s"near-dup proposer must be 'shingle' or 'lsh', got '$proposer'")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -52,11 +62,14 @@ object RunTextPipeline {
     // near-dups of a third. Connected components of the pair graph give
     // the duplicate clusters; keep only each cluster's canonical (min-id)
     // doc — the CCNet/SlimPajama-style keep-one rule.
-    val nearDupLosers = TextOps.dedupClusterLabels(spark, d)
+    val clusterLabels =
+      if (proposer == "lsh") TextOps.lshClusterLabels(docs)
+      else TextOps.dedupClusterLabelsOf(docs)
+    val nearDupLosers = clusterLabels
       .filter(col("doc_id") =!= col("canon_id"))
       .select("doc_id")
     val d2 = d1.join(nearDupLosers, Seq("doc_id"), "left_anti").cache()
-    stage("near_dedup", d2.count())
+    stage(s"near_dedup($proposer)", d2.count())
 
     // 3. decontamination: drop corpus docs overlapping the benchmark split
     val contaminated = TextOps.q_text_contamination(spark, d)

@@ -107,6 +107,7 @@ object SparkEntry {
     "q_dedup_simhash" -> TextOps.q_dedup_simhash,
     "q_minhash_lsh" -> TextOps.q_minhash_lsh,
     "q_dedup_cluster" -> TextOps.q_dedup_cluster,
+    "q_dedup_lsh_cluster" -> TextOps.q_dedup_lsh_cluster,
     // LLM-pipeline: text analysis
     "q_text_quality" -> TextAnalysis.q_text_quality,
     "q_text_quality_gopher" -> TextAnalysis.q_text_quality_gopher,

@@ -64,7 +64,10 @@ object TextOps {
     * without them the shared exchange canonicalizes differently and
     * ReuseExchange runs the shingling twice. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docShinglesOf(Tables.documents(s, d))
+
+  private[graft] def docShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(graft.functions.ShingleHash.shingleArr(col("text"))).as("shingle"))
       .filter(col("doc_id").isNotNull && col("shingle").isNotNull)
@@ -333,7 +336,10 @@ object TextOps {
     * that anti-joins the drop list must use THIS (a 5000-row cap there
     * would silently under-deduplicate any corpus with more clustered docs
     * than the cap). */
-  private[graft] def dedupClusterLabels(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dedupClusterLabels(s: SparkSession, d: String): DataFrame =
+    dedupClusterLabelsOf(Tables.documents(s, d))
+
+  private[graft] def dedupClusterLabelsOf(docs: DataFrame): DataFrame = {
     // materialize the pairs ONCE before the loop: connectedComponents
     // joins edges every propagation round, and without the lineage cut
     // each round re-derives the whole O(tokens²) shingle-blocking pipeline
@@ -346,8 +352,81 @@ object TextOps {
     // dedup every duplicate row would be stored in the checkpoint and
     // re-joined in every propagation round.
     val pairs = graft.graph.GraphOps.cutLineage(
-      rareShinglePairRows(docShingles(s, d)).distinct())
+      rareShinglePairRows(docShinglesOf(docs)).distinct())
     // symmetrize: hash-min CC expects every node to appear as src
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val labels = graft.graph.GraphOps.connectedComponents(edges)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_cluster"))
+    labels.join(sizes, Seq("comp"))
+      .select(col("node").as("doc_id"), col("comp").as("canon_id"), col("n_cluster"))
+  }
+
+  /** [no-oracle] LSH-proposed near-dup clusters — the mass-duplication
+    * complement to [[q_dedup_cluster]]. Rare-shingle blocking is calibrated
+    * by its df band (df ∈ [2,10]): a document family replicated more than
+    * ~10× pushes every shared shingle's doc-frequency past the cap and the
+    * blocker proposes NOTHING for exactly the docs most worth deduping.
+    * MinHash banding has no such ceiling — replicas share band minima at
+    * any multiplicity — so this op proposes from the same 4 band buckets
+    * as [[q_minhash_lsh]], verifies, and clusters.
+    *
+    * Scale stance, stage by stage:
+    *  - Proposal is WITHIN-BUCKET CHAINING, not within-bucket all-pairs:
+    *    docs in one (band, bucket) are linked consecutively in doc_id
+    *    order (`lag` over a bucket-partitioned window). A bucket of R
+    *    near-identical replicas yields R−1 edges, not R(R−1)/2 — and the
+    *    chain has the SAME connected components as the clique would. The
+    *    window sorts per bucket, distributed across buckets; a pathological
+    *    mega-bucket (billions of byte-identical docs) is one task's sorted
+    *    run and should be pre-collapsed by exact dedup upstream.
+    *  - Each proposed edge is VERIFIED by exact Jaccard ≥ 0.5 over the
+    *    pair's full distinct shingle sets (the q_dedup_jaccard melt:
+    *    |A∩B| = (|A|+|B|) − |A∪B| off one join against docShingle), so a
+    *    chance band-min collision cannot merge unrelated docs — at keep-one
+    *    dedup a false merge is silent data loss. Verification is per
+    *    proposed edge: O(chain) pairs, each O(|shingles|) probe rows.
+    *  - Clusters are connected components of the verified edges (hash-min
+    *    propagation, O(cluster diameter) rounds). Chain-then-verify can
+    *    fragment a cluster the all-pairs clique would keep (a rejected
+    *    middle link splits the chain) — the conservative direction for
+    *    dedup: under-merging keeps a duplicate, over-merging drops a
+    *    non-duplicate.
+    * Output: (doc_id, canon_id = cluster min doc_id, n_cluster), only for
+    * docs in some verified cluster — same contract as q_dedup_cluster. */
+  def q_dedup_lsh_cluster(s: SparkSession, d: String): DataFrame =
+    lshClusterLabels(Tables.documents(s, d))
+      .orderBy("doc_id")
+      .limit(5000)
+
+  private[graft] def lshClusterLabels(docs: DataFrame,
+      simThreshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = docs
+      .select(col("doc_id"),
+        graft.functions.ShingleHash.bandMins(col("text"), 4).as("mins"))
+      .filter(col("doc_id").isNotNull && col("mins").isNotNull)
+      .select(col("doc_id"), posexplode(col("mins")).as(Seq("band", "bucket")))
+    val w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    val chain = buckets
+      .withColumn("doc_a", lag(col("doc_id"), 1).over(w))
+      .filter(col("doc_a").isNotNull)
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct() // the same consecutive pair can chain in several bands
+    val docShingle = docShinglesOf(docs)
+    val melt = chain.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    // docShingle is distinct per (doc, shingle): cnt ∈ {1,2}, 2 ⇔ shared;
+    // per pair Σcnt = |A|+|B| and the row count is |A∪B|, so
+    // J ≥ τ  ⇔  (Σcnt − |A∪B|) ≥ τ·|A∪B|, all integer until the final test
+    val verified = melt.join(docShingle, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b", "shingle").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_union"))
+      .filter((col("tot") - col("n_union")).cast("double")
+        >= col("n_union") * lit(simThreshold))
+      .select("doc_a", "doc_b")
+    val pairs = graft.graph.GraphOps.cutLineage(verified)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val labels = graft.graph.GraphOps.connectedComponents(edges)

@@ -178,6 +178,48 @@ class InvariantsSpec extends AnyFunSuite {
     assert(checked > 0, "no pair survived both caps — invariant vacuous")
   }
 
+  test("q_dedup_lsh_cluster: collapses a replicated family the df-band blocker misses") {
+    val sess = s
+    import sess.implicits._
+    // a 31-doc family: one base text + 30 variants each appending a distinct
+    // token. Every shared shingle has df = 31 — past rare-shingle blocking's
+    // df <= 10 cap, so the shingle-block proposer sees NOTHING here. LSH
+    // banding has no multiplicity ceiling.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val family = (0 to 30).map { i =>
+      (i.toLong, if (i == 0) base else s"$base rep$i")
+    }
+    val outsider = (900L, (1 to 40).map(i => s"other$i").mkString(" "))
+    val docs = (family :+ outsider).toDF("doc_id", "text")
+
+    val shingleLabels = TextOps.dedupClusterLabelsOf(docs).collect()
+    assert(shingleLabels.isEmpty,
+      s"df-band blocking unexpectedly proposed: ${shingleLabels.mkString(",")}")
+
+    val lsh = TextOps.lshClusterLabels(docs).collect()
+    val byCluster = lsh.groupBy(_.getAs[Long]("canon_id"))
+    assert(byCluster.size == 1, s"expected one cluster, got ${byCluster.keySet}")
+    val (canonId, members) = byCluster.head
+    assert(canonId == 0L, s"canonical should be min doc_id 0, got $canonId")
+    assert(members.length == 31, s"family fragmented: ${members.length} of 31")
+    members.foreach(r => assert(r.getAs[Long]("n_cluster") == 31L))
+    assert(!lsh.exists(_.getAs[Long]("doc_id") == 900L),
+      "unrelated doc merged into the family")
+    // Jaccard verification gate: a doc sharing a bucket only by chance must
+    // not survive — family vs outsider share zero shingles, so any chance
+    // band collision is rejected by J >= 0.5. (Checked implicitly above.)
+
+    // the declared query runs clean on the real corpus and keeps the
+    // q_dedup_cluster output contract
+    val real = TextOps.q_dedup_lsh_cluster(s, sf).collect()
+    real.foreach { r =>
+      val (d, c) = (r.getAs[Long]("doc_id"), r.getAs[Long]("canon_id"))
+      assert(c <= d, s"canon above member: $r")
+    }
+    val counts = real.groupBy(_.getAs[Long]("canon_id")).view.mapValues(_.length)
+    counts.foreach { case (c, n) => assert(n >= 2, s"singleton cluster $c") }
+  }
+
   test("q_embed_quantize: int8 error bounded by scale/2, mse <= max_err^2") {
     val rows = ops.VectorOps.q_embed_quantize(s, sf).collect()
     assert(rows.nonEmpty)
