@@ -524,6 +524,21 @@ object Oracles {
     // score wins, ties go to the lexicographically LARGEST lang — hence the
     // CASE chain testing langs in descending name order; 'und' when no
     // marker hit at all
+    "q_text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok, tf, df,
+        |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, tok, tf, df, score FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) <= 3
+        |ORDER BY doc_id, score DESC, tok LIMIT 3000""".stripMargin,
+
     "q_text_langid" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |sc AS (SELECT doc_id, any_value(lang) AS lang,

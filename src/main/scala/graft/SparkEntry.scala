@@ -113,6 +113,7 @@ object SparkEntry {
     "q_text_quality_gopher" -> TextAnalysis.q_text_quality_gopher,
     "q_sample_quota" -> TextAnalysis.q_sample_quota,
     "q_text_langid" -> TextAnalysis.q_text_langid,
+    "q_text_tfidf" -> TextAnalysis.q_text_tfidf,
     "q_text_fingerprint" -> TextAnalysis.q_text_fingerprint,
     "q_text_pii_mask" -> TextAnalysis.q_text_pii_mask,
     "q_sample_stratified" -> TextAnalysis.q_sample_stratified,

@@ -221,4 +221,37 @@ object TextAnalysis {
       .orderBy("doc_id")
       .limit(2000)
   }
+
+  /** Per-document TF-IDF top terms — the keyword/feature-extraction staple
+    * (smooth idf: ln((N+1)/(df+1)) + 1, sklearn's convention). Output: each
+    * doc's top-3 tokens by (rounded score desc, token asc).
+    *
+    * Scale stance: tf is one explode → partial-agg groupBy(doc, tok); df
+    * is a groupBy(tok) over the already-collapsed tf relation (never the
+    * raw token stream); N rides along as a broadcast single-row cross
+    * join (the scalar-subquery pattern, not a collected driver value);
+    * the top-3 window partitions by doc_id — millions of small groups
+    * distribute, nothing global. Ranking uses the ROUNDED score so both
+    * engines cut ties identically (raw doubles can differ in the last
+    * ulp across libm implementations; ties then break on token). */
+  def q_text_tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("tok"))
+      .limit(3000)
+  }
 }
