@@ -367,6 +367,14 @@ object Oracles {
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id LIMIT 5000""".stripMargin,
 
+    "q_events_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT cohort_day, ev.day - cohort_day AS day_offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
     "q_events_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),

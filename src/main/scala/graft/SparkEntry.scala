@@ -78,6 +78,7 @@ object SparkEntry {
     "q_events_sessionize" -> EventsOps.q_events_sessionize,
     "q_events_late_dedup" -> EventsOps.q_events_late_dedup,
     "q_events_funnel" -> EventsOps.q_events_funnel,
+    "q_events_retention" -> EventsOps.q_events_retention,
     // graph
     "q_graph_degree" -> GraphOps.q_graph_degree,
     "q_graph_neighbors" -> GraphOps.q_graph_neighbors,

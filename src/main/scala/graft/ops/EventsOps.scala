@@ -102,4 +102,24 @@ object EventsOps {
       .orderBy("user_id", "event_id")
       .limit(2000)
   }
+
+  /** Cohort retention — the product-analytics staple: users are cohorted
+    * by their first-seen day, and each (cohort_day, day_offset) cell
+    * counts the distinct users from that cohort active offset days later.
+    *
+    * Scale stance: first-seen is a groupBy(user) min — partial-agg
+    * friendly; the join back to events is keyed on user_id (co-partitioned
+    * with the event stream's natural key); the cell agg shuffles only
+    * (cohort_day, offset, user) distinct triples, already collapsed
+    * map-side. No windows, nothing global; a 100 TB event log distributes
+    * on user_id end-to-end. */
+  def q_events_retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
 }
