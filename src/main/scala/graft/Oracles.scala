@@ -370,7 +370,7 @@ object Oracles {
     "q_events_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
-        |SELECT cohort_day, ev.day - cohort_day AS day_offset,
+        |SELECT cohort_day, CAST(ev.day - cohort_day AS INT) AS day_offset,
         |  count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN cohort USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
@@ -532,21 +532,6 @@ object Oracles {
     // score wins, ties go to the lexicographically LARGEST lang — hence the
     // CASE chain testing langs in descending name order; 'und' when no
     // marker hit at all
-    "q_text_tfidf" ->
-      """WITH tf AS (
-        |  SELECT doc_id, tok, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  GROUP BY doc_id, tok),
-        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |scored AS (
-        |  SELECT doc_id, tok, tf, df,
-        |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
-        |  FROM tf JOIN df USING (tok) CROSS JOIN n)
-        |SELECT doc_id, tok, tf, df, score FROM scored
-        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) <= 3
-        |ORDER BY doc_id, score DESC, tok LIMIT 3000""".stripMargin,
-
     "q_text_langid" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |sc AS (SELECT doc_id, any_value(lang) AS lang,
@@ -564,6 +549,22 @@ object Oracles {
         |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
         |       ELSE 'de' END AS pred
         |FROM sc ORDER BY doc_id LIMIT 2000""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok, tf, df,
+        |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, tok, tf, df, score FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) <= 3
+        |ORDER BY doc_id, score DESC, tok LIMIT 3000""".stripMargin,
+
 
     "q_sample_stratified" ->
       """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id

@@ -62,8 +62,18 @@ object RunTextPipeline {
     // near-dups of a third. Connected components of the pair graph give
     // the duplicate clusters; keep only each cluster's canonical (min-id)
     // doc — the CCNet/SlimPajama-style keep-one rule.
+    // The LSH proposer runs over the exact-deduped d1, not the raw corpus:
+    // byte-identical copies land in identical band buckets, so removing
+    // them preserves connectivity among the survivors (a removed copy that
+    // chained two survivors leaves them adjacent in the same bucket) while
+    // skipping their window-sort, chain, and Jaccard-probe cost — and the
+    // cluster canonical (cluster-min id) is always an exact-dedup keeper,
+    // so the loser set within d1 is unchanged. The shingle proposer stays
+    // on the raw corpus: its df in [2,10] band COUNTS duplicates, and
+    // feeding it d1 would change which shingles are "rare" (the oracle-
+    // checked q_dedup_cluster semantics are defined over the raw table).
     val clusterLabels =
-      if (proposer == "lsh") TextOps.lshClusterLabels(docs)
+      if (proposer == "lsh") TextOps.lshClusterLabels(d1)
       else TextOps.dedupClusterLabelsOf(docs)
     val nearDupLosers = clusterLabels
       .filter(col("doc_id") =!= col("canon_id"))

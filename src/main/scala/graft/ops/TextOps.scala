@@ -375,11 +375,19 @@ object TextOps {
     *  - Proposal is WITHIN-BUCKET CHAINING, not within-bucket all-pairs:
     *    docs in one (band, bucket) are linked consecutively in doc_id
     *    order (`lag` over a bucket-partitioned window). A bucket of R
-    *    near-identical replicas yields R−1 edges, not R(R−1)/2 — and the
-    *    chain has the SAME connected components as the clique would. The
-    *    window sorts per bucket, distributed across buckets; a pathological
-    *    mega-bucket (billions of byte-identical docs) is one task's sorted
-    *    run and should be pre-collapsed by exact dedup upstream.
+    *    near-identical replicas yields R−1 edges, not R(R−1)/2, with the
+    *    same connected components — PROVIDED the bucket members are
+    *    mutually similar. A chance-colliding unrelated doc whose id
+    *    interleaves a duplicate pair splits that band's chain (both of its
+    *    links fail verification and the direct pair edge is never
+    *    proposed); the pair is then only found via the OTHER bands, whose
+    *    hash families are independent, so a family pair is lost only when
+    *    an interleaving collider lands in its bucket in EVERY band — the
+    *    recall-vs-cost tradeoff of chain proposal vs the quadratic clique.
+    *    The window sorts per bucket, distributed across buckets; a
+    *    pathological mega-bucket (billions of byte-identical docs) is one
+    *    task's sorted run and should be pre-collapsed by exact dedup
+    *    upstream.
     *  - Each proposed edge is VERIFIED by exact Jaccard ≥ 0.5 over the
     *    pair's full distinct shingle sets (the q_dedup_jaccard melt:
     *    |A∩B| = (|A|+|B|) − |A∪B| off one join against docShingle), so a
