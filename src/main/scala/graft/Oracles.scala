@@ -148,6 +148,15 @@ object Oracles {
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q_agg_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 30000), 19) AS INT) AS bucket,
+        |  CAST(least(floor(o_totalprice / 30000), 19) * 30000.0 AS DOUBLE) AS lo,
+        |  CASE WHEN least(floor(o_totalprice / 30000), 19) = 19 THEN NULL
+        |       ELSE CAST((least(floor(o_totalprice / 30000), 19) + 1) * 30000.0 AS DOUBLE) END AS hi,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
+
     "q_agg_stats" ->
       """WITH base AS (
         |  SELECT o_orderstatus,

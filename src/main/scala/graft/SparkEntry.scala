@@ -50,6 +50,7 @@ object SparkEntry {
     "q_agg_approx_distinct" -> Aggregates.q_agg_approx_distinct,
     "q_agg_percentiles" -> Aggregates.q_agg_percentiles,
     "q_pivot" -> Aggregates.q_pivot,
+    "q_agg_histogram" -> Aggregates.q_agg_histogram,
     // windows
     "q_win_rank" -> Windows.q_win_rank,
     "q_win_rownum" -> Windows.q_win_rownum,

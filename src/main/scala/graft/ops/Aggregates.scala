@@ -174,6 +174,27 @@ object Aggregates {
         count(lit(1)).as("cnt"))
       .orderBy("o_orderstatus")
 
+  /** Fixed-width histogram of order totals: 20 buckets of 30k over
+    * [0, 600k), last bucket open-ended. Bucket bounds are DATA-INDEPENDENT
+    * on purpose — the scale-correct choice: data-dependent min/max bounds
+    * cost an extra full pass (or a stale statistics dependency) before the
+    * bucketing pass, while fixed bounds make the histogram a single
+    * partial-agg-friendly groupBy that composes with incremental refresh.
+    * One row per OCCUPIED bucket (empty buckets need a generate+left-join;
+    * consumers densify if they must). */
+  def q_agg_histogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(least(floor(col("o_totalprice") / 30000), lit(19L)).cast("int").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .withColumn("lo", (col("bucket") * 30000.0).cast("double"))
+      .withColumn("hi", when(col("bucket") === 19, lit(null).cast("double"))
+        .otherwise((col("bucket") + 1) * 30000.0))
+      .select("bucket", "lo", "hi", "cnt", "sum_price")
+      .orderBy("bucket")
+
   /** [no-oracle] HLL sketch next to the exact count; tests assert <5% error. */
   def q_agg_approx_distinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
