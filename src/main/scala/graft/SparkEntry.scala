@@ -89,6 +89,7 @@ object SparkEntry {
     "q_graph_seed_rank" -> GraphOps.q_graph_seed_rank,
     "q_graph_cc" -> GraphOps.q_graph_cc,
     "q_graph_pagerank" -> GraphOps.q_graph_pagerank,
+    "q_graph_kcore" -> GraphOps.q_graph_kcore,
     // BigCLAM
     "bigclam_fit_smoke" -> BigClam.bigclam_fit_smoke,
     "bigclam_fit_sparse_smoke" -> BigClam.bigclam_fit_sparse_smoke,

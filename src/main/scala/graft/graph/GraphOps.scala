@@ -358,4 +358,53 @@ object GraphOps {
       .select(col("node"), col("comp").as("component"))
       .orderBy("node")
       .limit(5000)
+
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes of
+    * degree < k (and their edges) until the survivor set is stable; what
+    * remains is the maximal subgraph where every node has degree ≥ k — the
+    * standard "dense part of the graph" extraction (degeneracy ordering,
+    * community pre-filtering, spam/bot subgraph mining).
+    *
+    * Scale stance: each round is one partial-agg degree count + two
+    * semi-joins keyed on the edge endpoints — no windows, no driver state
+    * but the scalar edge count (the fixpoint witness, one job per round,
+    * same idiom as connectedComponents' label sum). Lineage is cut per
+    * round (`cutLineage`) so an O(rounds) loop cannot accumulate an
+    * exponential plan. Round count is bounded by the peeling depth
+    * (≤ max degeneracy ordering length), in practice tens of rounds on
+    * power-law graphs. Input must be symmetric (both directed rows). */
+  def kcore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = cutLineage(edges)
+    var nEdges = e.count()
+    var it = 0
+    var stable = nEdges == 0L
+    while (!stable && it < maxIter) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val next = cutLineage(
+        e.join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst"))
+      val n = next.count()
+      stable = n == nEdges // peeling strictly shrinks the edge set until done
+      e = next
+      nEdges = n
+      it += 1
+    }
+    if (!stable)
+      throw new IllegalStateException(
+        s"kcore did not stabilize within $maxIter rounds")
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** 3-core of the bounded bipartite subgraph. [no-oracle]: iterative
+    * peeling has no DuckDB twin (recursive CTEs cannot re-aggregate a
+    * shrinking set per step); invariant-tested instead — every surviving
+    * node keeps degree ≥ 3 inside the core, and a hand-checked toy graph
+    * pins exact membership. */
+  def q_graph_kcore(s: SparkSession, d: String): DataFrame =
+    kcore(symEdges(rawEdges(s, d, 2000)), 3)
+      .orderBy("node")
+      .limit(5000)
 }

@@ -114,4 +114,29 @@ class ToyGraphSpec extends AnyFunSuite {
     assert(ranked.nonEmpty)
     assert(!Set(2L, 3L).contains(ranked.head))
   }
+
+  test("k-core peeling: toy graph hand-checked at k=2 and k=3; pendant drops") {
+    // every toy node has degree >= 2, so the 2-core is the whole graph with
+    // core_deg = original degree
+    val core2 = GraphOps.kcore(edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(0L -> 2, 1L -> 2, 2L -> 3, 3L -> 3, 4L -> 2, 5L -> 2))
+    // k=3: peeling the degree-2 nodes leaves only the bridge (2,3), whose
+    // endpoints then have degree 1 -> the 3-core is empty
+    assert(GraphOps.kcore(edges, 3).count() == 0L)
+    // a pendant node hanging off a triangle is peeled; the triangle stays
+    val withPendant = GraphOps.symEdges(
+      Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 6L)).toDF("src", "dst"))
+    val core2p = GraphOps.kcore(withPendant, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2p == Map(0L -> 2, 1L -> 2, 2L -> 2))
+    // empty input is already stable
+    assert(GraphOps.kcore(edges.filter(col("src") > 100), 2).count() == 0L)
+  }
+
+  test("q_graph_kcore: every surviving node keeps degree >= 3 in the core") {
+    val rows = GraphOps.q_graph_kcore(s, TestSpark.sf).collect()
+    assert(rows.nonEmpty, "3-core of the bounded bipartite subgraph is empty")
+    rows.foreach(r => assert(r.getAs[Long]("core_deg") >= 3L, s"below-k degree: $r"))
+  }
 }
