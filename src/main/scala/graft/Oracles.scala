@@ -472,6 +472,21 @@ object Oracles {
         |        FROM deg d LEFT JOIN it3 i ON i.node = d.node)
         |SELECT node, round(pr, 9) AS pr FROM pr3 ORDER BY node LIMIT 5000""".stripMargin,
 
+    "q_graph_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT l_orderkey AS src, l_suppkey + 100000 AS dst
+        |  FROM lineitem WHERE l_orderkey < 2000
+        |  UNION
+        |  SELECT l_suppkey + 100000 AS src, l_orderkey AS dst
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |bfs(node, dist) AS (
+        |  SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+        |  UNION
+        |  SELECT e.dst AS node, bfs.dist + 1 AS dist
+        |  FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.dist < 10)
+        |SELECT node, CAST(min(dist) AS INT) AS dist
+        |FROM bfs GROUP BY node ORDER BY node LIMIT 5000""".stripMargin,
+
     "q_graph_cc" ->
       """WITH RECURSIVE raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst
         |                       FROM lineitem WHERE l_orderkey < 2000),

@@ -90,6 +90,7 @@ object SparkEntry {
     "q_graph_cc" -> GraphOps.q_graph_cc,
     "q_graph_pagerank" -> GraphOps.q_graph_pagerank,
     "q_graph_kcore" -> GraphOps.q_graph_kcore,
+    "q_graph_bfs" -> GraphOps.q_graph_bfs,
     // BigCLAM
     "bigclam_fit_smoke" -> BigClam.bigclam_fit_smoke,
     "bigclam_fit_sparse_smoke" -> BigClam.bigclam_fit_sparse_smoke,

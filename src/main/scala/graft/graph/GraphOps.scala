@@ -407,4 +407,45 @@ object GraphOps {
     kcore(symEdges(rawEdges(s, d, 2000)), 3)
       .orderBy("node")
       .limit(5000)
+
+  /** Unweighted single-source BFS: hop distance from `source` for every
+    * node within `maxDepth` hops. Level-synchronous frontier expansion —
+    * each round joins the current frontier against the edge table, anti-
+    * joins the already-visited set, and unions the survivors in at
+    * depth+1. BFS's monotonicity makes the first arrival the final
+    * distance, so no relaxation pass is needed.
+    *
+    * Scale stance: per round one join + one anti-join, both keyed on node
+    * ids; driver state is the scalar frontier count (the loop-exit
+    * witness); lineage cut per round. The visited set rides as a DataFrame
+    * union — at 100 TB it would be checkpoint-compacted storage, not
+    * driver memory. Unlike kcore this IS oracle-expressible: DuckDB's
+    * recursive CTE walks (node, dist) pairs with the same depth guard and
+    * min(dist) collapse. */
+  def bfsDepth(edges: DataFrame, source: Long, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = cutLineage(Seq((source, 0)).toDF("node", "dist"))
+    var frontier = dist
+    var depth = 0
+    while (depth < maxDepth && frontier.limit(1).count() > 0) {
+      val next = cutLineage(
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("dist", lit(depth + 1)))
+      dist = cutLineage(dist.union(next))
+      frontier = next
+      depth += 1
+    }
+    dist
+  }
+
+  /** BFS hop distances from order node 1 on the bounded bipartite
+    * subgraph, depth ≤ 10 (even hops are orders, odd hops suppliers). */
+  def q_graph_bfs(s: SparkSession, d: String): DataFrame =
+    bfsDepth(symEdges(rawEdges(s, d, 2000)), 1L, 10)
+      .select(col("node"), col("dist").cast("int").as("dist"))
+      .orderBy("node")
+      .limit(5000)
 }

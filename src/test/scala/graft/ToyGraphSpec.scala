@@ -134,6 +134,22 @@ class ToyGraphSpec extends AnyFunSuite {
     assert(GraphOps.kcore(edges.filter(col("src") > 100), 2).count() == 0L)
   }
 
+  test("BFS hop distances hand-checked on the bridged toy graph") {
+    // from node 0: triangle mates at 1 hop, bridge endpoint 3 at 2 hops
+    // (through 2), far triangle at 3
+    val d = GraphOps.bfsDepth(edges, 0L, 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 3))
+    // depth cap truncates the frontier: maxDepth=1 reaches only the ego net
+    val capped = GraphOps.bfsDepth(edges, 0L, 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == Map(0L -> 0, 1L -> 1, 2L -> 1))
+    // unreachable source component: BFS from an isolated id returns just it
+    val lone = GraphOps.bfsDepth(edges.filter(col("src") < 3 && col("dst") < 3), 5L, 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lone == Map(5L -> 0))
+  }
+
   test("q_graph_kcore: every surviving node keeps degree >= 3 in the core") {
     val rows = GraphOps.q_graph_kcore(s, TestSpark.sf).collect()
     assert(rows.nonEmpty, "3-core of the bounded bipartite subgraph is empty")
