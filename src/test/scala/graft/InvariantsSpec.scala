@@ -263,7 +263,11 @@ class InvariantsSpec extends AnyFunSuite {
 
   test("determinism: double-run byte-identical output for representative queries") {
     for (name <- Seq("q_agg_hash", "q_win_running", "q_graph_conductance",
-        "q_sim_cosine_topk", "q_dedup_shingle")) {
+        "q_sim_cosine_topk", "q_dedup_shingle",
+        // the round-7 iterative additions: loop-driven plans re-derive per
+        // run, so double-run identity is the cheapest guard against any
+        // nondeterministic fixpoint
+        "q_graph_kcore", "q_graph_bfs", "q_dedup_lsh_cluster")) {
       val fn = SparkEntry.queries(name)
       val a = fn(s, sf).collect().map(_.toString).toSeq
       val b = fn(s, sf).collect().map(_.toString).toSeq
