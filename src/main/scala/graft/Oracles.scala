@@ -556,6 +556,15 @@ object Oracles {
     // score wins, ties go to the lexicographically LARGEST lang — hence the
     // CASE chain testing langs in descending name order; 'und' when no
     // marker hit at all
+    "q_text_chunk" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        |           FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |c AS (SELECT doc_id, n_tok, unnest(range((n_tok + 47) // 48)) AS chunk_id FROM d)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(chunk_id * 48 AS INT) AS start_tok,
+        |  CAST(least(64, n_tok - chunk_id * 48) AS INT) AS n_chunk_tok
+        |FROM c ORDER BY doc_id, chunk_id LIMIT 5000""".stripMargin,
+
     "q_text_langid" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |sc AS (SELECT doc_id, any_value(lang) AS lang,

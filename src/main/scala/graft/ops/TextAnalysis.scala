@@ -222,6 +222,29 @@ object TextAnalysis {
       .limit(2000)
   }
 
+  /** RAG-style document chunking — fixed 64-token windows on a 48-token
+    * stride (16-token overlap between consecutive chunks), the retrieval-
+    * ingestion staple. Chunks start at stride multiples while start <
+    * n_tokens; the last chunk simply runs short. Output is the chunk MAP
+    * (doc, chunk_id, start, length) — the thing a planner shuffles and
+    * joins — not the chunk text (a projection of the map against the doc,
+    * kept off the wire on purpose).
+    *
+    * Scale stance: pure narrow arithmetic — one split for the token count,
+    * one bounded posexplode (n_tok/48 rows per doc); no shuffle until the
+    * display sort. All integer math, so the DuckDB twin matches exactly. */
+  def q_text_chunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        posexplode(sequence(lit(0), expr("(n_tok + 47) div 48") - 1)))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        (col("pos") * 48).cast("int").as("start_tok"),
+        least(lit(64), col("n_tok") - col("pos") * 48).cast("int").as("n_chunk_tok"))
+      .orderBy("doc_id", "chunk_id")
+      .limit(5000)
+
   /** Per-document TF-IDF top terms — the keyword/feature-extraction staple
     * (smooth idf: ln((N+1)/(df+1)) + 1, sklearn's convention). Output: each
     * doc's top-3 tokens by (rounded score desc, token asc).
