@@ -472,6 +472,16 @@ object Oracles {
         |        FROM deg d LEFT JOIN it3 i ON i.node = d.node)
         |SELECT node, round(pr, 9) AS pr FROM pr3 ORDER BY node LIMIT 5000""".stripMargin,
 
+    "q_graph_degree_dist" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT l_orderkey AS src, l_suppkey + 100000 AS dst FROM lineitem
+        |    UNION ALL
+        |    SELECT l_suppkey + 100000 AS src, l_orderkey AS dst FROM lineitem)),
+        |deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+        |SELECT degree, count(*) AS n_nodes FROM deg
+        |GROUP BY degree ORDER BY degree""".stripMargin,
+
     "q_graph_bfs" ->
       """WITH RECURSIVE e AS (
         |  SELECT l_orderkey AS src, l_suppkey + 100000 AS dst

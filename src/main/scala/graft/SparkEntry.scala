@@ -91,6 +91,7 @@ object SparkEntry {
     "q_graph_pagerank" -> GraphOps.q_graph_pagerank,
     "q_graph_kcore" -> GraphOps.q_graph_kcore,
     "q_graph_bfs" -> GraphOps.q_graph_bfs,
+    "q_graph_degree_dist" -> GraphOps.q_graph_degree_dist,
     // BigCLAM
     "bigclam_fit_smoke" -> BigClam.bigclam_fit_smoke,
     "bigclam_fit_sparse_smoke" -> BigClam.bigclam_fit_sparse_smoke,

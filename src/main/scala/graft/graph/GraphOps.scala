@@ -448,4 +448,15 @@ object GraphOps {
       .select(col("node"), col("dist").cast("int").as("dist"))
       .orderBy("node")
       .limit(5000)
+
+  /** Degree distribution (degree → node count) of the full bipartite
+    * graph — the first plot of any graph analysis. Two partial-agg
+    * groupBys back to back; the second's key cardinality is the number of
+    * DISTINCT degrees (tiny), so the final shuffle is negligible at any
+    * graph size. */
+  def q_graph_degree_dist(s: SparkSession, d: String): DataFrame =
+    degrees(symEdges(rawEdges(s, d)))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
 }
