@@ -113,6 +113,7 @@ object SparkEntry {
     "q_minhash_lsh" -> TextOps.q_minhash_lsh,
     "q_dedup_cluster" -> TextOps.q_dedup_cluster,
     "q_dedup_lsh_cluster" -> TextOps.q_dedup_lsh_cluster,
+    "q_dedup_minhash_audit" -> TextOps.q_dedup_minhash_audit,
     // LLM-pipeline: text analysis
     "q_text_quality" -> TextAnalysis.q_text_quality,
     "q_text_quality_gopher" -> TextAnalysis.q_text_quality_gopher,

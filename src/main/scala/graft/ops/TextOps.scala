@@ -182,6 +182,45 @@ object TextOps {
       .limit(5000)
   }
 
+  /** [no-oracle] MinHash sketch-accuracy audit — the sketch-audit pattern
+    * (HLL-vs-exact, int8-vs-float) applied to the dedup proposer: for every
+    * blocked candidate pair, the bottom-16 sketch Jaccard estimate next to
+    * the exact Jaccard and the absolute error. This is how a pipeline
+    * owner picks k: the audit runs on a sample, the error distribution
+    * says whether the sketch can replace the exact verify stage.
+    *
+    * Estimator: est = |bottomK(A∪B) ∩ A-sketch ∩ B-sketch| / |bottomK(A∪B)|
+    * where bottomK(A∪B) is computed from the two sketches alone
+    * (array_union dedups, array_sort + slice takes the union's k smallest)
+    * — the standard bottom-k coincidence estimator, no access to the full
+    * shingle sets needed. Exact J comes from the q_dedup_jaccard pipeline
+    * on the same pairs. Byte-identical texts have identical sketches, so
+    * exact duplicates always audit at est = 1.
+    *
+    * Scale: sketches are one narrow codegen'd pass (ShingleMinK); the pair
+    * set is the bounded blocking output; the estimate is pure array
+    * arithmetic per pair. xxhash64 has no DuckDB twin → invariant-tested. */
+  def q_dedup_minhash_audit(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val sk = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.ShingleHash.minK(col("text"), k).as("sk"))
+      .filter(size(col("sk")) > 0)
+    val exact = q_dedup_jaccard(s, d)
+    exact
+      .join(sk.select(col("doc_id").as("doc_a"), col("sk").as("sk_a")), Seq("doc_a"))
+      .join(sk.select(col("doc_id").as("doc_b"), col("sk").as("sk_b")), Seq("doc_b"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k))
+      .withColumn("est",
+        round(size(array_intersect(array_intersect(col("merged"), col("sk_a")),
+          col("sk_b"))).cast("double") / size(col("merged")), 6))
+      .select(col("doc_a"), col("doc_b"), col("est"), col("jaccard").as("exact"),
+        round(abs(col("est") - col("jaccard")), 6).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+      .limit(5000)
+  }
+
   /** Greedy sample packing — the pre-training step that concatenates
     * documents into fixed-size token contexts (512 here): each doc lands in
     * the context bin where its running token total starts, and the output

@@ -220,6 +220,28 @@ class InvariantsSpec extends AnyFunSuite {
     counts.foreach { case (c, n) => assert(n >= 2, s"singleton cluster $c") }
   }
 
+  test("q_dedup_minhash_audit: estimates in range, exact dups audit at 1, error bounded") {
+    val rows = TextOps.q_dedup_minhash_audit(s, sf).collect()
+    assert(rows.nonEmpty)
+    var errSum = 0.0
+    rows.foreach { r =>
+      val (est, exact, err) = (r.getAs[Double]("est"),
+        r.getAs[Double]("exact"), r.getAs[Double]("abs_err"))
+      assert(est >= 0.0 && est <= 1.0, s"est out of range: $r")
+      assert(exact >= 0.0 && exact <= 1.0, s"exact out of range: $r")
+      assert(math.abs(err - math.abs(est - exact)) < 1e-6, s"err column lies: $r")
+      // bottom-16 coincidence estimator: generous deterministic ceiling —
+      // the point of the audit is the distribution, but a k=16 sketch
+      // should never be off by more than ~3 sigma of sqrt(J(1-J)/16)
+      assert(err <= 0.45, s"sketch wildly off: $r")
+      if (exact == 1.0)
+        assert(est == 1.0, s"identical texts must have identical sketches: $r")
+      errSum += err
+    }
+    assert(errSum / rows.length <= 0.15,
+      f"mean sketch error ${errSum / rows.length}%.4f above 0.15")
+  }
+
   test("q_embed_quantize: int8 error bounded by scale/2, mse <= max_err^2") {
     val rows = ops.VectorOps.q_embed_quantize(s, sf).collect()
     assert(rows.nonEmpty)
