@@ -157,6 +157,13 @@ object Oracles {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
 
+    "q_agg_mode" ->
+      """SELECT o_orderpriority, o_orderstatus AS mode_status, count(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY count(*) DESC, o_orderstatus ASC) = 1
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q_agg_stats" ->
       """WITH base AS (
         |  SELECT o_orderstatus,

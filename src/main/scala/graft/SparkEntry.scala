@@ -51,6 +51,7 @@ object SparkEntry {
     "q_agg_percentiles" -> Aggregates.q_agg_percentiles,
     "q_pivot" -> Aggregates.q_pivot,
     "q_agg_histogram" -> Aggregates.q_agg_histogram,
+    "q_agg_mode" -> Aggregates.q_agg_mode,
     // windows
     "q_win_rank" -> Windows.q_win_rank,
     "q_win_rownum" -> Windows.q_win_rownum,

@@ -195,6 +195,27 @@ object Aggregates {
       .select("bucket", "lo", "hi", "cnt", "sum_price")
       .orderBy("bucket")
 
+  /** Modal value per group — the `mode()` aggregate Spark has no built-in
+    * for, composed as count-then-top-1: a partial-agg-friendly groupBy on
+    * (group, value) collapses the stream map-side, and the per-group
+    * argmax is a window over the already-aggregated rows (one row per
+    * distinct (group, value), not per input row). Deterministic tiebreak:
+    * highest count, then lexicographically smallest value. */
+  def q_agg_mode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.orders(s, d)
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("cnt").desc, col("o_orderstatus").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"),
+        col("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
   /** [no-oracle] HLL sketch next to the exact count; tests assert <5% error. */
   def q_agg_approx_distinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
