@@ -391,6 +391,34 @@ object Oracles {
         |FROM ev JOIN cohort USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
+    "q_events_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |        day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+        |          AS anchor
+        |      FROM days),
+        |isl AS (SELECT user_id, anchor, count(*) AS len FROM r GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, value,
+        |              CAST(value AS DECIMAL(18,6)) AS dv FROM events),
+        |m AS (SELECT user_id, count(*) AS n, sum(dv) AS s,
+        |        sum(CAST(dv * dv AS DECIMAL(38,12))) AS sq
+        |      FROM ev GROUP BY user_id),
+        |st AS (SELECT user_id, CAST(s AS DOUBLE) / n AS mean,
+        |         (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n
+        |           AS variance
+        |       FROM m WHERE (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n > 1e-12),
+        |z AS (SELECT e.user_id, e.event_id, e.ts, e.value,
+        |        (CAST(e.dv AS DOUBLE) - st.mean) / sqrt(st.variance) AS z
+        |      FROM ev e JOIN st USING (user_id))
+        |SELECT user_id, event_id, ts, round(value, 6) AS value, round(z, 6) AS z
+        |FROM z WHERE abs(z) > 3.0
+        |ORDER BY user_id, event_id LIMIT 5000""".stripMargin,
+
     "q_events_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),
@@ -488,6 +516,28 @@ object Oracles {
         |deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
         |SELECT degree, count(*) AS n_nodes FROM deg
         |GROUP BY degree ORDER BY degree""".stripMargin,
+
+    "q_graph_clustering_coeff" ->
+      """WITH raw AS (SELECT DISTINCT l_orderkey AS u, l_suppkey + 100000 AS s
+        |             FROM lineitem WHERE l_orderkey < 300),
+        |proj AS (SELECT DISTINCT a.u AS u, b.u AS v
+        |         FROM raw a JOIN raw b ON a.s = b.s AND a.u < b.u),
+        |deg AS (SELECT node, count(*) AS degree FROM
+        |          (SELECT u AS node FROM proj UNION ALL SELECT v FROM proj) t
+        |        GROUP BY node),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM proj e1 JOIN proj e2 ON e1.v = e2.u
+        |        JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tcnt AS (SELECT node, count(*) AS n_triangles
+        |         FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |               UNION ALL SELECT c FROM tri) t
+        |         GROUP BY node)
+        |SELECT d.node, d.degree, coalesce(t.n_triangles, 0) AS n_triangles,
+        |  round(CAST(coalesce(t.n_triangles, 0) * 2 AS DOUBLE) /
+        |        (d.degree * (d.degree - 1)), 6) AS clustering_coeff
+        |FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+        |WHERE d.degree >= 2
+        |ORDER BY d.node LIMIT 5000""".stripMargin,
 
     "q_graph_bfs" ->
       """WITH RECURSIVE e AS (
@@ -663,6 +713,29 @@ object Oracles {
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin,
 
+    "q_dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN freq f ON s.shingle = f.shingle
+        |         WHERE f.df BETWEEN 2 AND 10),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+        |          FROM pairs p JOIN sh x ON x.doc_id = p.doc_a
+        |          JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+        |          GROUP BY p.doc_a, p.doc_b),
+        |scored AS (SELECT i.doc_a, i.doc_b, i.n_inter,
+        |    round(CAST(i.n_inter AS DOUBLE) / sa.sz, 6) AS cont_a,
+        |    round(CAST(i.n_inter AS DOUBLE) / sb.sz, 6) AS cont_b
+        |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b)
+        |SELECT doc_a, doc_b, n_inter, cont_a, cont_b
+        |FROM scored WHERE greatest(cont_a, cont_b) >= 0.5
+        |ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin,
+
     // Connected components of the candidate-pair graph via a recursive
     // reachability CTE: tiny per-cluster node sets by construction (blocking
     // caps fan-out), so enumerating (node, reachable) pairs is bounded.
@@ -716,6 +789,20 @@ object Oracles {
         |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
         |SELECT lang, CAST(rk AS INT) AS rk, doc_id
         |FROM r WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
+
+    "q_sample_mixture" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CASE CAST(substr(source, 4) AS INT) % 4
+        |      WHEN 0 THEN 1000000 WHEN 1 THEN 500000
+        |      WHEN 2 THEN 250000 ELSE 125000 END AS thr
+        |  FROM documents),
+        |k AS (SELECT source, thr,
+        |        CASE WHEN (doc_id * 2654435761) % 1000000 < thr THEN 1 ELSE 0 END AS keep
+        |      FROM t)
+        |SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+        |  round(CAST(min(thr) AS DOUBLE) / 1000000, 6) AS target_rate,
+        |  round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS achieved_rate
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     // the planted-PII salt mirrors the Spark side exactly; patterns are in
     // the Java-regex/RE2 common subset so both engines match identically;

@@ -81,6 +81,8 @@ object SparkEntry {
     "q_events_late_dedup" -> EventsOps.q_events_late_dedup,
     "q_events_funnel" -> EventsOps.q_events_funnel,
     "q_events_retention" -> EventsOps.q_events_retention,
+    "q_events_streak" -> EventsOps.q_events_streak,
+    "q_events_anomaly" -> EventsOps.q_events_anomaly,
     // graph
     "q_graph_degree" -> GraphOps.q_graph_degree,
     "q_graph_neighbors" -> GraphOps.q_graph_neighbors,
@@ -93,6 +95,7 @@ object SparkEntry {
     "q_graph_kcore" -> GraphOps.q_graph_kcore,
     "q_graph_bfs" -> GraphOps.q_graph_bfs,
     "q_graph_degree_dist" -> GraphOps.q_graph_degree_dist,
+    "q_graph_clustering_coeff" -> GraphOps.q_graph_clustering_coeff,
     // BigCLAM
     "bigclam_fit_smoke" -> BigClam.bigclam_fit_smoke,
     "bigclam_fit_sparse_smoke" -> BigClam.bigclam_fit_sparse_smoke,
@@ -108,6 +111,7 @@ object SparkEntry {
     "q_dedup_exact" -> TextOps.q_dedup_exact,
     "q_dedup_shingle" -> TextOps.q_dedup_shingle,
     "q_dedup_jaccard" -> TextOps.q_dedup_jaccard,
+    "q_dedup_containment" -> TextOps.q_dedup_containment,
     "q_text_contamination" -> TextOps.q_text_contamination,
     "q_text_pack" -> TextOps.q_text_pack,
     "q_dedup_simhash" -> TextOps.q_dedup_simhash,
@@ -119,6 +123,7 @@ object SparkEntry {
     "q_text_quality" -> TextAnalysis.q_text_quality,
     "q_text_quality_gopher" -> TextAnalysis.q_text_quality_gopher,
     "q_sample_quota" -> TextAnalysis.q_sample_quota,
+    "q_sample_mixture" -> TextAnalysis.q_sample_mixture,
     "q_text_langid" -> TextAnalysis.q_text_langid,
     "q_text_tfidf" -> TextAnalysis.q_text_tfidf,
     "q_text_chunk" -> TextAnalysis.q_text_chunk,

@@ -459,4 +459,33 @@ object GraphOps {
       .groupBy("degree")
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("degree")
+
+  /** Local clustering coefficient — cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    * on the co-supplier projection (same bounded unipartite graph as
+    * q_graph_triangle_count); nodes with deg < 2 are excluded (cc
+    * undefined). cc is an exact integer ratio evaluated in one double
+    * division, so both engines produce the identical IEEE value.
+    *
+    * Scale stance: triangle counts come from the ordered-wedge joins
+    * (never per-node set intersections — a celebrity node splits across
+    * tasks); degrees are one partial agg over the projected edges; the
+    * combine join is keyed on node. All linear in wedge count. */
+  def q_graph_clustering_coeff(s: SparkSession, d: String): DataFrame = {
+    val raw = rawEdges(s, d, 300).distinct()
+    val a = raw.select(col("src").as("u"), col("dst"))
+    val b = raw.select(col("src").as("v"), col("dst"))
+    val proj = a.join(b, Seq("dst")).filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+    val deg = proj.select(col("u").as("node"))
+      .union(proj.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triangleCounts(proj), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round((coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
+          (col("degree") * (col("degree") - 1)), 6).as("clustering_coeff"))
+      .orderBy("node")
+      .limit(5000)
+  }
 }

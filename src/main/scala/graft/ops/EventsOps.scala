@@ -122,4 +122,69 @@ object EventsOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** Activity streaks — the gaps-and-islands pattern: per user, consecutive
+    * active days collapse to one island via the `day − row_number` anchor
+    * (constant within a run of consecutive dates, distinct across runs).
+    * Reported per user: longest streak, number of distinct streaks, total
+    * active days — all order-insensitive aggregates, so no tiebreak rules
+    * are needed for determinism.
+    *
+    * Scale stance: the window partitions by user_id (never global), over
+    * the DISTINCT (user, day) relation — at most ~365 rows per user-year
+    * regardless of event volume, collapsed map-side by the distinct. Both
+    * groupBys ride the same user_id hash partitioning. */
+  def q_events_streak(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy("user_id")
+  }
+
+  /** Per-user outlier events by z-score — the monitoring / data-quality
+    * staple. Determinism across engines is engineered, not hoped for: the
+    * per-user moments come from EXACT decimal sums (sum v, sum v², n), and
+    * every double op after that (mean, variance, sqrt, the z division) is
+    * a correctly-rounded IEEE-754 operation on identical inputs — so Spark
+    * and DuckDB produce bit-identical z values. Population variance (÷n)
+    * avoids the n=1 division-by-zero edge.
+    *
+    * Scale stance: moments are one partial-agg-friendly groupBy(user);
+    * the join back to events is user-keyed (broadcastable — one row per
+    * user); no windows. 100 TB of events distributes on user_id. */
+  def q_events_anomaly(s: SparkSession, d: String): DataFrame = {
+    val dec = col("value").cast("decimal(18,6)")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"), dec.as("dv"))
+    val moments = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("dv")).as("s"),
+      sum((col("dv") * col("dv")).cast("decimal(38,12)")).as("sq"))
+    val mean = moments("s").cast("double") / col("n")
+    val variance = (moments("sq").cast("double") -
+      moments("s").cast("double") * moments("s").cast("double") / col("n")) / col("n")
+    ev.join(moments.select(col("user_id"), mean.as("mean"), variance.as("variance")),
+        Seq("user_id"))
+      // variance guard: an all-equal user has true variance 0 but the
+      // double residual can land a hair either side of it — sqrt(−ε) is
+      // NaN and ±tiny/0 is ±Inf, both garbage. 1e-12 cuts that off
+      // identically in both engines.
+      .filter(col("variance") > 1e-12)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        ((col("value").cast("decimal(18,6)").cast("double") - col("mean")) /
+          sqrt(col("variance"))).as("z"))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value"), 6).as("value"), round(col("z"), 6).as("z"))
+      .orderBy("user_id", "event_id")
+      .limit(5000)
+  }
 }

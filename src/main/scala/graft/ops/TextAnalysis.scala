@@ -139,6 +139,37 @@ object TextAnalysis {
       .limit(2000)
   }
 
+  /** Deterministic domain-mixture sampling — the data-mixing step that
+    * reweights source domains toward a target mixture (the Pile/DoReMi
+    * pattern: keep web at 100%, downsample boilerplate-heavy sources).
+    * Membership is a pure function of doc_id — Knuth multiplicative hash
+    * mod 1e6 against an integer threshold — so the SAME documents are
+    * kept on every run and every engine, and the kept set at a lower
+    * rate is a SUBSET of the kept set at a higher rate (nested samples,
+    * the property that lets a pipeline re-mix without re-reading).
+    * Per-source target rates derive from the source index mod 4:
+    * 1, 1/2, 1/4, 1/8 — all exact in the 1e6 integer threshold space.
+    *
+    * Scale stance: one narrow scan + one partial-agg groupBy(source);
+    * the keep decision is a pure column expression pushed to the scan.
+    * At 100 TB this is the cheapest possible shape. */
+  def q_sample_mixture(s: SparkSession, d: String): DataFrame = {
+    val idx = substring(col("source"), 4, 10).cast("int")
+    val threshold = element_at(
+      array(lit(1000000L), lit(500000L), lit(250000L), lit(125000L)),
+      (pmod(idx, lit(4)) + 1).cast("int"))
+    val kept = pmod(col("doc_id") * lit(2654435761L), lit(1000000L)) < threshold
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        threshold.as("thr"), when(kept, 1L).otherwise(0L).as("keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        round(min(col("thr")).cast("double") / 1000000L, 6).as("target_rate"),
+        round(sum(col("keep")).cast("double") / count(lit(1)), 6).as("achieved_rate"))
+      .orderBy("source")
+  }
+
   /** Deterministic per-language quota sampling — the data-mixing step that
     * caps each stratum at a fixed document budget, selected by content hash
     * (md5(text), doc_id tiebreak for duplicate texts) so the sample is

@@ -182,6 +182,39 @@ object TextOps {
       .limit(5000)
   }
 
+  /** Asymmetric containment scoring — the near-SUPERSET detector Jaccard
+    * misses: a doc quoted whole inside a much larger doc has low Jaccard
+    * (the union is large) but containment C(A⊆B) = |A∩B| / |A| ≈ 1. LLM
+    * dedup pipelines use this to catch partial inclusions (quoted articles,
+    * concatenated dumps) that symmetric similarity scores under-rank.
+    * Candidates come from the same rare-shingle blocking; pairs where
+    * neither side is ≥ half-contained in the other are dropped (thresholds
+    * compare the ROUNDED ratios so engines agree at boundaries).
+    *
+    * Scale stance: identical to q_dedup_jaccard — blocked candidates, the
+    * melt-join intersection trick (O(|A|+|B|) probe rows per pair, no
+    * per-doc shingle arrays), plus one per-doc size agg joined twice by
+    * doc key. Never all-pairs. */
+  def q_dedup_containment(s: SparkSession, d: String): DataFrame = {
+    val docShingle = docShingles(s, d)
+    val sizes = docShingle.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = rareShinglePairRows(docShingle).distinct()
+    val melt = pairs.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    melt.join(docShingle, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b", "shingle").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(col("cnt")) - count(lit(1))).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("sz_a"), 6).as("cont_a"),
+        round(col("n_inter").cast("double") / col("sz_b"), 6).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+      .orderBy("doc_a", "doc_b")
+      .limit(5000)
+  }
+
   /** [no-oracle] MinHash sketch-accuracy audit — the sketch-audit pattern
     * (HLL-vs-exact, int8-vs-float) applied to the dedup proposer: for every
     * blocked candidate pair, the bottom-16 sketch Jaccard estimate next to

@@ -283,6 +283,120 @@ class InvariantsSpec extends AnyFunSuite {
       s"q_dedup_shingle leaked persisted RDDs: ${after -- before}")
   }
 
+  test("q_events_streak: islands partition each user's active days") {
+    import s.implicits._
+    val out = EventsOps.q_events_streak(s, sf).collect()
+    assert(out.nonEmpty)
+    // active_days must equal the user's DISTINCT day count, streak counts
+    // must be internally consistent, and the longest streak can't exceed
+    // the active-day total
+    val activeByUser = graft.Tables.events(s, sf)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val longest = r.getAs[Long]("longest_streak")
+      val nStreaks = r.getAs[Long]("n_streaks")
+      val active = r.getAs[Long]("active_days")
+      assert(active == activeByUser(u), s"active_days mismatch for user $u: $r")
+      assert(longest >= 1 && longest <= active, s"longest out of range: $r")
+      assert(nStreaks >= 1 && nStreaks <= active, s"n_streaks out of range: $r")
+      // n_streaks islands of total size active, largest = longest:
+      // longest + (n_streaks - 1) <= active (every other island has >= 1 day)
+      assert(longest + (nStreaks - 1) <= active, s"island sizes inconsistent: $r")
+    }
+    assert(out.length == activeByUser.size, "a user with events is missing")
+  }
+
+  test("q_events_anomaly: flagged z-scores recompute from raw moments") {
+    val out = EventsOps.q_events_anomaly(s, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(math.abs(r.getAs[Double]("z")) > 3.0 - 1e-6, s"tame z: $r"))
+    // recompute population z for one flagged user driver-side
+    val u = out.head.getAs[Long]("user_id")
+    val vals = graft.Tables.events(s, sf).filter(col("user_id") === u)
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+    val n = vals.size.toDouble
+    val mean = vals.values.sum / n
+    val sd = math.sqrt(vals.values.map(v => (v - mean) * (v - mean)).sum / n)
+    out.filter(_.getAs[Long]("user_id") == u).foreach { r =>
+      val zExpect = (vals(r.getAs[Long]("event_id")) - mean) / sd
+      assert(math.abs(r.getAs[Double]("z") - zExpect) < 1e-4,
+        s"z mismatch: got ${r.getAs[Double]("z")}, expected $zExpect")
+    }
+  }
+
+  test("q_graph_clustering_coeff: cc in [0,1] and consistent with triangles/degree") {
+    val out = graph.GraphOps.q_graph_clustering_coeff(s, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val deg = r.getAs[Long]("degree")
+      val tri = r.getAs[Long]("n_triangles")
+      val cc = r.getAs[Double]("clustering_coeff")
+      assert(deg >= 2, s"deg<2 slipped through: $r")
+      assert(cc >= 0.0 && cc <= 1.0, s"cc out of range: $r")
+      // triangles can't exceed the wedge count
+      assert(2 * tri <= deg * (deg - 1), s"tri > wedges: $r")
+      val expect = (tri * 2).toDouble / (deg * (deg - 1))
+      assert(math.abs(cc - expect) < 1e-6, s"cc formula mismatch: $r")
+    }
+  }
+
+  test("q_sample_mixture: rates hit targets, lower-rate samples nest in higher") {
+    val out = ops.TextAnalysis.q_sample_mixture(s, sf).collect()
+    assert(out.length == 20, s"expected 20 sources, got ${out.length}")
+    out.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      val total = r.getAs[Long]("n_docs")
+      val target = r.getAs[Double]("target_rate")
+      assert(kept <= total)
+      assert(Set(1.0, 0.5, 0.25, 0.125).contains(target), s"bad target: $r")
+      if (target == 1.0) assert(kept == total, s"full-rate source dropped docs: $r")
+    }
+    // nested-sample property: the doc_ids kept at threshold t are a subset
+    // of those kept at any t' > t (same hash, just a lower cutoff)
+    val hashes = graft.Tables.documents(s, sf)
+      .select(pmod(col("doc_id") * lit(2654435761L), lit(1000000L)).as("h"))
+      .collect().map(_.getAs[Long]("h"))
+    val at125 = hashes.count(_ < 125000L)
+    val at500 = hashes.count(_ < 500000L)
+    assert(at125 <= at500, "nested-sample property violated")
+  }
+
+  test("q_dedup_containment: bounds, exact dups at 1.0, jaccard <= containment") {
+    import s.implicits._
+    val out = TextOps.q_dedup_containment(s, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ca = r.getAs[Double]("cont_a")
+      val cb = r.getAs[Double]("cont_b")
+      assert(ca > 0.0 && ca <= 1.0 && cb > 0.0 && cb <= 1.0, s"containment out of range: $r")
+      assert(math.max(ca, cb) >= 0.5, s"below threshold: $r")
+      assert(r.getAs[Long]("n_inter") >= 1, s"empty intersection: $r")
+    }
+    val byPair = out.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"))).toMap
+    // exact duplicates (identical shingle sets) are fully contained both ways
+    val dupGroups = TextOps.q_dedup_exact(s, sf).filter(col("n_docs") > 1).collect()
+    dupGroups.foreach { g =>
+      val ids = Tables.documents(s, sf).filter(md5(col("text")) === g.getAs[String]("h"))
+        .select("doc_id").as[Long].collect().sorted
+      for (a <- ids; b <- ids if a < b; c <- byPair.get((a, b)))
+        assert(c == ((1.0, 1.0)), s"exact dups ($a,$b) scored $c")
+    }
+    // J = I/U <= I/max(|A|,|B|) = min(cont): jaccard never exceeds containment
+    TextOps.q_dedup_jaccard(s, sf).collect().foreach { r =>
+      val key = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      byPair.get(key).foreach { case (ca, cb) =>
+        assert(r.getAs[Double]("jaccard") <= math.min(ca, cb) + 1e-6,
+          s"jaccard above containment at $key")
+      }
+    }
+  }
+
   test("determinism: double-run byte-identical output for representative queries") {
     for (name <- Seq("q_agg_hash", "q_win_running", "q_graph_conductance",
         "q_sim_cosine_topk", "q_dedup_shingle",
