@@ -129,4 +129,39 @@ object StreamingOps {
           }
         })
   }
+
+  // ---- stream-stream and stream-static joins ----
+
+  /** Watermarked stream-stream interval join — click-to-view attribution:
+    * each click pairs with the same user's views in the preceding hour.
+    * Both sides carry watermarks and the join predicate bounds event time
+    * on BOTH ends, so Spark can expire buffered rows: a view older than
+    * (click watermark − 1h) can never match again and is dropped from
+    * state. Without the time bound the view buffer would grow forever —
+    * the state-bloat failure mode of unconstrained stream joins at
+    * 100 TB/day. Append-mode output: a pair is emitted once, when both
+    * sides have arrived. */
+  def attribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    c.join(v,
+      expr("""c_user = v_user AND
+              view_ts <= click_ts AND
+              view_ts >= click_ts - INTERVAL 1 HOUR"""))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
+  /** Stream-static enrichment: the event stream joined to a dimension
+    * DataFrame. The static side re-plans per micro-batch and broadcasts
+    * when small — the standard slowly-changing-dimension lookup; no state
+    * store is involved at all. */
+  def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
 }

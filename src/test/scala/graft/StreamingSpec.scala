@@ -121,4 +121,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.sql("SELECT * FROM dedup_out").count() == 2)
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes clicks to in-window views") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    views.addData(
+      Ev(10, t("2024-01-01 01:00:00"), 1, "view", 0.0),
+      Ev(11, t("2024-01-01 03:00:00"), 1, "view", 0.0),  // > 1h before any click: no match
+      Ev(12, t("2024-01-01 01:10:00"), 2, "view", 0.0))
+    clicks.addData(
+      Ev(20, t("2024-01-01 01:30:00"), 1, "click", 0.0), // matches view 10 only
+      Ev(21, t("2024-01-01 01:40:00"), 2, "click", 0.0), // matches view 12
+      Ev(22, t("2024-01-01 01:05:00"), 3, "click", 0.0)) // no view at all
+    val q = StreamingOps.attribution(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT click_id, view_id FROM attr_out ORDER BY click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs == Seq((20L, 10L), (21L, 12L)))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment broadcasts the dimension per micro-batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, t("2024-01-01 01:00:00"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01 01:05:00"), 2, "view", 2.0),
+      Ev(3, t("2024-01-01 01:10:00"), 9, "view", 3.0))  // no dim row: left join keeps it
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = StreamingOps.enrich(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, tier FROM enrich_out ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+      assert(rows == Seq((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+    } finally q.stop()
+  }
 }
