@@ -469,7 +469,11 @@ object GraphOps {
     * Scale stance: triangle counts come from the ordered-wedge joins
     * (never per-node set intersections — a celebrity node splits across
     * tasks); degrees are one partial agg over the projected edges; the
-    * combine join is keyed on node. All linear in wedge count. */
+    * combine join is keyed on node. All linear in wedge count. The static
+    * plan re-derives the bounded projection per consumer (the repo's
+    * cache-free stance); at open scale the projection would be written
+    * once as a bucketed table and the wedge joins would read it
+    * shuffle-free. */
   def q_graph_clustering_coeff(s: SparkSession, d: String): DataFrame = {
     val raw = rawEdges(s, d, 300).distinct()
     val a = raw.select(col("src").as("u"), col("dst"))
