@@ -419,6 +419,17 @@ object Oracles {
         |FROM z WHERE abs(z) > 3.0
         |ORDER BY user_id, event_id LIMIT 5000""".stripMargin,
 
+    "q_events_transition" ->
+      """WITH tr AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS prev_type
+        |      FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
     "q_events_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),
@@ -538,6 +549,31 @@ object Oracles {
         |FROM deg d LEFT JOIN tcnt t ON d.node = t.node
         |WHERE d.degree >= 2
         |ORDER BY d.node LIMIT 5000""".stripMargin,
+
+    "q_graph_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT l_orderkey AS src, l_suppkey + 100000 AS dst FROM lineitem
+        |    UNION ALL
+        |    SELECT l_suppkey + 100000 AS src, l_orderkey AS dst FROM lineitem)),
+        |deg AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src),
+        |j AS (SELECT CAST(dx.degree AS DECIMAL(18,0)) AS degree_x,
+        |             CAST(dy.degree AS DECIMAL(18,0)) AS degree_y
+        |      FROM e JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node),
+        |m AS (SELECT count(*) AS n_edges,
+        |        sum(degree_x) AS sx, sum(degree_y) AS sy,
+        |        sum(CAST(degree_x * degree_y AS DECIMAL(38,0))) AS sxy,
+        |        sum(CAST(degree_x * degree_x AS DECIMAL(38,0))) AS sxx,
+        |        sum(CAST(degree_y * degree_y AS DECIMAL(38,0))) AS syy
+        |      FROM j)
+        |SELECT n_edges,
+        |  round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS assortativity
+        |FROM m""".stripMargin,
 
     "q_graph_bfs" ->
       """WITH RECURSIVE e AS (
@@ -712,6 +748,21 @@ object Oracles {
         |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin,
+
+    "q_dedup_lines" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // 8)) AS i
+        |        FROM toks),
+        |lt AS (SELECT doc_id, array_to_string(t[i*8+1:i*8+8], ' ') AS line FROM idx),
+        |lw AS (SELECT doc_id, line,
+        |         CAST(len(string_split(line, ' ')) AS BIGINT) AS n_toks FROM lt),
+        |df AS (SELECT line, count(*) AS ndocs
+        |       FROM (SELECT DISTINCT doc_id, line FROM lw) GROUP BY line)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        |  CAST(sum(CASE WHEN ndocs < 2 THEN n_toks ELSE 0 END) AS BIGINT) AS n_kept_tokens
+        |FROM lw JOIN df USING (line)
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 5000""".stripMargin,
 
     "q_dedup_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

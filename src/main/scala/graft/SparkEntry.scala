@@ -83,6 +83,7 @@ object SparkEntry {
     "q_events_retention" -> EventsOps.q_events_retention,
     "q_events_streak" -> EventsOps.q_events_streak,
     "q_events_anomaly" -> EventsOps.q_events_anomaly,
+    "q_events_transition" -> EventsOps.q_events_transition,
     // graph
     "q_graph_degree" -> GraphOps.q_graph_degree,
     "q_graph_neighbors" -> GraphOps.q_graph_neighbors,
@@ -96,6 +97,7 @@ object SparkEntry {
     "q_graph_bfs" -> GraphOps.q_graph_bfs,
     "q_graph_degree_dist" -> GraphOps.q_graph_degree_dist,
     "q_graph_clustering_coeff" -> GraphOps.q_graph_clustering_coeff,
+    "q_graph_assortativity" -> GraphOps.q_graph_assortativity,
     // BigCLAM
     "bigclam_fit_smoke" -> BigClam.bigclam_fit_smoke,
     "bigclam_fit_sparse_smoke" -> BigClam.bigclam_fit_sparse_smoke,
@@ -112,6 +114,7 @@ object SparkEntry {
     "q_dedup_shingle" -> TextOps.q_dedup_shingle,
     "q_dedup_jaccard" -> TextOps.q_dedup_jaccard,
     "q_dedup_containment" -> TextOps.q_dedup_containment,
+    "q_dedup_lines" -> TextOps.q_dedup_lines,
     "q_text_contamination" -> TextOps.q_text_contamination,
     "q_text_pack" -> TextOps.q_text_pack,
     "q_dedup_simhash" -> TextOps.q_dedup_simhash,

@@ -460,6 +460,42 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("degree")
 
+  /** Degree assortativity — the Pearson correlation of (deg(src), deg(dst))
+    * over all directed rows of the symmetrized graph: do high-degree nodes
+    * attach to high-degree nodes? (Newman 2002; negative for bipartite-ish
+    * and star-heavy graphs.) All five moment sums are over INTEGER degree
+    * products accumulated in DECIMAL(38,0) — exact in both engines — and
+    * the correlation is then a fixed sequence of double ops on identical
+    * inputs, so the single output row hash-matches DuckDB bit-for-bit.
+    *
+    * Scale stance: degrees are one partial agg; attaching them to edge
+    * endpoints is two joins keyed src/dst (the standard pattern); the
+    * moment agg is a single map-side-collapsible pass. Nothing global. */
+  def q_graph_assortativity(s: SparkSession, d: String): DataFrame = {
+    val e = symEdges(rawEdges(s, d))
+    val deg = degrees(e)
+    // DECIMAL(18,0) per side so the product stays inside DuckDB's 38-digit
+    // multiply limit; sums still land in exact DECIMAL(38,0)-class types
+    val dx = col("degree_x").cast("decimal(18,0)")
+    val dy = col("degree_y").cast("decimal(18,0)")
+    val joined = e
+      .join(deg.select(col("node").as("src"), col("degree").as("degree_x")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("degree").as("degree_y")), Seq("dst"))
+    val m = joined.agg(
+      count(lit(1)).as("n_edges"),
+      sum(dx).as("sx"), sum(dy).as("sy"),
+      sum((dx * dy).cast("decimal(38,0)")).as("sxy"),
+      sum((dx * dx).cast("decimal(38,0)")).as("sxx"),
+      sum((dy * dy).cast("decimal(38,0)")).as("syy"))
+    val n = col("n_edges").cast("double")
+    def d0(c: Column) = c.cast("double")
+    m.select(col("n_edges"),
+      round((n * d0(col("sxy")) - d0(col("sx")) * d0(col("sy"))) /
+        sqrt((n * d0(col("sxx")) - d0(col("sx")) * d0(col("sx"))) *
+             (n * d0(col("syy")) - d0(col("sy")) * d0(col("sy")))), 6)
+        .as("assortativity"))
+  }
+
   /** Local clustering coefficient — cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
     * on the co-supplier projection (same bounded unipartite graph as
     * q_graph_triangle_count); nodes with deg < 2 are excluded (cc

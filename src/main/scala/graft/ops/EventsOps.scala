@@ -149,6 +149,30 @@ object EventsOps {
       .orderBy("user_id")
   }
 
+  /** Event-type transition matrix — the user-journey Markov model: for
+    * each (prev_type → next_type) pair, how many transitions occur across
+    * all per-user event sequences, and the row-normalized transition
+    * probability. The lag window orders by (ts, event_id) so duplicate
+    * timestamps are deterministic.
+    *
+    * Scale stance: the window partitions by user_id (bounded per-user
+    * sequences, never global); the transition agg collapses to at most
+    * |types|² rows map-side; the row-normalizing window runs over that
+    * tiny matrix. */
+  def q_events_transition(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wRow = Window.partitionBy("prev_type")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / sum(col("n")).over(wRow), 6).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Per-user outlier events by z-score — the monitoring / data-quality
     * staple. Determinism across engines is engineered, not hoped for: the
     * per-user moments come from EXACT decimal sums (sum v, sum v², n), and

@@ -182,6 +182,39 @@ object TextOps {
       .limit(5000)
   }
 
+  /** C4-style cross-document repeated-line dedup, re-expressed over
+    * pseudo-lines (the synthetic corpus has no newlines, so "line" =
+    * non-overlapping 8-token chunk — same pipeline shape, same semantics):
+    * a line occurring in ≥ 2 DISTINCT documents is boilerplate and is
+    * dropped from every document; per doc we report the line counts and
+    * the surviving token count. This is the C4/RefinedWeb step that exact
+    * doc-dedup and near-dup pairs both miss — shared headers/footers in
+    * otherwise-distinct pages.
+    *
+    * Scale stance: explode → two partial-agg groupBys (line df, then per
+    * doc) + one merge join keyed on the line hash. Dedup state is the
+    * distinct-line relation — linear, never pairwise. A 100 TB corpus
+    * distributes on the line-hash key; hot boilerplate lines collapse
+    * map-side in the df count. */
+  def q_dedup_lines(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val lines = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), ((size(t) - 1) / 8).cast("int")),
+          i => array_join(slice(t, i * 8 + 1, lit(8)), " "))).as("line"))
+      .select(col("doc_id"), col("line"),
+        size(toks(col("line"))).cast("bigint").as("n_toks"))
+    val df = lines.select(col("doc_id"), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("ndocs"))
+    lines.hint("merge").join(df, Seq("line"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_lines"),
+        sum(when(col("ndocs") < 2, col("n_toks")).otherwise(0L)).as("n_kept_tokens"))
+      .orderBy("doc_id")
+      .limit(5000)
+  }
+
   /** Asymmetric containment scoring — the near-SUPERSET detector Jaccard
     * misses: a doc quoted whole inside a much larger doc has low Jaccard
     * (the union is large) but containment C(A⊆B) = |A∩B| / |A| ≈ 1. LLM

@@ -397,6 +397,51 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_lines: counts partition, exact-dup docs keep zero tokens") {
+    import s.implicits._
+    val out = TextOps.q_dedup_lines(s, sf).collect()
+    val nDocs = Tables.documents(s, sf).count()
+    assert(out.length == math.min(nDocs, 5000L).toInt, "a document is missing")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dup_lines") <= r.getAs[Long]("n_lines"), s"dup > total: $r")
+      assert(r.getAs[Long]("n_kept_tokens") >= 0, s"negative kept: $r")
+    }
+    // every line of an exact-duplicate doc occurs in >= 2 docs, so nothing survives
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_dup_lines"), r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept_tokens"))).toMap
+    TextOps.q_dedup_exact(s, sf).filter(col("n_docs") > 1).collect().foreach { g =>
+      val ids = Tables.documents(s, sf).filter(md5(col("text")) === g.getAs[String]("h"))
+        .select("doc_id").as[Long].collect()
+      ids.foreach { id =>
+        val (dup, total, kept) = byDoc(id)
+        assert(dup == total && kept == 0L, s"exact-dup doc $id kept lines: ${byDoc(id)}")
+      }
+    }
+  }
+
+  test("q_events_transition: transition counts and probabilities are consistent") {
+    val out = EventsOps.q_events_transition(s, sf).collect()
+    assert(out.nonEmpty && out.length <= 25)
+    val totalTransitions = out.map(_.getAs[Long]("n")).sum
+    val nEvents = Tables.events(s, sf).count()
+    val nUsers = Tables.events(s, sf).select("user_id").distinct().count()
+    assert(totalTransitions == nEvents - nUsers,
+      s"expected ${nEvents - nUsers} transitions, got $totalTransitions")
+    out.groupBy(_.getAs[String]("prev_type")).foreach { case (pt, rows) =>
+      val pSum = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"row $pt probabilities sum to $pSum")
+    }
+  }
+
+  test("q_graph_assortativity: single row, coefficient in [-1, 1]") {
+    val out = graph.GraphOps.q_graph_assortativity(s, sf).collect()
+    assert(out.length == 1)
+    val r = out.head.getAs[Double]("assortativity")
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"assortativity out of range: $r")
+    val nEdges = graph.GraphOps.symEdges(graph.GraphOps.rawEdges(s, sf)).count()
+    assert(out.head.getAs[Long]("n_edges") == nEdges)
+  }
+
   test("determinism: double-run byte-identical output for representative queries") {
     for (name <- Seq("q_agg_hash", "q_win_running", "q_graph_conductance",
         "q_sim_cosine_topk", "q_dedup_shingle",
