@@ -48,6 +48,11 @@ object RunGraphScale {
     val stats = pr.agg(sum(col("pr")).as("mass"), max(col("pr")).as("top")).collect()(0)
     println(f"[graphscale] PageRank($prIters): mass=${stats.getDouble(0)}%.4f " +
       f"top=${stats.getDouble(1)}%.6f (${(System.nanoTime() - tPr) / 1e9}%.0f s)")
+
+    val tAs = System.nanoTime()
+    val as = GraphOps.assortativity(edges).collect()(0)
+    println(f"[graphscale] assortativity: r=${as.getDouble(1)}%.6f over " +
+      f"${as.getLong(0)} edge rows (${(System.nanoTime() - tAs) / 1e9}%.0f s)")
     println(f"[graphscale] total $secs%.0f s")
     spark.stop()
   }

@@ -49,24 +49,49 @@ object DotFusionRule extends Rule[LogicalPlan] {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotProductFunction)
+    GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => DotFusionRule)
   }
 }
 
 object GraftExtensions {
 
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a literal INT argument, got $other")
+  }
+
   private[functions] val dotProductFunction =
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)): Expression)
 
-  /** Idempotently add the fusion rule + SQL function to a live session. */
+  /** The full SQL-function surface: the fused dot product plus the native
+    * text kernels (same expressions the dedup queries use), so a SQL-only
+    * user reaches them without touching the Scala API. */
+  private[functions] val functions = Seq(
+    dotProductFunction,
+    (FunctionIdentifier("shingle_band_mins"),
+      new ExpressionInfo(classOf[ShingleBandMins].getName, "shingle_band_mins"),
+      (c: Seq[Expression]) =>
+        ShingleBandMins(c(0), intLit(c(1), "shingle_band_mins")): Expression),
+    (FunctionIdentifier("shingle_min_k"),
+      new ExpressionInfo(classOf[ShingleMinK].getName, "shingle_min_k"),
+      (c: Seq[Expression]) =>
+        ShingleMinK(c(0), intLit(c(1), "shingle_min_k")): Expression),
+    (FunctionIdentifier("ngram_strings"),
+      new ExpressionInfo(classOf[NgramStrings].getName, "ngram_strings"),
+      (c: Seq[Expression]) =>
+        NgramStrings(c(0), intLit(c(1), "ngram_strings")): Expression))
+
+  /** Idempotently add the fusion rule + SQL functions to a live session. */
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(DotFusionRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ DotFusionRule
-    spark.sessionState.functionRegistry.registerFunction(
-      dotProductFunction._1, dotProductFunction._2, dotProductFunction._3)
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }

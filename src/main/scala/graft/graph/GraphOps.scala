@@ -471,8 +471,13 @@ object GraphOps {
     * Scale stance: degrees are one partial agg; attaching them to edge
     * endpoints is two joins keyed src/dst (the standard pattern); the
     * moment agg is a single map-side-collapsible pass. Nothing global. */
-  def q_graph_assortativity(s: SparkSession, d: String): DataFrame = {
-    val e = symEdges(rawEdges(s, d))
+  def q_graph_assortativity(s: SparkSession, d: String): DataFrame =
+    assortativity(symEdges(rawEdges(s, d)))
+
+  /** Core of [[q_graph_assortativity]] over any symmetrized edge frame —
+    * separated so scale runs (RunGraphScale) can drive it on synthetic
+    * multi-million-node graphs. */
+  def assortativity(e: DataFrame): DataFrame = {
     val deg = degrees(e)
     // DECIMAL(18,0) per side so the product stays inside DuckDB's 38-digit
     // multiply limit; sums still land in exact DECIMAL(38,0)-class types

@@ -79,4 +79,25 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(mins(1L) == mins(2L))
     assert(mins(1L) != mins(3L))
   }
+
+  test("text kernels are callable from SQL after install") {
+    graft.functions.GraftExtensions.install(s)
+    val r = s.sql(
+      """SELECT shingle_band_mins('a b c d e f', 4) AS bm,
+        |       shingle_min_k('a b c d e f', 2) AS mk,
+        |       ngram_strings('a b c', 2) AS ng""".stripMargin).collect()(0)
+    val viaCol = Seq(("a b c d e f", "a b c")).toDF("t", "u")
+      .select(ShingleHash.bandMins(col("t"), 4).as("bm"),
+        ShingleHash.minK(col("t"), 2).as("mk"),
+        ShingleHash.ngramArr(col("u"), 2).as("ng")).collect()(0)
+    assert(r.getSeq[Long](0) == viaCol.getSeq[Long](0))
+    assert(r.getSeq[Long](1) == viaCol.getSeq[Long](1))
+    assert(r.getSeq[String](2) == viaCol.getSeq[String](2))
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+    // non-literal width arg is a clear error, not a silent misplan
+    val err = intercept[Exception](s.sql(
+      "SELECT ngram_strings('a b c', CAST(doc_id AS INT)) FROM parquet.`" +
+        TestSpark.sf + "/documents.parquet`").collect())
+    assert(err.getMessage.contains("literal INT"))
+  }
 }
