@@ -430,6 +430,28 @@ object Oracles {
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
 
+    "q_events_dau_wau" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM days GROUP BY day),
+        |wau AS (SELECT day + CAST(off AS INT) AS day, user_id
+        |        FROM days, (SELECT unnest(generate_series(0, 6)) AS off)),
+        |wc AS (SELECT day, count(DISTINCT user_id) AS wau FROM wau GROUP BY day)
+        |SELECT d.day, d.dau, w.wau,
+        |  round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        |FROM dau d JOIN wc w USING (day)
+        |ORDER BY d.day""".stripMargin,
+
+    "q_events_ohlc" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  struct_extract(min({'us': epoch_us(ts), 'event_id': event_id, 'value': value}),
+        |                 'value') AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  struct_extract(max({'us': epoch_us(ts), 'event_id': event_id, 'value': value}),
+        |                 'value') AS close,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
     "q_events_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),
@@ -748,6 +770,11 @@ object Oracles {
         |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin,
+
+    "q_dedup_prefix" ->
+      """SELECT md5(array_to_string(string_split(text, ' ')[1:64], ' ')) AS h,
+        |  count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY h LIMIT 5000""".stripMargin,
 
     "q_dedup_lines" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

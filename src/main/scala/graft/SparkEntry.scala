@@ -84,6 +84,8 @@ object SparkEntry {
     "q_events_streak" -> EventsOps.q_events_streak,
     "q_events_anomaly" -> EventsOps.q_events_anomaly,
     "q_events_transition" -> EventsOps.q_events_transition,
+    "q_events_dau_wau" -> EventsOps.q_events_dau_wau,
+    "q_events_ohlc" -> EventsOps.q_events_ohlc,
     // graph
     "q_graph_degree" -> GraphOps.q_graph_degree,
     "q_graph_neighbors" -> GraphOps.q_graph_neighbors,
@@ -115,6 +117,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> TextOps.q_dedup_jaccard,
     "q_dedup_containment" -> TextOps.q_dedup_containment,
     "q_dedup_lines" -> TextOps.q_dedup_lines,
+    "q_dedup_prefix" -> TextOps.q_dedup_prefix,
     "q_text_contamination" -> TextOps.q_text_contamination,
     "q_text_pack" -> TextOps.q_text_pack,
     "q_dedup_simhash" -> TextOps.q_dedup_simhash,

@@ -149,6 +149,60 @@ object EventsOps {
       .orderBy("user_id")
   }
 
+  /** DAU / WAU / stickiness — the product-analytics vital signs: per day,
+    * the distinct active users that day, the distinct users active in the
+    * trailing 7 days, and their ratio. The trailing window is built by
+    * CONTRIBUTION, not by a range scan: each active (user, day) fans out
+    * to the 7 anchor days it counts toward (a bounded 7× explode), and
+    * WAU is then one distinct-count per anchor — the formulation that
+    * sidesteps COUNT(DISTINCT) OVER RANGE, which SQL engines don't
+    * support and a self-join would quadratically re-derive.
+    *
+    * Scale stance: everything runs on the distinct (user, day) relation
+    * (collapsed map-side from the raw event volume); the 7× fan-out is a
+    * constant; both counts are partial-agg shuffles keyed by day. */
+  def q_events_dau_wau(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val dau = days.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    val wau = days
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Daily OHLC bars per event type — first/last/extreme values, the
+    * time-series summarization every metrics store runs. First/last are
+    * picked by a (ts, event_id)-ordered struct min/max — deterministic
+    * under duplicate timestamps — and the volume sum goes through DECIMAL
+    * so both engines add exactly.
+    *
+    * Scale stance: one groupBy(day, type) with map-side partial min/max
+    * of tiny structs; no windows, no sorts before the final bounded
+    * ORDER BY. */
+  def q_events_ohlc(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    Tables.events(s, d)
+      .select(col("ts").cast("date").as("day"), col("event_type"),
+        struct(us.as("us"), col("event_id"), col("value")).as("k"),
+        col("value"))
+      .groupBy("day", "event_type")
+      .agg(
+        min(col("k")).getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(col("k")).getField("value").as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("day", "event_type")
+  }
+
   /** Event-type transition matrix — the user-journey Markov model: for
     * each (prev_type → next_type) pair, how many transitions occur across
     * all per-user event sequences, and the row-normalized transition

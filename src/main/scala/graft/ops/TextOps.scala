@@ -182,6 +182,23 @@ object TextOps {
       .limit(5000)
   }
 
+  /** Prefix-hash dedup — the truncation-duplicate detector: crawls carry
+    * the same article cut at different lengths, which exact dedup (hashes
+    * differ) and symmetric Jaccard (union grows with the longer tail)
+    * both under-rank, and which containment only finds for pairs the
+    * blocker proposed. Hashing the first-64-token prefix groups every
+    * truncation family in ONE linear pass — no pairs at all.
+    *
+    * Scale stance: identical to exact dedup — a hash-groupBy with
+    * map-side partial agg; the md5 key is computed in the scan projection.
+    * The cheapest dedup signal after exact-hash at any corpus size. */
+  def q_dedup_prefix(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(array_join(slice(toks(col("text")), 1, 64), " ")).as("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy("h")
+      .limit(5000)
+
   /** C4-style cross-document repeated-line dedup, re-expressed over
     * pseudo-lines (the synthetic corpus has no newlines, so "line" =
     * non-overlapping 8-token chunk — same pipeline shape, same semantics):

@@ -442,6 +442,49 @@ class InvariantsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("n_edges") == nEdges)
   }
 
+  test("q_dedup_prefix: partitions the corpus; exact-dup groups nest inside prefix groups") {
+    val out = TextOps.q_dedup_prefix(s, sf).collect()
+    val nDocs = Tables.documents(s, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs, "prefix groups must partition the corpus")
+    // exact duplicates share the full text, hence the 64-token prefix:
+    // every exact-dup group is at least as big in some prefix group
+    val maxPrefix = out.map(_.getAs[Long]("n_docs")).max
+    val maxExact = TextOps.q_dedup_exact(s, sf).collect().map(_.getAs[Long]("n_docs")).max
+    assert(maxPrefix >= maxExact, s"prefix grouping ($maxPrefix) lost exact dups ($maxExact)")
+    out.foreach(r => assert(r.getAs[Long]("keep_id") >= 0))
+  }
+
+  test("q_events_dau_wau: wau bounds dau, stickiness in (0,1], dau recomputes") {
+    import s.implicits._
+    val out = EventsOps.q_events_dau_wau(s, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"), s"wau < dau: $r")
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0, s"stickiness out of range: $r")
+    }
+    val dauDirect = Tables.events(s, sf)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .groupBy("day").count().as[(java.sql.Date, Long)].collect().toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("dau") == dauDirect(r.getAs[java.sql.Date]("day")),
+        s"dau mismatch at ${r.getAs[java.sql.Date]("day")}")
+    }
+  }
+
+  test("q_events_ohlc: bars bound their opens/closes and volumes sum to the event count") {
+    val out = EventsOps.q_events_ohlc(s, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h, s"open outside [low, high]: $r")
+      assert(l <= c && c <= h, s"close outside [low, high]: $r")
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+    assert(out.map(_.getAs[Long]("n_events")).sum == Tables.events(s, sf).count())
+  }
+
   test("determinism: double-run byte-identical output for representative queries") {
     for (name <- Seq("q_agg_hash", "q_win_running", "q_graph_conductance",
         "q_sim_cosine_topk", "q_dedup_shingle",
