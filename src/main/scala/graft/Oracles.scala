@@ -624,6 +624,46 @@ object Oracles {
         |SELECT node, min(r) AS component FROM reach
         |GROUP BY node ORDER BY node LIMIT 5000""".stripMargin,
 
+    "q_graph_modularity" ->
+      """WITH RECURSIVE raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst
+        |                       FROM lineitem WHERE l_orderkey < 2000),
+        |edges AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.node = e.dst),
+        |cc AS (SELECT node, min(r) AS lab FROM reach GROUP BY node),
+        |hashlab AS (SELECT DISTINCT src AS node, src % 10 AS lab FROM edges),
+        |el_cc AS (SELECT a.lab AS la, b.lab AS lb FROM edges e
+        |          JOIN cc a ON a.node = e.src JOIN cc b ON b.node = e.dst),
+        |el_h AS (SELECT a.lab AS la, b.lab AS lb FROM edges e
+        |         JOIN hashlab a ON a.node = e.src JOIN hashlab b ON b.node = e.dst),
+        |tot_cc AS (SELECT count(*) AS m2,
+        |             CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS w
+        |           FROM el_cc),
+        |d2_cc AS (SELECT sum(CAST(dc * dc AS DECIMAL(38,0))) AS sumd2,
+        |            count(*) AS n_parts
+        |          FROM (SELECT CAST(count(*) AS DECIMAL(18,0)) AS dc
+        |                FROM el_cc GROUP BY la)),
+        |tot_h AS (SELECT count(*) AS m2,
+        |            CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS w
+        |          FROM el_h),
+        |d2_h AS (SELECT sum(CAST(dc * dc AS DECIMAL(38,0))) AS sumd2,
+        |           count(*) AS n_parts
+        |         FROM (SELECT CAST(count(*) AS DECIMAL(18,0)) AS dc
+        |               FROM el_h GROUP BY la))
+        |SELECT 'cc' AS partition, n_parts, CAST(m2 / 2 AS BIGINT) AS m,
+        |  round(CAST(w AS DOUBLE) / m2 -
+        |    CAST(sumd2 AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6) AS q
+        |FROM tot_cc, d2_cc
+        |UNION ALL
+        |SELECT 'mod10' AS partition, n_parts, CAST(m2 / 2 AS BIGINT) AS m,
+        |  round(CAST(w AS DOUBLE) / m2 -
+        |    CAST(sumd2 AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6) AS q
+        |FROM tot_h, d2_h
+        |ORDER BY partition""".stripMargin,
+
     "q_graph_conductance" -> conductanceSql(
       "SELECT node, cut, vol_s, vol_t, round(phi, 6) AS phi FROM phi_t ORDER BY node"),
 

@@ -100,6 +100,7 @@ object SparkEntry {
     "q_graph_degree_dist" -> GraphOps.q_graph_degree_dist,
     "q_graph_clustering_coeff" -> GraphOps.q_graph_clustering_coeff,
     "q_graph_assortativity" -> GraphOps.q_graph_assortativity,
+    "q_graph_modularity" -> GraphOps.q_graph_modularity,
     // BigCLAM
     "bigclam_fit_smoke" -> BigClam.bigclam_fit_smoke,
     "bigclam_fit_sparse_smoke" -> BigClam.bigclam_fit_sparse_smoke,

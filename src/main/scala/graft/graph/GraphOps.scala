@@ -460,6 +460,50 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("degree")
 
+  /** Newman modularity of a node partition over a symmetrized edge frame:
+    * Q = W/(2m) − ΣD_c²/(2m)², with W = intra-partition directed rows and
+    * D_c = degree mass of part c — the linear decomposition that needs ONE
+    * exact integer sum per term instead of a per-community double sum
+    * (order-dependent) over hundreds of parts. All sums are DECIMAL-exact;
+    * the final expression is a fixed double op sequence, bit-identical
+    * across engines. */
+  private[graft] def modularity(edges: DataFrame, labels: DataFrame, name: String): DataFrame = {
+    val el = edges
+      .join(labels.select(col("node").as("src"), col("lab").as("la")), Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("lab").as("lb")), Seq("dst"))
+    val tot = el.agg(count(lit(1)).as("m2"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("w"))
+    val d2 = el.groupBy("la").agg(count(lit(1)).cast("decimal(18,0)").as("dc"))
+      .agg(sum((col("dc") * col("dc")).cast("decimal(38,0)")).as("sumd2"),
+        count(lit(1)).as("n_parts"))
+    tot.crossJoin(d2).select(
+      lit(name).as("partition"), col("n_parts"),
+      (col("m2") / 2).cast("bigint").as("m"),
+      round(col("w").cast("double") / col("m2") -
+        col("sumd2").cast("double") /
+          (col("m2").cast("double") * col("m2").cast("double")), 6).as("q"))
+  }
+
+  /** Modularity scored for two partitions of the bounded subgraph: the
+    * connected-components partition (every edge intra-part — the W term
+    * saturates and Q = 1 − ΣD_c²/(2m)², its upper envelope) and a mod-10
+    * node-hash partition (a null baseline whose cut term does real work —
+    * expected ≈ 0 for a structure-blind partition). The two rows bracket
+    * what a community-detection result (BigCLAM's argmax labels) should
+    * score between.
+    *
+    * Scale stance: two label joins keyed on node + two partial-agg passes
+    * per partition; the per-part degree masses collapse map-side; no
+    * windows, nothing global. The cross join is 1-row × 1-row. */
+  def q_graph_modularity(s: SparkSession, d: String): DataFrame = {
+    val e = symEdges(rawEdges(s, d, 2000))
+    val cc = connectedComponents(e).select(col("node"), col("comp").as("lab"))
+    val hash = e.select(col("src").as("node")).distinct()
+      .select(col("node"), pmod(col("node"), lit(10L)).as("lab"))
+    modularity(e, cc, "cc").union(modularity(e, hash, "mod10"))
+      .orderBy("partition")
+  }
+
   /** Degree assortativity — the Pearson correlation of (deg(src), deg(dst))
     * over all directed rows of the symmetrized graph: do high-degree nodes
     * attach to high-degree nodes? (Newman 2002; negative for bipartite-ish

@@ -155,4 +155,24 @@ class ToyGraphSpec extends AnyFunSuite {
     assert(rows.nonEmpty, "3-core of the bounded bipartite subgraph is empty")
     rows.foreach(r => assert(r.getAs[Long]("core_deg") >= 3L, s"below-k degree: $r"))
   }
+
+  test("modularity hand-checked: two disjoint triangles") {
+    // 2m = 12 directed rows, every node degree 2.
+    // CC partition: W = 12, D_c = 6 per triangle -> Q = 1 - 72/144 = 0.5
+    // singleton partition (node % 10, all ids distinct): W = 0,
+    // D_c = 2 per node -> Q = 0 - 6*4/144 = -1/6
+    val two = GraphOps.symEdges(
+      Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L))
+        .toDF("src", "dst"))
+    val cc = GraphOps.connectedComponents(two)
+      .select(col("node"), col("comp").as("lab"))
+    val qcc = GraphOps.modularity(two, cc, "cc").collect()(0)
+    assert(qcc.getAs[Long]("n_parts") == 2 && qcc.getAs[Long]("m") == 6)
+    assert(qcc.getAs[Double]("q") == 0.5)
+    val singleton = two.select(col("src").as("node")).distinct()
+      .select(col("node"), pmod(col("node"), lit(10L)).as("lab"))
+    val qs = GraphOps.modularity(two, singleton, "s").collect()(0)
+    assert(qs.getAs[Long]("n_parts") == 6)
+    assert(math.abs(qs.getAs[Double]("q") - (-1.0 / 6)) < 1e-6)
+  }
 }
