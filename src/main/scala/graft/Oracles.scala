@@ -626,7 +626,7 @@ object Oracles {
 
     "q_graph_modularity" ->
       """WITH RECURSIVE raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst
-        |                       FROM lineitem WHERE l_orderkey < 2000),
+        |                       FROM lineitem WHERE l_orderkey < 1000),
         |edges AS (SELECT DISTINCT src, dst FROM
         |  (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)),
         |reach(node, r) AS (

@@ -496,7 +496,7 @@ object GraphOps {
     * per partition; the per-part degree masses collapse map-side; no
     * windows, nothing global. The cross join is 1-row × 1-row. */
   def q_graph_modularity(s: SparkSession, d: String): DataFrame = {
-    val e = symEdges(rawEdges(s, d, 2000))
+    val e = symEdges(rawEdges(s, d, 1000))
     val cc = connectedComponents(e).select(col("node"), col("comp").as("lab"))
     val hash = e.select(col("src").as("node")).distinct()
       .select(col("node"), pmod(col("node"), lit(10L)).as("lab"))
