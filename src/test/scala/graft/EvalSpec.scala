@@ -137,6 +137,18 @@ class EvalSpec extends AnyFunSuite {
     val fitted = BigClam.communities(BigClam.toDenseF(fs, p.k), edges, p)
     val score = f1Of(fitted, GraphGen.plantedTruth(s, 600, 4))
     assert(score > 0.9, s"planted recovery degraded: F1 = $score")
+    // the recovered partition must also win on Newman modularity: the
+    // fitted argmax labels should land near the planted optimum while a
+    // structure-blind node-hash partition scores ≈ 0
+    val labels = fitted.groupBy("node").agg(min(col("community")).as("lab"))
+    val qFit = GraphOps.modularity(edges, labels, "fit")
+      .collect()(0).getAs[Double]("q")
+    val qBase = GraphOps.modularity(edges,
+        edges.select(col("src").as("node")).distinct()
+          .select(col("node"), pmod(col("node"), lit(10L)).as("lab")), "base")
+      .collect()(0).getAs[Double]("q")
+    assert(qFit > 0.5, s"fitted partition modularity too low: $qFit")
+    assert(qFit > qBase + 0.3, s"fit ($qFit) does not beat baseline ($qBase)")
     edges.unpersist()
   }
 
