@@ -164,6 +164,14 @@ object Oracles {
         |  ORDER BY count(*) DESC, o_orderstatus ASC) = 1
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // the salted two-phase agg must equal the PLAIN group-by — the oracle
+    // deliberately knows nothing about salts
+    "q_agg_salted" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_agg_stats" ->
       """WITH base AS (
         |  SELECT o_orderstatus,

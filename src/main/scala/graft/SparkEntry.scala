@@ -48,6 +48,7 @@ object SparkEntry {
     "q_agg_scalar" -> Aggregates.q_agg_scalar,
     "q_agg_array_sum" -> Aggregates.q_agg_array_sum,
     "q_agg_approx_distinct" -> Aggregates.q_agg_approx_distinct,
+    "q_agg_salted" -> Aggregates.q_agg_salted,
     "q_agg_percentiles" -> Aggregates.q_agg_percentiles,
     "q_pivot" -> Aggregates.q_pivot,
     "q_agg_histogram" -> Aggregates.q_agg_histogram,

@@ -224,4 +224,34 @@ object Aggregates {
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
+
+  /** The skew-proof aggregation, declared: the same per-type counts/sums a
+    * plain groupBy(event_type) computes, but routed through Skew.saltedAgg's
+    * two-phase (key, salt)-partial → key-final shape — the manual fallback
+    * for the mega-key AQE cannot split (skewed AGGREGATIONS, unlike joins,
+    * get no runtime skew handling). The oracle is the PLAIN GROUP BY: salting
+    * must be a pure execution-strategy change with bit-identical results,
+    * and this query makes that contract hash-checked every round.
+    *
+    * Scale stance: event_type has 5 values over ~10^6+ rows — the exact
+    * hot-key regime; 16 salts spread each key over 16 reducers and the
+    * final merge sees 5×16 rows. Sums ride DECIMAL partials so the
+    * two-phase addition is exact (double partials would make the salted
+    * and plain plans round differently). */
+  def q_agg_salted(s: SparkSession, d: String): DataFrame =
+    Skew.saltedAgg(
+      Tables.events(s, d),
+      key = col("event_type"),
+      saltCols = Seq(col("event_id")),
+      salts = 16,
+      partial = Seq(count(lit(1)).as("pc"),
+        sum(col("value").cast("decimal(18,6)")).as("ps"),
+        min(col("value")).as("pmin"), max(col("value")).as("pmax")),
+      merge = Seq(sum(col("pc")).as("n_events"),
+        sum(col("ps")).cast("double").as("sum_value"),
+        min(col("pmin")).as("min_value"), max(col("pmax")).as("max_value")))
+      .select(col("skew_key").as("event_type"), col("n_events"),
+        round(col("sum_value"), 6).as("sum_value"),
+        col("min_value"), col("max_value"))
+      .orderBy("event_type")
 }
