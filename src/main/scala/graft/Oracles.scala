@@ -888,6 +888,18 @@ object Oracles {
         |FROM canon c JOIN sizes s USING (canon_id)
         |ORDER BY doc_id LIMIT 5000""".stripMargin,
 
+    // the stub media payload is the UTF-8 text bytes, so md5(text) here
+    // equals Spark's md5 over the BINARY column
+    "q_multimodal_dedup" ->
+      """WITH m AS (SELECT
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    md5(text) AS h
+        |  FROM documents)
+        |SELECT kind, count(*) AS n_media, count(DISTINCT h) AS n_distinct,
+        |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dups
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
     "q_text_quality_gopher" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |ts AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct

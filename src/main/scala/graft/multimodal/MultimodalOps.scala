@@ -97,4 +97,24 @@ object MultimodalOps {
       .select(col("media_id"), col("n_bytes"),
         posexplode(transform(col("feature"), x => round(x, 6))).as(Seq("bin", "value")))
       .orderBy("media_id", "bin")
+
+  /** Media-content dedup by payload hash, per modality — the first stage of
+    * any media pipeline (the same asset re-crawled under different ids is
+    * byte-identical far more often than text is). Hashing the BINARY column
+    * never decodes anything, so this runs on the raw lake at full width.
+    * Oracle-backed: the synthetic payload is the UTF-8 text bytes, so
+    * DuckDB's md5(text) equals Spark's md5(media) — the one multimodal
+    * query with an exact cross-engine check.
+    *
+    * Scale stance: one narrow hash projection + a partial-agg groupBy on a
+    * 3-value modality key; the distinct-count shuffles (kind, hash) pairs
+    * already collapsed map-side. */
+  def q_multimodal_dedup(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .select(col("meta.kind").as("kind"), md5(col("media")).as("h"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        countDistinct(col("h")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dups"))
+      .orderBy("kind")
 }
