@@ -10,7 +10,8 @@ import graft.Tables
   * over a raw corpus:
   *
   *   exact dedup → near-dup drop (rare-shingle blocking) → eval-set
-  *   decontamination (8-gram overlap) → quality floor → context packing
+  *   decontamination (8-gram overlap) → repeated-line boilerplate floor
+  *   (C4 rule over the survivor set) → quality floor → context packing
   *
   * Each stage reports survivors and wall time. Every stage is the same
   * DataFrame program the oracle-checked query uses, so the pipeline
@@ -87,12 +88,23 @@ object RunTextPipeline {
     val d3 = d2.join(contaminated, Seq("doc_id"), "left_anti").cache()
     stage("decontaminate", d3.count())
 
-    // 4. quality floor: ≥ 20 tokens (drops stubs; mirrors q_text_quality's
+    // 4. line-level boilerplate floor: C4's repeated-line rule applied as a
+    // doc filter over the SURVIVOR set — a doc half or more of whose lines
+    // also occur in other surviving docs is boilerplate-dominated even
+    // though no single other doc near-duplicates it (the fraction rule, not
+    // an absolute token floor, so short-but-unique docs pass through to the
+    // quality stage instead of being silently folded in here)
+    val boiler = TextOps.lineDedupStats(d3)
+      .filter(col("n_dup_lines") * 2 >= col("n_lines")).select("doc_id")
+    val d3b = d3.join(boiler, Seq("doc_id"), "left_anti").cache()
+    stage("line_boiler_floor", d3b.count())
+
+    // 5. quality floor: ≥ 20 tokens (drops stubs; mirrors q_text_quality's
     // token accounting)
-    val d4 = d3.filter(size(split(col("text"), " ")) >= 20).cache()
+    val d4 = d3b.filter(size(split(col("text"), " ")) >= 20).cache()
     stage("quality_floor", d4.count())
 
-    // 5. pack survivors into 512-token contexts, sharded like q_text_pack
+    // 6. pack survivors into 512-token contexts, sharded like q_text_pack
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

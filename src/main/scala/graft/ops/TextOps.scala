@@ -213,9 +213,17 @@ object TextOps {
     * distinct-line relation — linear, never pairwise. A 100 TB corpus
     * distributes on the line-hash key; hot boilerplate lines collapse
     * map-side in the df count. */
-  def q_dedup_lines(s: SparkSession, d: String): DataFrame = {
+  def q_dedup_lines(s: SparkSession, d: String): DataFrame =
+    lineDedupStats(Tables.documents(s, d))
+      .orderBy("doc_id")
+      .limit(5000)
+
+  /** Core of [[q_dedup_lines]] over any (doc_id, text) frame — separated so
+    * the composed pipeline (RunTextPipeline) can apply the repeated-line
+    * rule to its own survivor set. */
+  private[graft] def lineDedupStats(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
-    val lines = Tables.documents(s, d)
+    val lines = docs
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), ((size(t) - 1) / 8).cast("int")),
           i => array_join(slice(t, i * 8 + 1, lit(8)), " "))).as("line"))
@@ -228,8 +236,6 @@ object TextOps {
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_lines"),
         sum(when(col("ndocs") < 2, col("n_toks")).otherwise(0L)).as("n_kept_tokens"))
-      .orderBy("doc_id")
-      .limit(5000)
   }
 
   /** Asymmetric containment scoring — the near-SUPERSET detector Jaccard
