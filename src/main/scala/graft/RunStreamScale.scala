@@ -54,6 +54,50 @@ object RunStreamScale {
     drive("tumbling", "update")(StreamingOps.tumbling)
     drive("sessionize", "append")(StreamingOps.sessionize)
     drive("dedup", "append")(StreamingOps.dedup)
+
+    // stream-stream interval join: views and clicks as two independent
+    // file-source streams over the same table (filtered by type), joined
+    // with event-time bounds — the watermark expires view state as the
+    // click watermark advances
+    {
+      def side(t: String) = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", fpt).parquet(path)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .filter(col("event_type") === t)
+      val t0 = System.nanoTime()
+      val q = StreamingOps.attribution(side("view"), side("click"))
+        .writeStream.format("noop").outputMode("append")
+        .queryName("attribution").start()
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      println(f"[streamscale] attribution  ${q.recentProgress.length}%3d batches  " +
+        f"$rows%9d rows  $secs%6.1f s  ${rows / secs}%,.0f rows/s")
+    }
+
+    // arbitrary per-key state (flatMapGroupsWithState): the running
+    // per-user profile across every micro-batch — NoTimeout so the state
+    // store carries every user key to the end
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", fpt).parquet(path)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)]
+      val t0 = System.nanoTime()
+      val q = StreamingOps.runningProfile(stream, GroupStateTimeout.NoTimeout())
+        .toDF().writeStream.format("noop").outputMode("update")
+        .queryName("profile").start()
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      println(f"[streamscale] profile      ${q.recentProgress.length}%3d batches  " +
+        f"$rows%9d rows  $secs%6.1f s  ${rows / secs}%,.0f rows/s")
+    }
     spark.stop()
   }
 }
