@@ -491,7 +491,13 @@ class InvariantsSpec extends AnyFunSuite {
         // the round-7 iterative additions: loop-driven plans re-derive per
         // run, so double-run identity is the cheapest guard against any
         // nondeterministic fixpoint
-        "q_graph_kcore", "q_graph_bfs", "q_dedup_lsh_cluster")) {
+        "q_graph_kcore", "q_graph_bfs", "q_dedup_lsh_cluster",
+        // round-7 new-query sweep: struct-min picks (ohlc), LIMIT cuts
+        // (containment/lines), CC-derived labels (modularity), and the
+        // salted two-phase agg all have tie-shaped failure modes that only
+        // a repeated run exposes
+        "q_events_ohlc", "q_events_streak", "q_dedup_containment",
+        "q_dedup_lines", "q_graph_modularity", "q_agg_salted")) {
       val fn = SparkEntry.queries(name)
       val a = fn(s, sf).collect().map(_.toString).toSeq
       val b = fn(s, sf).collect().map(_.toString).toSeq
