@@ -451,10 +451,18 @@ object BigClam {
     * pruned entry can cost a little accepted LLH — the per-iteration
     * histories remain ascending in practice (RealGraphSpec asserts it on a
     * real subgraph). */
+  /** Both fit entries NPE deep in the loop (sum(llh) over zero rows → null
+    * getDouble) if handed an empty edge frame — fail fast with a message
+    * instead (the empty-input class of bug flagged on connectedComponents
+    * in round 6's review). One limit-1 job. */
+  private def requireEdges(edges: DataFrame): Unit =
+    require(!edges.isEmpty, "BigClam fit requires a non-empty edge set")
+
   def fitSparse(edges: DataFrame, p: Params, iterations: Int,
       trackHistory: Boolean = true, ranked: Option[DataFrame] = None,
       supportCap: Option[Int] = None,
       stableTol: Option[Double] = None): (DataFrame, Seq[Double]) = {
+    requireEdges(edges)
     // cap >= K can't prune anything: use the uncapped path so "no-op cap"
     // means bit-identical, not merely value-close (float op order matters)
     val cap = supportCap.filter(_ < p.k)
@@ -525,6 +533,7 @@ object BigClam {
     * at the end) for callers that only need F. */
   def fit(edges: DataFrame, p: Params, iterations: Int,
       trackHistory: Boolean = true, ranked: Option[DataFrame] = None): (DataFrame, Seq[Double]) = {
+    requireEdges(edges)
     var f = checkpointF(init(edges, p, ranked))
     val history = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to iterations) {

@@ -123,4 +123,16 @@ class BigClamSpec extends AnyFunSuite {
     assert(m(0L) == Seq(1.0, 0.0) && m(1L) == Seq(1.0, 0.0) && m(2L) == Seq(1.0, 0.0))
     assert(m(4L) == Seq(0.0, 1.0) && m(5L) == Seq(0.0, 1.0) && m(3L) == Seq(0.0, 1.0))
   }
+
+  test("fit and fitSparse fail fast on an empty edge set") {
+    val sess = s
+    import sess.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val e1 = intercept[IllegalArgumentException](
+      BigClam.fit(empty, BigClam.Params(k = 2), 1))
+    assert(e1.getMessage.contains("non-empty edge set"))
+    val e2 = intercept[IllegalArgumentException](
+      BigClam.fitSparse(empty, BigClam.Params(k = 2), 1))
+    assert(e2.getMessage.contains("non-empty edge set"))
+  }
 }
