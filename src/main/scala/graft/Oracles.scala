@@ -425,7 +425,7 @@ object Oracles {
         |      FROM ev e JOIN st USING (user_id))
         |SELECT user_id, event_id, ts, round(value, 6) AS value, round(z, 6) AS z
         |FROM z WHERE abs(z) > 3.0
-        |ORDER BY user_id, event_id LIMIT 5000""".stripMargin,
+        |ORDER BY user_id, event_id, ts LIMIT 5000""".stripMargin,
 
     "q_events_transition" ->
       """WITH tr AS (SELECT user_id, event_type,

@@ -262,7 +262,10 @@ object EventsOps {
       .filter(abs(col("z")) > 3.0)
       .select(col("user_id"), col("event_id"), col("ts"),
         round(col("value"), 6).as("value"), round(col("z"), 6).as("z"))
-      .orderBy("user_id", "event_id")
+      // ts in the sort: events carries duplicate (user_id, event_id) rows
+      // by design (the late-dedup premise), so without it a LIMIT cut
+      // inside a tie group could differ between engines
+      .orderBy("user_id", "event_id", "ts")
       .limit(5000)
   }
 }
