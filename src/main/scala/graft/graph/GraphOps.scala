@@ -565,8 +565,9 @@ object GraphOps {
     val b = raw.select(col("src").as("v"), col("dst"))
     val proj = a.join(b, Seq("dst")).filter(col("u") < col("v"))
       .select("u", "v").distinct()
-    val deg = proj.select(col("u").as("node"))
-      .union(proj.select(col("v").as("node")))
+    // one explode instead of a u-side ∪ v-side union: the union form
+    // statically re-derived the whole projection subtree per side
+    val deg = proj.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
     deg.filter(col("degree") >= 2)
       .join(triangleCounts(proj), Seq("node"), "left")
