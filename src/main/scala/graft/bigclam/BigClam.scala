@@ -451,6 +451,17 @@ object BigClam {
     * pruned entry can cost a little accepted LLH — the per-iteration
     * histories remain ascending in practice (RealGraphSpec asserts it on a
     * real subgraph). */
+  /** Total LLH as an ORDER-INDEPENDENT reduction: a double sum's value
+    * depends on partition merge order, which the scheduler does not fix —
+    * two runs of the identical fit can differ in the last ulp (observed
+    * once in five rounds on the capped-vs-uncapped bit-identity test).
+    * Summing DECIMAL(38,12) is exact and associative, so the history is
+    * bit-stable across runs; the 1e-12 quantization is noise against the
+    * 1e-4 relative-change convergence rule. */
+  private def totalLlh(state: DataFrame): Double =
+    state.agg(sum(col("llh").cast("decimal(38,12)")).cast("double"))
+      .collect()(0).getDouble(0)
+
   /** Both fit entries NPE deep in the loop (sum(llh) over zero rows → null
     * getDouble) if handed an empty edge frame — fail fast with a message
     * instead (the empty-input class of bug flagged on connectedComponents
@@ -483,7 +494,7 @@ object BigClam {
       val state = nodeStateSparse(edges, f, sf, p, cap)
         .persist(StorageLevel.MEMORY_AND_DISK)
       if (trackHistory) {
-        history += state.agg(sum(col("llh"))).collect()(0).getDouble(0)
+        history += totalLlh(state)
         System.err.println(f"[bigclam] sparse iter $it/$iterations start: " +
           f"llh=${history.last}%.2f (+${(System.nanoTime() - t0) / 1e9}%.0f s)")
       }
@@ -513,7 +524,7 @@ object BigClam {
     }
     if (trackHistory) {
       val finalState = nodeStateSparse(edges, f, sumFSparse(f, p), p)
-      history += finalState.agg(sum(col("llh"))).collect()(0).getDouble(0)
+      history += totalLlh(finalState)
     }
     (f, history.toSeq)
   }
@@ -540,7 +551,7 @@ object BigClam {
       val sf = sumF(f, p)
       val state = nodeState(edges, f, sf, p).persist(StorageLevel.MEMORY_AND_DISK)
       if (trackHistory)
-        history += state.agg(sum(col("llh"))).collect()(0).getDouble(0)
+        history += totalLlh(state)
       val updates = lineSearch(edges, f, state, sf, p)
       val next = checkpointF(f.join(updates, Seq("id"), "left")
         .select(col("id"), coalesce(col("fnew"), col("f")).as("f")))
@@ -549,7 +560,7 @@ object BigClam {
     }
     if (trackHistory) {
       val finalState = nodeState(edges, f, sumF(f, p), p)
-      history += finalState.agg(sum(col("llh"))).collect()(0).getDouble(0)
+      history += totalLlh(finalState)
     }
     (f, history.toSeq)
   }
@@ -568,7 +579,7 @@ object BigClam {
       it += 1
       val sf = sumF(f, p)
       val state = nodeState(edges, f, sf, p).persist(StorageLevel.MEMORY_AND_DISK)
-      val llh = state.agg(sum(col("llh"))).collect()(0).getDouble(0)
+      val llh = totalLlh(state)
       history += llh
       if (it > 1 && math.abs(1.0 - llh / llhOld) < p.tol) converged = true
       else {
