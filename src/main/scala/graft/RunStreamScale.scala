@@ -19,6 +19,8 @@ object RunStreamScale {
     require(args.nonEmpty, "usage: RunStreamScale <eventsDir> [filesPerTrigger]")
     val dir = args(0)
     val fpt = args.lift(1).map(_.toInt).getOrElse(4)
+    val only = args.drop(2).toSet
+    def wanted(n: String) = only.isEmpty || only(n)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -51,15 +53,15 @@ object RunStreamScale {
         f"$rows%9d rows  $secs%6.1f s  ${rows / secs}%,.0f rows/s")
     }
 
-    drive("tumbling", "update")(StreamingOps.tumbling)
-    drive("sessionize", "append")(StreamingOps.sessionize)
-    drive("dedup", "append")(StreamingOps.dedup)
+    if (wanted("tumbling")) drive("tumbling", "update")(StreamingOps.tumbling)
+    if (wanted("sessionize")) drive("sessionize", "append")(StreamingOps.sessionize)
+    if (wanted("dedup")) drive("dedup", "append")(StreamingOps.dedup)
 
     // stream-stream interval join: views and clicks as two independent
     // file-source streams over the same table (filtered by type), joined
     // with event-time bounds — the watermark expires view state as the
     // click watermark advances
-    {
+    if (wanted("attribution")) {
       def side(t: String) = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", fpt).parquet(path)
         .withColumn("ts", col("ts").cast("timestamp"))
@@ -79,7 +81,7 @@ object RunStreamScale {
     // arbitrary per-key state (flatMapGroupsWithState): the running
     // per-user profile across every micro-batch — NoTimeout so the state
     // store carries every user key to the end
-    {
+    if (wanted("profile")) {
       import spark.implicits._
       import org.apache.spark.sql.streaming.GroupStateTimeout
       val stream = spark.readStream.schema(schema)
