@@ -29,6 +29,17 @@ object ScaleEvents {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ev = Tables.events(spark, src)
+    // the replica shifts assume ids fit under the shift bases: a source with
+    // user_id >= 1e6 or event_id >= 1e9 (e.g. re-scaling an already-scaled
+    // output) would silently collide replicas and corrupt the "R independent
+    // copies" invariant every scale benchmark relies on — fail instead
+    val mx = ev.agg(max(col("user_id")).as("mu"), max(col("event_id")).as("me")).collect()(0)
+    require(mx.isNullAt(0) || mx.getLong(0) < 1000000L,
+      s"ScaleEvents: source user_id max ${mx.get(0)} >= 1e6 would collide replica shifts " +
+        "(is the source already a scaled output?)")
+    require(mx.isNullAt(1) || mx.getLong(1) < 1000000000L,
+      s"ScaleEvents: source event_id max ${mx.get(1)} >= 1e9 would collide replica shifts " +
+        "(is the source already a scaled output?)")
     val cols = ev.columns
     val scaled = ev
       .select(col("*"), posexplode(sequence(lit(0), lit(r - 1))).as(Seq("i", "unused")))

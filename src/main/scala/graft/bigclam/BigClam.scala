@@ -458,9 +458,22 @@ object BigClam {
     * Summing DECIMAL(38,12) is exact and associative, so the history is
     * bit-stable across runs; the 1e-12 quantization is noise against the
     * 1e-4 relative-change convergence rule. */
-  private def totalLlh(state: DataFrame): Double =
-    state.agg(sum(col("llh").cast("decimal(38,12)")).cast("double"))
-      .collect()(0).getDouble(0)
+  private def totalLlh(state: DataFrame): Double = {
+    // the DECIMAL cast maps NaN/±Inf to NULL and sum() skips nulls — a
+    // divergent fit would silently report a finite (wrong) LLH. Count the
+    // non-finite rows in the same pass and fail loudly instead.
+    val row = state.agg(
+      sum(col("llh").cast("decimal(38,12)")).cast("double").as("s"),
+      sum(when(col("llh").isNull || isnan(col("llh")) ||
+        col("llh") === Double.PositiveInfinity ||
+        col("llh") === Double.NegativeInfinity, 1L).otherwise(0L)).as("bad"))
+      .collect()(0)
+    val bad = row.getLong(1)
+    if (bad > 0)
+      throw new IllegalStateException(
+        s"BigClam fit diverged: $bad node(s) have non-finite log-likelihood")
+    row.getDouble(0)
+  }
 
   /** Both fit entries NPE deep in the loop (sum(llh) over zero rows → null
     * getDouble) if handed an empty edge frame — fail fast with a message
@@ -570,6 +583,7 @@ object BigClam {
     * (Bigclamv2.scala:203-219, |1 − LLHnew/LLHold| < 1e-4) — with a hard
     * iteration cap as a distributed-job budget. Returns (F, LLH history). */
   def fitConverged(edges: DataFrame, p: Params, maxIterations: Int = 50): (DataFrame, Seq[Double]) = {
+    requireEdges(edges)
     var f = checkpointF(init(edges, p))
     val history = scala.collection.mutable.ArrayBuffer[Double]()
     var llhOld = 0.0 // v3 convention (bigclamv3-7.scala:207): iter 1 never converges spuriously
@@ -602,6 +616,7 @@ object BigClam {
   def selectK(edges: DataFrame, base: Params, minK: Int, maxK: Int, steps: Int,
       kTol: Double = 1e-3, fitIterations: Int = 3,
       retainedProbe: Int => Unit = _ => ()): (Int, DataFrame, Seq[(Int, Double)]) = {
+    requireEdges(edges)
     val grid = logSpacedK(minK, maxK, steps)
     // the conductance seed ranking is K-independent: compute it once for the
     // whole grid (the per-K init only runs the cheap ego joins on top)
@@ -641,6 +656,7 @@ object BigClam {
       steps: Int, kTol: Double = 1e-3, fitIterations: Int = 3,
       supportCap: Option[Int] = None, stableTol: Option[Double] = None,
       retainedProbe: Int => Unit = _ => ()): (Int, DataFrame, Seq[(Int, Double)]) = {
+    requireEdges(edges)
     val grid = logSpacedK(minK, maxK, steps)
     val ranked = GraphOps.seedRank(edges).persist(StorageLevel.MEMORY_AND_DISK)
     var evals = List.empty[(Int, Double)]
@@ -735,16 +751,26 @@ object BigClam {
     * set materialization, no driver loops. Returns ONE row:
     * (f1, f1_fitted_best, f1_truth_best, n_fitted, n_truth). */
   def scoreCommunities(fitted: DataFrame, truth: DataFrame): DataFrame = {
-    val a = fitted.select(col("community").cast("bigint").as("ca"),
-      col("node").cast("bigint").as("node")).distinct()
-    val b = truth.select(col("community").cast("bigint").as("cb"),
-      col("node").cast("bigint").as("node")).distinct()
-    val sa = a.groupBy("ca").agg(count(lit(1)).as("na"))
-    val sb = b.groupBy("cb").agg(count(lit(1)).as("nb"))
+    // each intermediate below is consumed 2-3 times (overlap feeds pairF1,
+    // pairF1 feeds BOTH best-match sides, sizes feed pairF1 and their own
+    // side's average) — without lineage cuts the STATIC plan re-derives the
+    // node-keyed overlap join per consumer, and when `fitted` is itself an
+    // uncached fit subtree the whole fit re-plans per consumer (the
+    // 71-exchange bigclam_eval_smoke cold plan). The cuts materialize only
+    // community-keyed aggregates (≤ #communities rows) plus the deduped
+    // input covers — all bounded artifacts a cold scoring pass computes
+    // exactly once anyway.
+    val cut = GraphOps.cutLineage _
+    val a = cut(fitted.select(col("community").cast("bigint").as("ca"),
+      col("node").cast("bigint").as("node")).distinct())
+    val b = cut(truth.select(col("community").cast("bigint").as("cb"),
+      col("node").cast("bigint").as("node")).distinct())
+    val sa = cut(a.groupBy("ca").agg(count(lit(1)).as("na")))
+    val sb = cut(b.groupBy("cb").agg(count(lit(1)).as("nb")))
     val overlap = a.join(b, "node").groupBy("ca", "cb").agg(count(lit(1)).as("o"))
-    val pairF1 = overlap.join(broadcast(sa), "ca").join(broadcast(sb), "cb")
+    val pairF1 = cut(overlap.join(broadcast(sa), "ca").join(broadcast(sb), "cb")
       .select(col("ca"), col("cb"),
-        (lit(2.0) * col("o") / (col("na") + col("nb"))).as("f1"))
+        (lit(2.0) * col("o") / (col("na") + col("nb"))).as("f1")))
     val bestA = sa.join(pairF1.groupBy("ca").agg(max(col("f1")).as("best")), Seq("ca"), "left")
       .agg(avg(coalesce(col("best"), lit(0.0))).as("f1_fitted_best"),
         count(lit(1)).as("n_fitted"))
@@ -784,13 +810,19 @@ object BigClam {
     * and the margins riding broadcasts. One row out:
     * (nmi, mi, h_fitted, h_truth, n_nodes). */
   def scoreCommunitiesNMI(fitted: DataFrame, truth: DataFrame): DataFrame = {
-    val a = fitted.select(col("node").cast("bigint").as("node"),
-      col("community").cast("bigint").as("ca")).distinct()
-    val b = truth.select(col("node").cast("bigint").as("node"),
-      col("community").cast("bigint").as("cb")).distinct()
-    val cells = a.join(b, "node").groupBy("ca", "cb").agg(count(lit(1)).as("nij"))
-    val ni = cells.groupBy("ca").agg(sum("nij").as("ni"))
-    val nj = cells.groupBy("cb").agg(sum("nij").as("nj"))
+    // same static-plan hygiene as scoreCommunities: cells feed both margins,
+    // the total AND the MI sum; the margins feed an entropy pass and the MI
+    // join — cut lineage once per bounded artifact (cells ≤ min(#A·#B, n)
+    // rows, margins ≤ #communities rows) so no consumer re-derives the
+    // node-keyed contingency join.
+    val cut = GraphOps.cutLineage _
+    val a = cut(fitted.select(col("node").cast("bigint").as("node"),
+      col("community").cast("bigint").as("ca")).distinct())
+    val b = cut(truth.select(col("node").cast("bigint").as("node"),
+      col("community").cast("bigint").as("cb")).distinct())
+    val cells = cut(a.join(b, "node").groupBy("ca", "cb").agg(count(lit(1)).as("nij")))
+    val ni = cut(cells.groupBy("ca").agg(sum("nij").as("ni")))
+    val nj = cut(cells.groupBy("cb").agg(sum("nij").as("nj")))
     val tot = cells.agg(coalesce(sum("nij"), lit(0L)).as("n"))
     def entropy(margin: DataFrame, m: String, out: String): DataFrame =
       margin.crossJoin(broadcast(tot))
@@ -897,7 +929,14 @@ object BigClam {
       GraphOps.connectedComponents(smokeEdges(s, d))
         .select(col("comp").as("community"), col("node"))
     }
-    val fitted = bigclam_communities(s, d)
+    // cut lineage on the cover before the scoring joins: scoreCommunities
+    // consumes `fitted` three ways (overlap table, sizes, fittedPart→NMI),
+    // and without the cut the STATIC plan re-derives the whole fit+
+    // communities subtree per consumer (71 exchanges cold; the session
+    // memoization only masks the cost on warm calls). After the cut each
+    // consumer reads a flat |memberships|-row scan — the cold plan drops
+    // to the scoring joins themselves.
+    val fitted = GraphOps.cutLineage(bigclam_communities(s, d))
     // NMI scores the fit as a PARTITION: reduce the threshold-δ cover to
     // one deterministic label per node (min community id). Truth (CC
     // labels) is a partition already.

@@ -102,13 +102,22 @@ object GraphOps {
   /** Triangle counts on the unipartite co-supplier projection (orders
     * sharing >=1 supplier) of the bounded graph — the bipartite
     * order–supplier graph itself is triangle-free. */
-  def q_graph_triangle_count(s: SparkSession, d: String): DataFrame = {
+  def q_graph_triangle_count(s: SparkSession, d: String): DataFrame =
+    triangleCounts(coSupplierProj(s, d)).orderBy("node").limit(5000)
+
+  /** The bounded co-supplier projection both triangle-family queries run
+    * on, lineage-cut: triangleCounts consumes it from THREE join sides (and
+    * clustering-coeff adds a degree pass), so without the cut the static
+    * plan re-derives the projection self-join per consumer (13 and 17
+    * exchanges respectively). After the cut each consumer reads one flat
+    * |proj|-row scan. At open scale the projection would be written once as
+    * a bucketed table instead — the cut is the single-job analog. */
+  private def coSupplierProj(s: SparkSession, d: String): DataFrame = {
     val raw = rawEdges(s, d, 300).distinct()
     val a = raw.select(col("src").as("u"), col("dst"))
     val b = raw.select(col("src").as("v"), col("dst"))
-    val proj = a.join(b, Seq("dst")).filter(col("u") < col("v"))
-      .select("u", "v").distinct()
-    triangleCounts(proj).orderBy("node").limit(5000)
+    cutLineage(a.join(b, Seq("dst")).filter(col("u") < col("v"))
+      .select("u", "v").distinct())
   }
 
   /** Ego-net conductance for every node of the (bounded) graph, exactly the
@@ -554,17 +563,13 @@ object GraphOps {
     * Scale stance: triangle counts come from the ordered-wedge joins
     * (never per-node set intersections — a celebrity node splits across
     * tasks); degrees are one partial agg over the projected edges; the
-    * combine join is keyed on node. All linear in wedge count. The static
-    * plan re-derives the bounded projection per consumer (the repo's
-    * cache-free stance); at open scale the projection would be written
-    * once as a bucketed table and the wedge joins would read it
+    * combine join is keyed on node. All linear in wedge count. The bounded
+    * projection is lineage-cut once (coSupplierProj) so its self-join runs
+    * once, not once per consumer; at open scale the projection would be
+    * written once as a bucketed table and the wedge joins would read it
     * shuffle-free. */
   def q_graph_clustering_coeff(s: SparkSession, d: String): DataFrame = {
-    val raw = rawEdges(s, d, 300).distinct()
-    val a = raw.select(col("src").as("u"), col("dst"))
-    val b = raw.select(col("src").as("v"), col("dst"))
-    val proj = a.join(b, Seq("dst")).filter(col("u") < col("v"))
-      .select("u", "v").distinct()
+    val proj = coSupplierProj(s, d)
     // one explode instead of a u-side ∪ v-side union: the union form
     // statically re-derived the whole projection subtree per side
     val deg = proj.select(explode(array(col("u"), col("v"))).as("node"))

@@ -500,22 +500,26 @@ object TextOps {
     * as [[q_minhash_lsh]], verifies, and clusters.
     *
     * Scale stance, stage by stage:
+    *  - Byte-identical docs are PRE-COLLAPSED by exact hash to one
+    *    canonical representative per family BEFORE banding (labels
+    *    re-expand to every replica after clustering): the mega-bucket this
+    *    op's own target scenario builds — billions of byte-identical docs
+    *    sharing every band minimum, one task's sorted run per band — never
+    *    reaches the chain window at all. Bucket cardinality is bounded by
+    *    the DISTINCT-text count.
     *  - Proposal is WITHIN-BUCKET CHAINING, not within-bucket all-pairs:
-    *    docs in one (band, bucket) are linked consecutively in doc_id
+    *    reps in one (band, bucket) are linked consecutively in doc_id
     *    order (`lag` over a bucket-partitioned window). A bucket of R
-    *    near-identical replicas yields R−1 edges, not R(R−1)/2, with the
-    *    same connected components — PROVIDED the bucket members are
-    *    mutually similar. A chance-colliding unrelated doc whose id
-    *    interleaves a duplicate pair splits that band's chain (both of its
-    *    links fail verification and the direct pair edge is never
-    *    proposed); the pair is then only found via the OTHER bands, whose
-    *    hash families are independent, so a family pair is lost only when
-    *    an interleaving collider lands in its bucket in EVERY band — the
-    *    recall-vs-cost tradeoff of chain proposal vs the quadratic clique.
-    *    The window sorts per bucket, distributed across buckets; a
-    *    pathological mega-bucket (billions of byte-identical docs) is one
-    *    task's sorted run and should be pre-collapsed by exact dedup
-    *    upstream.
+    *    near-identical (non-identical) variants yields R−1 edges, not
+    *    R(R−1)/2, with the same connected components — PROVIDED the bucket
+    *    members are mutually similar. A chance-colliding unrelated doc
+    *    whose id interleaves a duplicate pair splits that band's chain
+    *    (both of its links fail verification and the direct pair edge is
+    *    never proposed); the pair is then only found via the OTHER bands,
+    *    whose hash families are independent, so a family pair is lost only
+    *    when an interleaving collider lands in its bucket in EVERY band —
+    *    the recall-vs-cost tradeoff of chain proposal vs the quadratic
+    *    clique.
     *  - Each proposed edge is VERIFIED by exact Jaccard ≥ 0.5 over the
     *    pair's full distinct shingle sets (the q_dedup_jaccard melt:
     *    |A∩B| = (|A|+|B|) − |A∪B| off one join against docShingle), so a
@@ -538,10 +542,34 @@ object TextOps {
   private[graft] def lshClusterLabels(docs: DataFrame,
       simThreshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val buckets = docs
+    // EXACT PRE-COLLAPSE: mass duplication is this op's target scenario,
+    // and it is exactly what builds the pathological mega-bucket — R
+    // byte-identical docs share every band minimum, so the chain window
+    // would sort all R in ONE task per band. Collapse each byte-identical
+    // family to its min-doc_id representative first (one linear
+    // hash-groupBy, the exact-dedup shape), chain/verify/cluster over
+    // representatives only, then re-expand labels to every replica.
+    // (band, bucket) cardinality is then bounded by the DISTINCT-text
+    // count; family size never reaches the window. Side effect on recall:
+    // replicas no longer interleave the chain, so a family pair can't be
+    // split by a byte-identical interleaver — strictly fewer lost links
+    // than chaining raw docs.
+    val hashed = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val famAgg = hashed.groupBy("h")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("fam_n"))
+    // (doc → family representative, family size): linear state, cut once —
+    // it feeds the rep-filter semi-join, the family self-edges, and the
+    // final re-expansion
+    val docRep = graft.graph.GraphOps.cutLineage(
+      hashed.join(famAgg, Seq("h")).select("doc_id", "rep_id", "fam_n"))
+    val reps = docs.join(
+      docRep.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val buckets = reps
       .select(col("doc_id"),
         graft.functions.ShingleHash.bandMins(col("text"), 4).as("mins"))
-      .filter(col("doc_id").isNotNull && col("mins").isNotNull)
+      .filter(col("mins").isNotNull)
       .select(col("doc_id"), posexplode(col("mins")).as(Seq("band", "bucket")))
     val w = Window.partitionBy("band", "bucket").orderBy("doc_id")
     val chain = buckets
@@ -549,7 +577,7 @@ object TextOps {
       .filter(col("doc_a").isNotNull)
       .select(col("doc_a"), col("doc_id").as("doc_b"))
       .distinct() // the same consecutive pair can chain in several bands
-    val docShingle = docShinglesOf(docs)
+    val docShingle = docShinglesOf(reps)
     val melt = chain.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     // docShingle is distinct per (doc, shingle): cnt ∈ {1,2}, 2 ⇔ shared;
@@ -562,12 +590,29 @@ object TextOps {
       .filter((col("tot") - col("n_union")).cast("double")
         >= col("n_union") * lit(simThreshold))
       .select("doc_a", "doc_b")
-    val pairs = graft.graph.GraphOps.cutLineage(verified)
+    // a multi-doc exact family is a duplicate cluster even when its rep
+    // links to nothing (pre-collapse must not LOSE those clusters: on the
+    // raw path the replicas chained among themselves at J = 1). A self
+    // edge registers the rep with CC; restricted to reps that made it
+    // into buckets, preserving the raw path's exclusion of docs too short
+    // to shingle.
+    val famSelf = buckets.select(col("doc_id").as("doc_a")).distinct()
+      .join(docRep.filter(col("fam_n") >= 2)
+          .select(col("rep_id").as("doc_a")).distinct(),
+        Seq("doc_a"), "left_semi")
+      .select(col("doc_a"), col("doc_a").as("doc_b"))
+    val pairs = graft.graph.GraphOps.cutLineage(verified.union(famSelf))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val labels = graft.graph.GraphOps.connectedComponents(edges)
-    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_cluster"))
-    labels.join(sizes, Seq("comp"))
-      .select(col("node").as("doc_id"), col("comp").as("canon_id"), col("n_cluster"))
+    val repLabels = graft.graph.GraphOps.connectedComponents(edges)
+    // re-expand to replicas: every doc inherits its rep's component. comp
+    // is the min rep id of the cluster, and each rep is its family's min
+    // doc_id, so comp IS the expanded cluster's min doc_id — the canon.
+    val expanded = docRep
+      .join(repLabels.select(col("node").as("rep_id"), col("comp")), Seq("rep_id"))
+      .select(col("doc_id"), col("comp"))
+    val sizes = expanded.groupBy("comp").agg(count(lit(1)).as("n_cluster"))
+    expanded.join(sizes, Seq("comp"))
+      .select(col("doc_id"), col("comp").as("canon_id"), col("n_cluster"))
   }
 }

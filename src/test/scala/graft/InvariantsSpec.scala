@@ -220,6 +220,42 @@ class InvariantsSpec extends AnyFunSuite {
     counts.foreach { case (c, n) => assert(n >= 2, s"singleton cluster $c") }
   }
 
+  test("lshClusterLabels: exact pre-collapse — a mass-duplicated family never reaches the chain window") {
+    val sess = s
+    import sess.implicits._
+    // the op's target scenario: 400 byte-identical copies (an exact family)
+    // plus 3 near-dup variants and an unrelated doc. Pre-collapse must fold
+    // the 400 copies to ONE rep before banding (the mega-bucket killer) and
+    // re-expand labels so the full 403-doc cluster comes back out.
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val copies = (0 until 400).map(i => (i.toLong, base))
+    val variants = (1 to 3).map(i => (1000L + i, s"$base var$i"))
+    val outsider = Seq((5000L, (1 to 50).map(i => s"z$i").mkString(" ")))
+    val docs = (copies ++ variants ++ outsider).toDF("doc_id", "text")
+
+    val out = TextOps.lshClusterLabels(docs).collect()
+    val byCluster = out.groupBy(_.getAs[Long]("canon_id"))
+    assert(byCluster.size == 1, s"expected one cluster, got ${byCluster.keySet}")
+    val (canonId, members) = byCluster.head
+    assert(canonId == 0L, s"canonical should be min doc_id 0, got $canonId")
+    assert(members.length == 403, s"cluster lost replicas: ${members.length} of 403")
+    members.foreach(r => assert(r.getAs[Long]("n_cluster") == 403L))
+    assert(!out.exists(_.getAs[Long]("doc_id") == 5000L), "outsider merged")
+
+    // a pure exact family with NO near-dup neighbors must still cluster
+    // (the raw path clustered replicas among themselves at J = 1)
+    val lonely = ((0 until 10).map(i => (i.toLong, base)) ++ outsider)
+      .toDF("doc_id", "text")
+    val lone = TextOps.lshClusterLabels(lonely).collect()
+    assert(lone.length == 10 && lone.forall(_.getAs[Long]("n_cluster") == 10L),
+      s"pure exact family lost: ${lone.length}")
+
+    // docs too short to shingle stay excluded even when byte-identical
+    // (raw-path behavior: no bands => never proposed)
+    val short = Seq((1L, "a b"), (2L, "a b"), (3L, "c d")).toDF("doc_id", "text")
+    assert(TextOps.lshClusterLabels(short).collect().isEmpty)
+  }
+
   test("q_dedup_minhash_audit: estimates in range, exact dups audit at 1, error bounded") {
     val rows = TextOps.q_dedup_minhash_audit(s, sf).collect()
     assert(rows.nonEmpty)
