@@ -110,6 +110,8 @@ object SparkEntry {
     "bigclam_select_k_smoke" -> BigClam.bigclam_select_k_smoke,
     "bigclam_eval_smoke" -> BigClam.bigclam_eval_smoke,
     "bigclam_recovery_smoke" -> BigClam.bigclam_recovery_smoke,
+    "bigclam_recovery_overlap_smoke" -> BigClam.bigclam_recovery_overlap_smoke,
+    "bigclam_modularity_smoke" -> BigClam.bigclam_modularity_smoke,
     // LLM-pipeline: text
     "q_text_tokenize" -> TextOps.q_text_tokenize,
     "q_text_ngram_freq" -> TextOps.q_text_ngram_freq,

@@ -87,4 +87,68 @@ object GraphGen {
     s.range(nNodes).select(
       expr(s"id DIV $blockSize").as("community"), col("id").as("node"))
   }
+
+  /** AGM-style planted COVER — overlapping ground truth, the regime BigCLAM
+    * exists for (Yang & Leskovec's affiliation-graph model; the reference's
+    * threshold-δ assignment at Bigclamv2.scala:223-229 emits
+    * multi-membership precisely because real covers overlap, but a disjoint
+    * planted partition never exercises that half of the metric). Every node
+    * gets one hash-chosen community; a hash-coin half get a second draw and
+    * a quarter a third (duplicate draws collapse), so membership counts are
+    * 1–3 with mean ≈ 1.6 and a guaranteed multi-membership mass.
+    * Deterministic in (nNodes, nCommunities, seed); (community, node) rows
+    * in `scoreCommunities`' truth shape. */
+  def plantedCoverTruth(s: SparkSession, nNodes: Long, nCommunities: Int,
+      seed: Long = 42L): DataFrame = {
+    require(nNodes >= 1 && nCommunities >= 1, "need nNodes >= 1 and nCommunities >= 1")
+    def h(salt: Int) = xxhash64(col("node"), lit(seed), lit(salt))
+    val nodes = s.range(nNodes).select(col("id").as("node"))
+    val m1 = nodes.select(col("node"), pmod(h(21), lit(nCommunities.toLong)).as("community"))
+    val m2 = nodes.filter(pmod(h(22), lit(2L)) === 0)
+      .select(col("node"), pmod(h(23), lit(nCommunities.toLong)).as("community"))
+    val m3 = nodes.filter(pmod(h(24), lit(4L)) === 0)
+      .select(col("node"), pmod(h(25), lit(nCommunities.toLong)).as("community"))
+    m1.unionAll(m2).unionAll(m3).distinct()
+      .select(col("community"), col("node"))
+  }
+
+  /** Edges drawn from the planted cover by the AGM link function:
+    * P(u ~ v) = 1 − exp(−Fu·Fv) with F the planted indicator scaled so a
+    * single shared community links with probability `pSingle` — i.e.
+    * Fu·Fv = k·s², k = |comms(u) ∩ comms(v)|, s² = −ln(1−pSingle); sharing
+    * more communities raises the edge probability exactly as the model the
+    * fit maximizes assumes. `interEdges` uniform noise draws stand in for
+    * AGM's ε-background community. Deterministic throughout: the coin for
+    * pair (u,v) is the top-53-bit u01 of xxhash64(u,v,seed).
+    *
+    * Generation cost is Σ_c |M_c|² candidate pairs (the membership
+    * self-join) — the inherent cost of materializing the AGM's shared-
+    * community pair set, distributed by community key. That is the right
+    * shape for sparse-community covers (bounded |M_c|); a dense-community
+    * instance at scale would switch to per-community random pair DRAWS like
+    * [[plantedPartitionEdges]] rather than enumerate candidates. Same
+    * output convention as the other generators (single-direction rows,
+    * self-loops dropped, duplicates collapsed). */
+  def plantedCoverEdges(s: SparkSession, nNodes: Long, nCommunities: Int,
+      pSingle: Double, interEdges: Long, seed: Long = 42L): DataFrame = {
+    require(pSingle > 0.0 && pSingle < 1.0, "pSingle must be in (0,1)")
+    require(interEdges >= 0, "inter-community edge draws must be >= 0")
+    val s2 = -math.log(1.0 - pSingle)
+    val m = plantedCoverTruth(s, nNodes, nCommunities, seed)
+    val a = m.select(col("community"), col("node").as("u"))
+    val b = m.select(col("community"), col("node").as("v"))
+    val shared = a.join(b, Seq("community")).filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("k"))
+    val u01 = shiftrightunsigned(xxhash64(col("u"), col("v"), lit(seed), lit(31)), 11)
+      .cast("double") * lit(1.0 / (1L << 53))
+    val intra = shared
+      .filter(u01 < lit(1.0) - exp(-col("k") * lit(s2)))
+      .select(col("u").as("src"), col("v").as("dst"))
+    def hI(salt: Int) = xxhash64(col("id"), lit(seed), lit(salt))
+    val inter = s.range(interEdges)
+      .select(pmod(hI(32), lit(nNodes)).as("src"), pmod(hI(33), lit(nNodes)).as("dst"))
+    intra.unionAll(inter)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
 }

@@ -162,6 +162,47 @@ class EvalSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_fitted") >= 1L && row.getAs[Long]("n_truth") == 4L)
   }
 
+  test("bigclam_recovery_overlap_smoke: overlapping cover recovered well above the striped baseline") {
+    val r = BigClam.bigclam_recovery_overlap_smoke(s, TestSpark.sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val f1 = row.getAs[Double]("f1")
+    assert(f1 > 0.6, s"overlap recovery degraded: $row")
+    // the overlap half of the metric must actually be exercised: the truth
+    // plants a real multi-membership mass AND the fit assigns one
+    assert(row.getAs[Long]("n_truth_multi") >= 100L,
+      s"planted truth barely overlaps: $row")
+    assert(row.getAs[Long]("n_fitted_multi") >= 10L,
+      s"fitted cover is effectively disjoint: $row")
+    assert(row.getAs[Long]("n_fitted") == 4L && row.getAs[Long]("n_truth") == 4L)
+    val iters = row.getAs[Int]("iterations")
+    assert(iters >= 1 && iters <= 12, s"iteration count out of range: $row")
+    // the same fixture scored against a structure-destroying striped
+    // single-membership cover: the fit must clear it by a wide margin
+    val truth = GraphGen.plantedCoverTruth(s, 400L, 4)
+    val striped = truth.select(col("node")).distinct()
+      .select(pmod(col("node"), lit(4L)).as("community"), col("node"))
+    val base = f1Of(striped, truth)
+    assert(base < 0.5, s"striped baseline suspiciously high: $base")
+    assert(f1 > base + 0.3, s"fit ($f1) does not clear the striped baseline ($base)")
+  }
+
+  test("bigclam_modularity_smoke: fitted argmax beats the null; connected-graph envelope degenerates to 0") {
+    val rows = BigClam.bigclam_modularity_smoke(s, TestSpark.sf).collect()
+    assert(rows.map(_.getAs[String]("partition")).toSet ==
+      Set("cc", "fitted_argmax", "mod10"))
+    val q = rows.map(r => r.getAs[String]("partition") -> r.getAs[Double]("q")).toMap
+    val parts = rows.map(r => r.getAs[String]("partition") -> r.getAs[Long]("n_parts")).toMap
+    assert(q("fitted_argmax") > q("mod10"),
+      s"fit does not beat the structure-blind null: $q")
+    assert(q("fitted_argmax") > 0.0, s"fitted modularity not positive: $q")
+    // the smoke subgraph is connected, so the CC "partition" is one part and
+    // Q = 1 − (2m)²/(2m)² = 0 exactly; on a disconnected graph this row is
+    // the upper envelope instead
+    if (parts("cc") == 1L) assert(q("cc") == 0.0, s"one-part partition must score 0: $q")
+    else assert(q("cc") >= q("fitted_argmax"), s"envelope below the fit: $q")
+  }
+
   test("bigclam_eval_smoke: one scalar row with f1 and nmi both in range") {
     val r = BigClam.bigclam_eval_smoke(s, TestSpark.sf).collect()
     assert(r.length == 1)

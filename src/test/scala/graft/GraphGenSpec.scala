@@ -66,6 +66,48 @@ class GraphGenSpec extends AnyFunSuite {
     assert(t.select("community").distinct().count() == 4)
   }
 
+  test("planted cover: memberships 1-3 per node with real overlap mass; AGM edges deterministic and richer for multi-shared pairs") {
+    val truth = GraphGen.plantedCoverTruth(s, 2000, 8).cache()
+    // every node covered; membership counts bounded 1..3; a real overlap mass
+    val perNode = truth.groupBy("node").agg(count(lit(1)).as("m")).cache()
+    assert(perNode.count() == 2000)
+    val r = perNode.agg(min("m"), max("m"),
+      sum(when(col("m") >= 2, 1L).otherwise(0L))).collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) <= 3L)
+    assert(r.getLong(2) > 400L, s"overlap mass too thin: ${r.getLong(2)}")
+    assert(truth.filter(col("community") < 0 || col("community") >= 8).count() == 0)
+    // determinism of truth and edges; seed sensitivity
+    val h = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(expr("bit_xor(xxhash64(src, dst))")).collect()(0).getLong(0)
+    val e1 = GraphGen.plantedCoverEdges(s, 2000, 8, 0.3, 500)
+    assert(h(e1) == h(GraphGen.plantedCoverEdges(s, 2000, 8, 0.3, 500)))
+    assert(h(e1) != h(GraphGen.plantedCoverEdges(s, 2000, 8, 0.3, 500, seed = 7L)))
+    // shape: no self-loops, in-range
+    val e = GraphGen.plantedCoverEdges(s, 2000, 8, 0.3, 0).cache()
+    assert(e.filter(col("src") === col("dst")).count() == 0)
+    assert(e.filter(col("src") < 0 || col("src") >= 2000
+      || col("dst") < 0 || col("dst") >= 2000).count() == 0)
+    // the AGM link function: with zero noise, every edge shares >= 1
+    // community, and pairs sharing k=2+ link strictly more often than k=1
+    // pairs (P = 1 − (1−p)^k)
+    val a = truth.select(col("community"), col("node").as("u"))
+    val b = truth.select(col("community"), col("node").as("v"))
+    val shared = a.join(b, Seq("community")).filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("k")).cache()
+    val joined = shared.join(e,
+      shared("u") === e("src") && shared("v") === e("dst"), "left")
+      .select(col("k"), when(col("src").isNotNull, 1.0).otherwise(0.0).as("hit"))
+    val rates = joined.groupBy("k").agg(avg("hit").as("rate"), count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    val rate = rates.map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(rate(1L) - 0.3) < 0.02, s"k=1 rate off pSingle: ${rate(1L)}")
+    assert(rate(2L) > rate(1L) + 0.1, s"k=2 not denser: $rate")
+    // edges with zero shared communities cannot exist without noise draws
+    val eKeyed = e.select(col("src").as("u"), col("dst").as("v"))
+    assert(eKeyed.join(shared, Seq("u", "v"), "left_anti").count() == 0)
+    truth.unpersist(); perNode.unpersist(); e.unpersist(); shared.unpersist()
+  }
+
   test("planted partition: non-dividing community count leaves a short last block, still consistent") {
     // 10 nodes / 3 communities -> blockSize 4: blocks {0..3} {4..7} {8,9}
     val t = GraphGen.plantedTruth(s, 10, 3).collect()
