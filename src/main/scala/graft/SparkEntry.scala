@@ -150,7 +150,8 @@ object SparkEntry {
     "q_embed_quantize" -> VectorOps.q_embed_quantize,
     // LLM-pipeline: multimodal (binary media + stub decode)
     "q_multimodal_dedup" -> graft.multimodal.MultimodalOps.q_multimodal_dedup,
-    "q_multimodal_features" -> graft.multimodal.MultimodalOps.q_multimodal_features
+    "q_multimodal_features" -> graft.multimodal.MultimodalOps.q_multimodal_features,
+    "q_multimodal_audio" -> graft.multimodal.MultimodalOps.q_multimodal_audio
   )
 
   /** DuckDB oracle SQL per oracle-checkable query (graft.Oracles). */

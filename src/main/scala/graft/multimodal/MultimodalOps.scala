@@ -98,6 +98,84 @@ object MultimodalOps {
         posexplode(transform(col("feature"), x => round(x, 6))).as(Seq("bin", "value")))
       .orderBy("media_id", "bin")
 
+  /** Deterministic per-media PCM samples: splitmix64 over (media_id, i) —
+    * a pure function, no RNG object, so the synthetic audio table is
+    * identical on any partitioning (the same determinism contract as
+    * GraphGen). Sample count varies with the id so decode handles ragged
+    * payload sizes. */
+  private[graft] def synthSamples(id: Long, n: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      var z = id * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      out(i) = (z & 0xFFFFL).toShort
+      i += 1
+    }
+    out
+  }
+
+  case class AudioRow(media_id: Long, media: Array[Byte])
+  case class AudioStats(media_id: Long, sample_rate: Int, n_channels: Int,
+      n_samples: Long, rms: Double, peak: Double)
+
+  /** Synthetic audio lake: one REAL PCM16 WAV payload per document id,
+    * written by [[WavCodec.encodePcm16]] in a per-partition batched pass —
+    * the `binaryFile`-scan stand-in, same shape as [[mediaTable]] but with
+    * payloads an actual codec can decode. Mono, 8 kHz, 64–191 samples
+    * (id-dependent length). */
+  def audioTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          AudioRow(id, WavCodec.encodePcm16(
+            synthSamples(id, 64 + (id % 128).toInt), 8000, 1))
+        }
+      }
+      .toDF()
+  }
+
+  /** [no-oracle] Real audio decode end-to-end: the synthetic WAV lake runs
+    * through [[WavCodec.decode]] — an actual RIFF/PCM parser, not a stub —
+    * in one narrow mapPartitions pass (the once-per-partition spot where a
+    * production decoder session would open), emitting per-media audio
+    * stats: sample rate, channel count, frame count, RMS and peak of the
+    * normalized signal. Rows that fail to parse are dropped (quarantine
+    * semantics); on this table every row parses (invariant-tested, plus a
+    * hand-built byte-level fixture in MultimodalSpec pinning exact sample
+    * round-trips). Scale stance: decode is map-only — no shuffle until the
+    * display sort; only the K-byte stats rows leave the scan. */
+  def q_multimodal_audio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioTable(s, d).as[AudioRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          WavCodec.decode(r.media).map { w =>
+            var sum2 = 0.0
+            var peak = 0.0
+            var i = 0
+            while (i < w.samples.length) {
+              val x = w.samples(i) / 32768.0
+              sum2 += x * x
+              if (math.abs(x) > peak) peak = math.abs(x)
+              i += 1
+            }
+            val n = math.max(w.samples.length, 1)
+            AudioStats(r.media_id, w.sampleRate, w.channels,
+              w.samples.length / w.channels,
+              math.rint(math.sqrt(sum2 / n) * 1e6) / 1e6,
+              math.rint(peak * 1e6) / 1e6)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+      .limit(5000)
+  }
+
   /** Media-content dedup by payload hash, per modality — the first stage of
     * any media pipeline (the same asset re-crawled under different ids is
     * byte-identical far more often than text is). Hashing the BINARY column
