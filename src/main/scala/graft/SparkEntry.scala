@@ -151,7 +151,8 @@ object SparkEntry {
     // LLM-pipeline: multimodal (binary media + stub decode)
     "q_multimodal_dedup" -> graft.multimodal.MultimodalOps.q_multimodal_dedup,
     "q_multimodal_features" -> graft.multimodal.MultimodalOps.q_multimodal_features,
-    "q_multimodal_audio" -> graft.multimodal.MultimodalOps.q_multimodal_audio
+    "q_multimodal_audio" -> graft.multimodal.MultimodalOps.q_multimodal_audio,
+    "q_multimodal_image" -> graft.multimodal.MultimodalOps.q_multimodal_image
   )
 
   /** DuckDB oracle SQL per oracle-checkable query (graft.Oracles). */

@@ -176,6 +176,76 @@ object MultimodalOps {
       .limit(5000)
   }
 
+  /** Deterministic per-media 0xRRGGBB pixels — same splitmix64 derivation
+    * as [[synthSamples]], masked to 24 bits. */
+  private[graft] def synthPixels(id: Long, n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var z = id * 0x9E3779B97F4A7C15L + (i + 7919) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      out(i) = (z & 0xFFFFFFL).toInt
+      i += 1
+    }
+    out
+  }
+
+  case class ImageRow(media_id: Long, media: Array[Byte])
+  case class ImageStats(media_id: Long, width: Int, height: Int,
+      n_pixels: Long, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Synthetic image lake: one REAL 24-bit BMP payload per document id
+    * ([[BmpCodec.encodeBmp24]], id-dependent dims 8–23 × 8–15), built in a
+    * per-partition batched pass — the image counterpart of [[audioTable]]. */
+  def imageTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 8 + (id % 16).toInt
+          val h = 8 + (id % 8).toInt
+          ImageRow(id, BmpCodec.encodeBmp24(w, h, synthPixels(id, w * h)))
+        }
+      }
+      .toDF()
+  }
+
+  /** [no-oracle] Real image decode end-to-end: the synthetic BMP lake runs
+    * through [[BmpCodec.decode]] — an actual BITMAPINFOHEADER/BI_RGB
+    * parser, bottom-up row order and 4-byte stride padding included — in
+    * one narrow mapPartitions pass, emitting per-media dimensions and
+    * exact per-channel means (integer channel sums / pixel count — one
+    * deterministic double op sequence). Unparseable rows are dropped
+    * (quarantine); on this table every row parses (invariant-tested, plus
+    * hand-built fixtures in MultimodalSpec pinning exact pixel round-trips
+    * through padding and row order). Map-only until the display sort. */
+  def q_multimodal_image(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imageTable(s, d).as[ImageRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          BmpCodec.decode(r.media).map { img =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < img.pixels.length) {
+              val p = img.pixels(i)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              i += 1
+            }
+            val n = math.max(img.pixels.length, 1)
+            def mean(s0: Long) = math.rint(s0 * 1e6 / n) / 1e6
+            ImageStats(r.media_id, img.width, img.height, img.pixels.length,
+              mean(sr), mean(sg), mean(sb))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+      .limit(5000)
+  }
+
   /** Media-content dedup by payload hash, per modality — the first stage of
     * any media pipeline (the same asset re-crawled under different ids is
     * byte-identical far more often than text is). Hashing the BINARY column
