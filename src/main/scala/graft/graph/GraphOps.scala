@@ -185,7 +185,9 @@ object GraphOps {
   }
 
   def q_graph_conductance(s: SparkSession, d: String): DataFrame =
-    conductance(symEdges(rawEdges(s, d, 2000)))
+    // cut once: conductance consumes the edge frame from five subtrees
+    // (degrees, ego membership, expansion, the inside-flag join, totals)
+    conductance(cutLineage(symEdges(rawEdges(s, d, 2000))))
       .select(col("node"), col("cut"), col("vol_s"), col("vol_t"), round(col("phi"), 6).as("phi"))
       .orderBy("node")
 
@@ -232,7 +234,7 @@ object GraphOps {
 
   def q_graph_seed_rank(s: SparkSession, d: String): DataFrame =
     rankTopSeeds(
-      seedRank(symEdges(rawEdges(s, d, 2000)))
+      seedRank(cutLineage(symEdges(rawEdges(s, d, 2000))))
         .select(col("seed"), round(col("phi"), 6).as("phi")), 20)
       .select(col("seed"), col("phi"), col("rank"))
       .orderBy("rank")
@@ -265,8 +267,14 @@ object GraphOps {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 50): DataFrame = {
     def cut(df: DataFrame): DataFrame = cutLineage(df)
+    // materialize the edge frame ONCE before the loop: every propagation
+    // round joins it, and without the cut each round re-derives the whole
+    // upstream subtree — including any distinct/union shuffle inside a
+    // symEdges — once per round (the same reason GraphX caches its graph
+    // before Pregel). Already-flat inputs pay one cheap re-materialization.
+    val edges = cut(edges0)
     // symmetric input ⇒ every node appears as src
     var labels = cut(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp")))
@@ -332,8 +340,11 @@ object GraphOps {
     * on both engines (NOT `1.0 − d` in Scala, which is a different double
     * than literal 0.15 and would hash-mismatch the oracle at full
     * precision). */
-  def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+  def pageRank(edges0: DataFrame, iterations: Int = 3): DataFrame = {
     def cut(df: DataFrame): DataFrame = cutLineage(df)
+    // one edge materialization for the whole power iteration (see
+    // connectedComponents — same per-round re-derivation otherwise)
+    val edges = cut(edges0)
     val deg = degrees(edges)
     val n = deg.count()
     // empty graph: 1.0/n would poison every rank with Infinity — return the
@@ -431,9 +442,12 @@ object GraphOps {
     * driver memory. Unlike kcore this IS oracle-expressible: DuckDB's
     * recursive CTE walks (node, dist) pairs with the same depth guard and
     * min(dist) collapse. */
-  def bfsDepth(edges: DataFrame, source: Long, maxDepth: Int): DataFrame = {
-    val spark = edges.sparkSession
+  def bfsDepth(edges0: DataFrame, source: Long, maxDepth: Int): DataFrame = {
+    val spark = edges0.sparkSession
     import spark.implicits._
+    // one edge materialization for the whole frontier expansion (see
+    // connectedComponents)
+    val edges = cutLineage(edges0)
     var dist = cutLineage(Seq((source, 0)).toDF("node", "dist"))
     var frontier = dist
     var depth = 0
@@ -480,17 +494,27 @@ object GraphOps {
     val el = edges
       .join(labels.select(col("node").as("src"), col("lab").as("la")), Seq("src"))
       .join(labels.select(col("node").as("dst"), col("lab").as("lb")), Seq("dst"))
-    val tot = el.agg(count(lit(1)).as("m2"),
-      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("w"))
-    val d2 = el.groupBy("la").agg(count(lit(1)).cast("decimal(18,0)").as("dc"))
-      .agg(sum((col("dc") * col("dc")).cast("decimal(38,0)")).as("sumd2"),
-        count(lit(1)).as("n_parts"))
-    tot.crossJoin(d2).select(
-      lit(name).as("partition"), col("n_parts"),
-      (col("m2") / 2).cast("bigint").as("m"),
-      round(col("w").cast("double") / col("m2") -
-        col("sumd2").cast("double") /
-          (col("m2").cast("double") * col("m2").cast("double")), 6).as("q"))
+    // ONE pass over the labeled edges: the per-part rollup carries both the
+    // degree mass dc AND the intra-part row count, so the global fold gets
+    // W, 2m, ΣD_c² and the part count without re-deriving `el` for a second
+    // aggregate (the round-7 shape computed tot and d2 as separate subtrees
+    // — the static plan re-derived the two label joins per consumer). All
+    // sums stay integer/DECIMAL-exact; the closing double op sequence is
+    // unchanged, so the oracle hash-matches bit-for-bit.
+    val perPart = el.groupBy("la").agg(
+      count(lit(1)).cast("decimal(18,0)").as("dc"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("wp"))
+    perPart.agg(
+      sum(col("dc")).as("m2"),
+      sum(col("wp")).as("w"),
+      sum((col("dc") * col("dc")).cast("decimal(38,0)")).as("sumd2"),
+      count(lit(1)).as("n_parts"))
+      .select(
+        lit(name).as("partition"), col("n_parts"),
+        (col("m2") / 2).cast("bigint").as("m"),
+        round(col("w").cast("double") / col("m2").cast("double") -
+          col("sumd2").cast("double") /
+            (col("m2").cast("double") * col("m2").cast("double")), 6).as("q"))
   }
 
   /** Modularity scored for two partitions of the bounded subgraph: the
@@ -505,7 +529,10 @@ object GraphOps {
     * per partition; the per-part degree masses collapse map-side; no
     * windows, nothing global. The cross join is 1-row × 1-row. */
   def q_graph_modularity(s: SparkSession, d: String): DataFrame = {
-    val e = symEdges(rawEdges(s, d, 1000))
+    // cut once: the CC loop joins e per round and each modularity pass
+    // joins it twice more — without the cut the bounded scan+symmetrize
+    // (distinct shuffle included) statically re-derives per consumer
+    val e = cutLineage(symEdges(rawEdges(s, d, 1000)))
     val cc = connectedComponents(e).select(col("node"), col("comp").as("lab"))
     val hash = e.select(col("src").as("node")).distinct()
       .select(col("node"), pmod(col("node"), lit(10L)).as("lab"))

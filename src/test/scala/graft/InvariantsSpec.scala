@@ -533,7 +533,10 @@ class InvariantsSpec extends AnyFunSuite {
         // salted two-phase agg all have tie-shaped failure modes that only
         // a repeated run exposes
         "q_events_ohlc", "q_events_streak", "q_dedup_containment",
-        "q_dedup_lines", "q_graph_modularity", "q_agg_salted")) {
+        "q_dedup_lines", "q_graph_modularity", "q_agg_salted",
+        // round-8: real-codec mapPartitions passes must not depend on
+        // partitioning or iteration order
+        "q_multimodal_audio", "q_multimodal_image")) {
       val fn = SparkEntry.queries(name)
       val a = fn(s, sf).collect().map(_.toString).toSeq
       val b = fn(s, sf).collect().map(_.toString).toSeq
