@@ -520,6 +520,32 @@ object Oracles {
         |      UNION ALL SELECT c FROM tri) t
         |GROUP BY node ORDER BY node LIMIT 5000""".stripMargin,
 
+    "q_graph_lpa" ->
+      """WITH raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst
+        |             FROM lineitem WHERE l_orderkey < 2000),
+        |edges AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+        |n1 AS (SELECT e.src AS node, l.lab, count(*) AS cnt
+        |       FROM edges e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+        |l1 AS (SELECT node, lab FROM (
+        |         SELECT node, lab, row_number() OVER
+        |           (PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn FROM n1)
+        |       WHERE rn = 1),
+        |n2 AS (SELECT e.src AS node, l.lab, count(*) AS cnt
+        |       FROM edges e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+        |l2 AS (SELECT node, lab FROM (
+        |         SELECT node, lab, row_number() OVER
+        |           (PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn FROM n2)
+        |       WHERE rn = 1),
+        |n3 AS (SELECT e.src AS node, l.lab, count(*) AS cnt
+        |       FROM edges e JOIN l2 l ON l.node = e.dst GROUP BY 1, 2),
+        |l3 AS (SELECT node, lab FROM (
+        |         SELECT node, lab, row_number() OVER
+        |           (PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn FROM n3)
+        |       WHERE rn = 1)
+        |SELECT node, lab AS community FROM l3 ORDER BY node LIMIT 5000""".stripMargin,
+
     "q_graph_pagerank" ->
       """WITH raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst
         |             FROM lineitem WHERE l_orderkey < 2000),

@@ -363,6 +363,47 @@ object GraphOps {
     pr
   }
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) with a
+    * FIXED round count — the other classic scalable community-detection
+    * primitive next to BigCLAM's factor model. Fixed rounds make the
+    * computation exactly SQL-unrollable for the oracle (the same design
+    * choice as [[pageRank]]) AND sidestep synchronous LPA's known
+    * oscillation on bipartite structure: the declared output is "labels
+    * after R rounds", deterministic whether or not a fixpoint exists.
+    * Tie rule: most frequent neighbor label, ties to the SMALLEST label id
+    * — expressed as one max(struct(cnt, −lab)) aggregate, never a window.
+    *
+    * Scale stance: per round one |E|-row join keyed dst + two partial-agg
+    * groupBys ((node, lab) counts, then the per-node argmax); the edge
+    * frame is materialized once for the whole loop; labels lineage-cut per
+    * round. Same shuffle shape as connectedComponents, O(rounds) not
+    * O(diameter). */
+  def labelPropagation(edges0: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val edges = cutLineage(edges0)
+    var labels = cutLineage(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")))
+    for (_ <- 1 to rounds) {
+      val neigh = edges
+        .join(labels.select(col("node").as("dst"), col("lab")), Seq("dst"))
+        .select(col("src").as("node"), col("lab"))
+      labels = cutLineage(neigh
+        .groupBy("node", "lab").agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("b"))
+        .select(col("node"), (-col("b.nl")).as("lab")))
+    }
+    labels
+  }
+
+  /** 3-round LPA communities of the bounded bipartite subgraph —
+    * oracle-checked against DuckDB's unrolled 3-round SQL twin. */
+  def q_graph_lpa(s: SparkSession, d: String): DataFrame =
+    labelPropagation(symEdges(rawEdges(s, d, 2000)), 3)
+      .select(col("node"), col("lab").as("community"))
+      .orderBy("node")
+      .limit(5000)
+
   /** 3-round PageRank of the bounded bipartite subgraph; 9-decimal round
     * keeps ~6 significant digits at the ~1/N value scale while sitting far
     * above the ~1e-15 float-order noise between the engines. */

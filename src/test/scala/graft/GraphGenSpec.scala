@@ -108,6 +108,16 @@ class GraphGenSpec extends AnyFunSuite {
     truth.unpersist(); perNode.unpersist(); e.unpersist(); shared.unpersist()
   }
 
+  test("label propagation recovers dense planted blocks") {
+    val edges = GraphOps.symEdges(GraphGen.plantedPartitionEdges(s, 200, 4, 4000, 0))
+    val lab = GraphOps.labelPropagation(edges, 5)
+      .select(col("node"), col("lab").as("community"))
+    val f1 = graft.bigclam.BigClam
+      .scoreCommunities(lab, GraphGen.plantedTruth(s, 200, 4))
+      .collect()(0).getAs[Double]("f1")
+    assert(f1 > 0.9, s"LPA failed to recover planted blocks: F1 = $f1")
+  }
+
   test("planted partition: non-dividing community count leaves a short last block, still consistent") {
     // 10 nodes / 3 communities -> blockSize 4: blocks {0..3} {4..7} {8,9}
     val t = GraphGen.plantedTruth(s, 10, 3).collect()

@@ -156,6 +156,20 @@ class ToyGraphSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("core_deg") >= 3L, s"below-k degree: $r"))
   }
 
+  test("label propagation hand-traced: 3 rounds split the bridged triangles") {
+    // synchronous LPA, most-frequent-neighbor tie->min, traced by hand:
+    // l1 = {0:1,1:0,2:0,3:2,4:3,5:3}, l2 = {0:0,1:0,2:0,3:3,4:2,5:2},
+    // l3 = {0:0,1:0,2:0,3:2,4:2,5:2} — the two triangles separate with
+    // the bridge assigned to its own side
+    val l = GraphOps.labelPropagation(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+    // deterministic across runs (the tie rule leaves no scheduler freedom)
+    val l2 = GraphOps.labelPropagation(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l == l2)
+  }
+
   test("modularity hand-checked: two disjoint triangles") {
     // 2m = 12 directed rows, every node degree 2.
     // CC partition: W = 12, D_c = 6 per triangle -> Q = 1 - 72/144 = 0.5
