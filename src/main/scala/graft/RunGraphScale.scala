@@ -53,6 +53,13 @@ object RunGraphScale {
     val as = GraphOps.assortativity(edges).collect()(0)
     println(f"[graphscale] assortativity: r=${as.getDouble(1)}%.6f over " +
       f"${as.getLong(0)} edge rows (${(System.nanoTime() - tAs) / 1e9}%.0f s)")
+
+    val tLpa = System.nanoTime()
+    val lpa = GraphOps.labelPropagation(edges, 5)
+    val lpaStats = lpa.groupBy("lab").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_labels"), max(col("sz")).as("biggest")).collect()(0)
+    println(f"[graphscale] LPA(5): ${lpaStats.getLong(0)} labels, " +
+      f"biggest=${lpaStats.getLong(1)} (${(System.nanoTime() - tLpa) / 1e9}%.0f s)")
     println(f"[graphscale] total $secs%.0f s")
     spark.stop()
   }
