@@ -153,7 +153,8 @@ object SparkEntry {
     "q_multimodal_dedup" -> graft.multimodal.MultimodalOps.q_multimodal_dedup,
     "q_multimodal_features" -> graft.multimodal.MultimodalOps.q_multimodal_features,
     "q_multimodal_audio" -> graft.multimodal.MultimodalOps.q_multimodal_audio,
-    "q_multimodal_image" -> graft.multimodal.MultimodalOps.q_multimodal_image
+    "q_multimodal_image" -> graft.multimodal.MultimodalOps.q_multimodal_image,
+    "q_multimodal_video" -> graft.multimodal.MultimodalOps.q_multimodal_video
   )
 
   /** DuckDB oracle SQL per oracle-checkable query (graft.Oracles). */

@@ -246,6 +246,77 @@ object MultimodalOps {
       .limit(5000)
   }
 
+  case class VideoRow(media_id: Long, media: Array[Byte])
+  case class VideoStats(media_id: Long, width: Int, height: Int,
+      n_frames: Long, n_sampled: Long, avg_frame_bytes: Double,
+      sampled_mean_byte: Double)
+
+  /** Deterministic opaque frame payload (what a real encoder would have
+    * produced; the stub codec treats it as compressed bits). */
+  private[graft] def synthFrame(id: Long, frame: Int): Array[Byte] = {
+    val n = 32 + ((id + frame) % 32).toInt
+    val s = synthSamples(id * 1009L + frame, n)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = (s(i) & 0xFF).toByte; i += 1 }
+    out
+  }
+
+  /** Synthetic video lake: one REAL AVI container per document id
+    * ([[AviCodec.encodeAvi]], 4–11 frames of opaque payload,
+    * id-dependent dims) — container structure real, frame payloads
+    * stub-encoded. */
+  def videoTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nf = 4 + (id % 8).toInt
+          VideoRow(id, AviCodec.encodeAvi(
+            16 + (id % 16).toInt, 12 + (id % 8).toInt,
+            (0 until nf).map(f => synthFrame(id, f))))
+        }
+      }
+      .toDF()
+  }
+
+  /** [no-oracle] Real video CONTAINER parse end-to-end: the synthetic AVI
+    * lake runs through [[AviCodec.decode]] — an actual RIFF/AVI walker
+    * recovering dimensions and every frame's byte range — then
+    * frame-samples every 2nd frame (the pipeline stage container parsing
+    * exists for: you sample frames WITHOUT decoding the ones you skip)
+    * and reports per-media dims, frame counts, average frame size, and
+    * the mean byte of the sampled payloads (the stub standing where a
+    * frame codec + embedder would run). Unparseable rows are dropped
+    * (quarantine); on this table every row parses. Map-only until the
+    * display sort; only stats rows leave the scan. */
+  def q_multimodal_video(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoTable(s, d).as[VideoRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          AviCodec.decode(r.media).map { v =>
+            val sampled = v.frames.indices.by(2).map(v.frames)
+            var sum = 0L
+            var cnt = 0L
+            sampled.foreach { f =>
+              var i = 0
+              while (i < f.length) { sum += (f(i) & 0xFF); i += 1 }
+              cnt += f.length
+            }
+            VideoStats(r.media_id, v.width, v.height,
+              v.frames.length, sampled.length,
+              math.rint(v.frames.map(_.length.toLong).sum * 1e6 /
+                v.frames.length) / 1e6,
+              math.rint(sum * 1e6 / math.max(cnt, 1L)) / 1e6)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+      .limit(5000)
+  }
+
   /** Media-content dedup by payload hash, per modality — the first stage of
     * any media pipeline (the same asset re-crawled under different ids is
     * byte-identical far more often than text is). Hashing the BINARY column

@@ -165,6 +165,57 @@ class MultimodalSpec extends AnyFunSuite {
       math.rint(sr * 1e6 / img.pixels.length) / 1e6)
   }
 
+  test("AviCodec: container round-trip preserves frames byte-for-byte; garbage rejected") {
+    import graft.multimodal.AviCodec
+    val frames = Seq(
+      Array[Byte](1, 2, 3),                  // odd length -> pad byte exercised
+      Array[Byte](4, 5, 6, 7),
+      Array.fill[Byte](64)(-1))
+    val bytes = AviCodec.encodeAvi(320, 240, frames, fps = 30)
+    val v = AviCodec.decode(bytes).get
+    assert(v.width == 320 && v.height == 240 && v.frames.length == 3)
+    frames.zip(v.frames).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    // rejects: truncation, wrong magic, WAV bytes (RIFF but not AVI), null
+    assert(AviCodec.decode(bytes.dropRight(5)).isEmpty)
+    assert(AviCodec.decode("JUNK".getBytes ++ bytes.drop(4)).isEmpty)
+    val wav = graft.multimodal.WavCodec.encodePcm16(Array[Short](1, 2), 8000, 1)
+    assert(AviCodec.decode(wav).isEmpty)
+    assert(AviCodec.decode(null).isEmpty)
+    // frame-count mismatch between header and movi chunks is rejected
+    val lied = bytes.clone()
+    val lb = java.nio.ByteBuffer.wrap(lied).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // avih dwTotalFrames: 12 (RIFF hdr) + 8 (LIST id+size) + 4 ('hdrl')
+    // + 8 ('avih'+len) + 16 (four fields) = offset 48
+    lb.putInt(48, 99)
+    assert(AviCodec.decode(lied).isEmpty)
+  }
+
+  test("q_multimodal_video: every synthetic AVI parses; sampling and stats exact") {
+    import graft.multimodal.{MultimodalOps => M, AviCodec}
+    val out = M.q_multimodal_video(s, sf).collect()
+    val nDocs = Tables.documents(s, sf).count()
+    assert(out.length == nDocs, s"container parse dropped rows: ${out.length} of $nDocs")
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") == 16 + (id % 16).toInt)
+      assert(r.getAs[Int]("height") == 12 + (id % 8).toInt)
+      val nf = r.getAs[Long]("n_frames")
+      assert(nf == 4 + (id % 8), s"frame count wrong: $r")
+      assert(r.getAs[Long]("n_sampled") == (nf + 1) / 2, s"stride-2 sample wrong: $r")
+      assert(r.getAs[Double]("avg_frame_bytes") >= 32.0 &&
+        r.getAs[Double]("avg_frame_bytes") < 64.0)
+      val mb = r.getAs[Double]("sampled_mean_byte")
+      assert(mb >= 0.0 && mb <= 255.0)
+    }
+    // spot-check one row against a direct local parse of the same synth
+    val id = out(0).getAs[Long]("media_id")
+    val nf = 4 + (id % 8).toInt
+    val local = AviCodec.decode(AviCodec.encodeAvi(
+      16 + (id % 16).toInt, 12 + (id % 8).toInt,
+      (0 until nf).map(f => M.synthFrame(id, f)))).get
+    assert(out(0).getAs[Long]("n_frames") == local.frames.length)
+  }
+
   test("q_multimodal_audio: every synthetic WAV decodes; stats are exact and deterministic") {
     import graft.multimodal.{MultimodalOps => M, WavCodec}
     val out = M.q_multimodal_audio(s, sf).collect()
