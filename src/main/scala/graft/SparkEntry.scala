@@ -154,7 +154,8 @@ object SparkEntry {
     "q_multimodal_features" -> graft.multimodal.MultimodalOps.q_multimodal_features,
     "q_multimodal_audio" -> graft.multimodal.MultimodalOps.q_multimodal_audio,
     "q_multimodal_image" -> graft.multimodal.MultimodalOps.q_multimodal_image,
-    "q_multimodal_video" -> graft.multimodal.MultimodalOps.q_multimodal_video
+    "q_multimodal_video" -> graft.multimodal.MultimodalOps.q_multimodal_video,
+    "q_multimodal_frame_dedup" -> graft.multimodal.MultimodalOps.q_multimodal_frame_dedup
   )
 
   /** DuckDB oracle SQL per oracle-checkable query (graft.Oracles). */

@@ -262,10 +262,17 @@ object MultimodalOps {
     out
   }
 
+  /** Media sharing a family key carry the SAME frame stream (re-muxed
+    * copies: identical frames, different container metadata/frame counts)
+    * — the structure [[q_multimodal_frame_dedup]] exists to find. */
+  private[graft] def videoFamilyKey(id: Long): Long = id % 50
+
   /** Synthetic video lake: one REAL AVI container per document id
     * ([[AviCodec.encodeAvi]], 4–11 frames of opaque payload,
     * id-dependent dims) — container structure real, frame payloads
-    * stub-encoded. */
+    * stub-encoded. Ids sharing [[videoFamilyKey]] share frame content
+    * (their frame counts still differ), modeling the same source video
+    * re-containerized under different ids. */
   def videoTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -274,10 +281,53 @@ object MultimodalOps {
           val nf = 4 + (id % 8).toInt
           VideoRow(id, AviCodec.encodeAvi(
             16 + (id % 16).toInt, 12 + (id % 8).toInt,
-            (0 until nf).map(f => synthFrame(id, f))))
+            (0 until nf).map(f => synthFrame(videoFamilyKey(id), f))))
         }
       }
       .toDF()
+  }
+
+  /** [no-oracle] Frame-fingerprint video near-dup pairs: a re-muxed or
+    * re-containerized copy of a video shares its frame payloads even when
+    * the container bytes differ (other fps, other frame count, extra
+    * metadata) — whole-payload hashing ([[q_multimodal_dedup]]) misses
+    * exactly those. Parse the container, fingerprint every frame (md5 on
+    * the BINARY frame column — computed by Spark, codegen'd), and pair
+    * media sharing ≥ 2 identical frames.
+    *
+    * Scale stance: the pair generator is the rare-shingle blocking shape
+    * from TextOps — frame-hash groups with df ∈ [2, 20] (a hot frame
+    * shared by millions of videos — black frames, title cards — would
+    * otherwise fan out quadratically; a production pipeline treats such
+    * frames like stopwords), bounded collect per hash, combinations
+    * exploded in-plan, never an all-pairs self-join. Frame bytes never
+    * shuffle: only (media_id, hash) pairs leave the parse. */
+  def q_multimodal_frame_dedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = videoTable(s, d).as[VideoRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          AviCodec.decode(r.media).toSeq.flatMap(v => v.frames.map(f => (r.media_id, f)))
+        }
+      }
+      .toDF("media_id", "frame")
+    val fdf = frames.select(col("media_id"), md5(col("frame")).as("fh")).distinct()
+    val shared = fdf.groupBy("fh").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 20))
+      .select("fh")
+    fdf.hint("merge").join(shared, Seq("fh"))
+      .groupBy("fh")
+      .agg(sort_array(collect_set(col("media_id"))).as("ms"))
+      .select(explode(
+        flatten(transform(col("ms"), (a, i) =>
+          transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+            b => struct(a.as("media_a"), b.as("media_b")))))).as("p"))
+      .select(col("p.media_a").as("media_a"), col("p.media_b").as("media_b"))
+      .groupBy("media_a", "media_b")
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .filter(col("n_shared_frames") >= 2)
+      .orderBy("media_a", "media_b")
+      .limit(5000)
   }
 
   /** [no-oracle] Real video CONTAINER parse end-to-end: the synthetic AVI

@@ -212,8 +212,34 @@ class MultimodalSpec extends AnyFunSuite {
     val nf = 4 + (id % 8).toInt
     val local = AviCodec.decode(AviCodec.encodeAvi(
       16 + (id % 16).toInt, 12 + (id % 8).toInt,
-      (0 until nf).map(f => M.synthFrame(id, f)))).get
+      (0 until nf).map(f => M.synthFrame(M.videoFamilyKey(id), f)))).get
     assert(out(0).getAs[Long]("n_frames") == local.frames.length)
+  }
+
+  test("q_multimodal_frame_dedup: re-muxed families found by shared frames, exact overlap counts") {
+    import graft.multimodal.{MultimodalOps => M}
+    val out = M.q_multimodal_frame_dedup(s, sf).collect()
+    assert(out.nonEmpty)
+    val nDocs = Tables.documents(s, sf).count()
+    // ids sharing id % 50 share frame content; frame counts are 4 + id % 8,
+    // so a family pair (a, b) shares exactly min(nf_a, nf_b) frames — and
+    // NO cross-family pair shares anything
+    out.foreach { r =>
+      val (a, b) = (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))
+      assert(M.videoFamilyKey(a) == M.videoFamilyKey(b),
+        s"cross-family pair proposed: $r")
+      val expected = math.min(4 + (a % 8), 4 + (b % 8))
+      assert(r.getAs[Long]("n_shared_frames") == expected,
+        s"overlap wrong (expected $expected): $r")
+    }
+    // completeness: every same-family pair is present (the per-frame-hash
+    // df at this corpus size stays within the [2, 20] blocking band)
+    val ids = Tables.documents(s, sf).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.length == nDocs)
+    val expectedPairs = ids.groupBy(M.videoFamilyKey).values
+      .flatMap(g => g.sorted.combinations(2).map(p => (p(0), p(1)))).size
+    assert(out.length == expectedPairs,
+      s"expected $expectedPairs family pairs, got ${out.length}")
   }
 
   test("q_multimodal_audio: every synthetic WAV decodes; stats are exact and deterministic") {
