@@ -520,6 +520,28 @@ object Oracles {
         |      UNION ALL SELECT c FROM tri) t
         |GROUP BY node ORDER BY node LIMIT 5000""".stripMargin,
 
+    "q_graph_link_predict" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS src, l_suppkey + 100000 AS dst
+        |           FROM lineitem WHERE l_orderkey < 500),
+        |sdeg AS (SELECT dst, count(*) AS sdeg FROM e GROUP BY dst),
+        |odeg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+        |pairs AS (
+        |  SELECT a.src AS u, b.src AS v,
+        |         count(*) AS n_common,
+        |         sum(1.0 / ln(CAST(s.sdeg AS DOUBLE))) AS aa
+        |  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+        |  JOIN sdeg s ON s.dst = a.dst
+        |  GROUP BY 1, 2)
+        |SELECT p.u, p.v, p.n_common,
+        |       du.odeg + dv.odeg - p.n_common AS n_union,
+        |       round(CAST(p.n_common AS DOUBLE) /
+        |             (du.odeg + dv.odeg - p.n_common), 6) AS jaccard,
+        |       round(p.aa, 6) AS adamic_adar
+        |FROM pairs p
+        |JOIN odeg du ON du.src = p.u
+        |JOIN odeg dv ON dv.src = p.v
+        |ORDER BY u, v LIMIT 5000""".stripMargin,
+
     "q_graph_lpa" ->
       """WITH raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst
         |             FROM lineitem WHERE l_orderkey < 2000),

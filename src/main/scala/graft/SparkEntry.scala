@@ -97,6 +97,7 @@ object SparkEntry {
     "q_graph_cc" -> GraphOps.q_graph_cc,
     "q_graph_pagerank" -> GraphOps.q_graph_pagerank,
     "q_graph_lpa" -> GraphOps.q_graph_lpa,
+    "q_graph_link_predict" -> GraphOps.q_graph_link_predict,
     "q_graph_kcore" -> GraphOps.q_graph_kcore,
     "q_graph_bfs" -> GraphOps.q_graph_bfs,
     "q_graph_degree_dist" -> GraphOps.q_graph_degree_dist,

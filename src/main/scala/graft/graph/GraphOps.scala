@@ -120,6 +120,40 @@ object GraphOps {
       .select("u", "v").distinct())
   }
 
+  /** Link-prediction scores for order pairs sharing suppliers on the
+    * bounded bipartite graph — the classic trio: common-neighbor count,
+    * neighborhood Jaccard |N(u)∩N(v)| / |N(u)∪N(v)|, and Adamic–Adar
+    * Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) (rare shared neighbors weigh more).
+    * Every shared supplier has degree ≥ 2 by construction (it appears in a
+    * pair), so 1/ln(deg) never divides by zero.
+    *
+    * Scale stance: candidate pairs come only from the shared-neighbor
+    * join (common ≥ 1 — never all-pairs); degrees are two partial aggs
+    * joined by key; the per-pair aggregation is map-side combinable. The
+    * AA sum is a double sum rounded at 6 decimals (the q_agg_corr class
+    * of determinism: order noise ~1e-15 against a 1e-6 grid). */
+  def q_graph_link_predict(s: SparkSession, d: String): DataFrame = {
+    val e = rawEdges(s, d, 500).distinct()
+    val sdeg = e.groupBy("dst").agg(count(lit(1)).as("sdeg"))
+    val odeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val a = e.select(col("src").as("u"), col("dst"))
+    val b = e.select(col("src").as("v"), col("dst"))
+    a.join(b, Seq("dst")).filter(col("u") < col("v"))
+      .join(sdeg, Seq("dst"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / log(col("sdeg").cast("double"))).as("aa"))
+      .join(odeg.select(col("src").as("u"), col("odeg").as("du")), Seq("u"))
+      .join(odeg.select(col("src").as("v"), col("odeg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("n_common"),
+        (col("du") + col("dv") - col("n_common")).as("n_union"),
+        round(col("n_common").cast("double") /
+          (col("du") + col("dv") - col("n_common")), 6).as("jaccard"),
+        round(col("aa"), 6).as("adamic_adar"))
+      .orderBy("u", "v")
+      .limit(5000)
+  }
+
   /** Ego-net conductance for every node of the (bounded) graph, exactly the
     * reference formula: S = {u} ∪ N(u); cut = boundary edges; vol_S = 2 ×
     * internal edge-endpoints; vol_T = totalDeg − vol_S − 2·cut;
