@@ -264,8 +264,13 @@ object MultimodalOps {
 
   /** Media sharing a family key carry the SAME frame stream (re-muxed
     * copies: identical frames, different container metadata/frame counts)
-    * — the structure [[q_multimodal_frame_dedup]] exists to find. */
-  private[graft] def videoFamilyKey(id: Long): Long = id % 50
+    * — the structure [[q_multimodal_frame_dedup]] exists to find.
+    * Consecutive-id groups of ~10, so family size is CORPUS-SIZE
+    * INDEPENDENT: a modulus key would grow families with the table and
+    * push every frame hash past the dedup blocking band at larger SFs
+    * (the df-band blindness lesson from the text proposers, reproduced
+    * here by the sf0.1 gate before this fix). */
+  private[graft] def videoFamilyKey(id: Long): Long = id / 10
 
   /** Synthetic video lake: one REAL AVI container per document id
     * ([[AviCodec.encodeAvi]], 4–11 frames of opaque payload,
