@@ -844,6 +844,73 @@ object BigClam {
         col("mi"), col("h_fitted"), col("h_truth"), col("n").as("n_nodes"))
   }
 
+  /** Omega index between two covers (Collins & Dent 1988; Gregory 2011 —
+    * the overlap-general chance-corrected agreement, reducing to the
+    * Adjusted Rand Index on partitions): for every unordered node pair,
+    * t(u,v) = number of communities containing BOTH; observed agreement =
+    * fraction of pairs with t_A = t_B (including t = 0 on both sides);
+    * expected agreement = Σ_k P_A(t=k)·P_B(t=k); Ω = (obs − exp)/(1 − exp).
+    * Unlike best-match F1 it penalizes a cover for DISAGREEING on
+    * co-membership multiplicity, so it is the strictest of the three
+    * scores (F1, NMI, Ω) the eval surface exposes.
+    *
+    * Pair universe: all unordered pairs over the UNION of the two node
+    * supports. Only pairs co-members somewhere materialize (the same
+    * Σ_c |C|² membership self-join cost as [[scoreCommunities]]'s overlap
+    * table — bounded when per-community sizes are); the (0,0) mass is
+    * arithmetic off the total-pair count. The t-distributions are ≤ maxK
+    * rows each; everything after the pair join is exact integer counts.
+    * One row out: (omega, obs_agreement, exp_agreement, n_nodes, n_pairs). */
+  def scoreCommunitiesOmega(fitted: DataFrame, truth: DataFrame): DataFrame = {
+    val cut = GraphOps.cutLineage _
+    def cover(df: DataFrame) = df.select(
+      col("community").cast("bigint").as("c"),
+      col("node").cast("bigint").as("node")).distinct()
+    val a = cut(cover(fitted))
+    val b = cut(cover(truth))
+    def pairCounts(m: DataFrame): DataFrame = {
+      val l = m.select(col("c"), col("node").as("u"))
+      val r = m.select(col("c"), col("node").as("v"))
+      l.join(r, Seq("c")).filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("t"))
+    }
+    val ta = cut(pairCounts(a))
+    val tb = cut(pairCounts(b))
+    val nodes = a.select("node").union(b.select("node")).distinct().count()
+    val allPairs = nodes * (nodes - 1) / 2
+    val joined = ta.withColumnRenamed("t", "t_a")
+      .join(tb.withColumnRenamed("t", "t_b"), Seq("u", "v"), "full")
+      .select(coalesce(col("t_a"), lit(0L)).as("t_a"),
+        coalesce(col("t_b"), lit(0L)).as("t_b"))
+    val agg = joined.agg(
+      count(lit(1)).as("nonzero_pairs"),
+      sum(when(col("t_a") === col("t_b"), 1L).otherwise(0L)).as("agree_nonzero"))
+    // per-side t-distributions (k >= 1) as tiny frames; the k = 0 mass is
+    // allPairs minus each side's nonzero-pair count
+    def dist(t: DataFrame) = t.groupBy("t").agg(count(lit(1)).as("nk"))
+    val prodNonzero = dist(ta).withColumnRenamed("nk", "na")
+      .join(dist(tb).withColumnRenamed("nk", "nb"), Seq("t"))
+      .agg(coalesce(sum((col("na") * col("nb")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("sum_prod"))
+    val zeroA = allPairs - ta.count()
+    val zeroB = allPairs - tb.count()
+    agg.crossJoin(broadcast(prodNonzero)).select(
+      col("nonzero_pairs"), col("agree_nonzero"), col("sum_prod"),
+      lit(nodes).as("n_nodes"), lit(allPairs).as("n_pairs"))
+      .select(col("n_nodes"), col("n_pairs"),
+        ((col("agree_nonzero") + (lit(allPairs) - col("nonzero_pairs")))
+          .cast("double") / greatest(lit(allPairs), lit(1L))).as("obs_agreement"),
+        ((col("sum_prod").cast("double") + lit(zeroA).cast("double") * lit(zeroB)) /
+          (greatest(lit(allPairs), lit(1L)).cast("double") *
+            greatest(lit(allPairs), lit(1L)))).as("exp_agreement"))
+      .select(
+        when(lit(1.0) - col("exp_agreement") === 0.0,
+          when(col("obs_agreement") === 1.0, 1.0).otherwise(0.0))
+          .otherwise((col("obs_agreement") - col("exp_agreement")) /
+            (lit(1.0) - col("exp_agreement"))).as("omega"),
+        col("obs_agreement"), col("exp_agreement"), col("n_nodes"), col("n_pairs"))
+  }
+
   // ---- declared queries (no-oracle; invariants asserted in scalatest) ----
 
   private def smokeEdges(s: SparkSession, d: String): DataFrame =
@@ -914,13 +981,18 @@ object BigClam {
   def bigclam_community_members(s: SparkSession, d: String): DataFrame =
     communityMembers(smokeFit(s, d), smokeEdges(s, d), Params(k = 4))
 
-  /** [no-oracle] Ground-truth evaluation smoke: symmetric best-match F1
-    * AND partition NMI of the smoke fit's threshold-δ communities against
-    * the bounded subgraph's connected components — a deterministic in-repo
-    * ground truth (every component IS a true community of the disconnected
-    * bounded graph). Known-answer behavior (identity cover ⇒ 1.0, shuffled
-    * ⇒ low, SNAP file round-trip, NMI hand-checked contingency) is pinned
-    * in EvalSpec. One scalar row. */
+  /** [no-oracle] Ground-truth evaluation smoke: symmetric best-match F1,
+    * partition NMI AND Omega index of the smoke fit's threshold-δ
+    * communities against the bounded subgraph's connected components — a
+    * deterministic in-repo ground truth. Known-answer behavior (identity
+    * cover ⇒ 1.0, shuffled ⇒ low, SNAP file round-trip, NMI hand-checked
+    * contingency, Ω hand-checked −0.5 case) is pinned in EvalSpec. The
+    * three metrics deliberately disagree on this fixture: the bounded
+    * subgraph is CONNECTED, so the CC truth is ONE community — F1
+    * half-rewards that degenerate match (~0.45), while Ω's chance
+    * correction zeroes it EXACTLY (t_truth ≡ 1 on every pair ⇒ observed =
+    * expected ⇒ Ω = 0, asserted in EvalSpec) — the reason eval surfaces
+    * expose more than one score. One scalar row. */
   def bigclam_eval_smoke(s: SparkSession, d: String): DataFrame = {
     // the iterative CC fixpoint is the dominant cost and, like the fit, is
     // pure MODEL STATE for the session — memoize it; the F1 scoring joins
@@ -943,11 +1015,13 @@ object BigClam {
     val fittedPart = fitted.groupBy("node").agg(min(col("community")).as("community"))
     scoreCommunities(fitted, truth)
       .crossJoin(scoreCommunitiesNMI(fittedPart, truth).select(col("nmi")))
+      .crossJoin(scoreCommunitiesOmega(fitted, truth).select(col("omega")))
       .select(round(col("f1"), 6).as("f1"),
         round(col("f1_fitted_best"), 6).as("f1_fitted_best"),
         round(col("f1_truth_best"), 6).as("f1_truth_best"),
         col("n_fitted"), col("n_truth"),
-        round(col("nmi"), 6).as("nmi"))
+        round(col("nmi"), 6).as("nmi"),
+        round(col("omega"), 6).as("omega"))
   }
 
   /** [no-oracle] Newman modularity of the FITTED argmax partition,
@@ -1042,9 +1116,11 @@ object BigClam {
       def multi(df: DataFrame): Long = df.groupBy("node")
         .agg(count(lit(1)).as("m")).filter(col("m") >= 2).count()
       val out = scoreCommunities(fitted, truth)
+        .crossJoin(scoreCommunitiesOmega(fitted, truth).select(col("omega")))
         .select(round(col("f1"), 6).as("f1"),
           round(col("f1_fitted_best"), 6).as("f1_fitted_best"),
           round(col("f1_truth_best"), 6).as("f1_truth_best"),
+          round(col("omega"), 6).as("omega"),
           col("n_fitted"), col("n_truth"),
           lit(multi(fitted)).as("n_fitted_multi"),
           lit(multi(truth)).as("n_truth_multi"),

@@ -162,12 +162,53 @@ class EvalSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_fitted") >= 1L && row.getAs[Long]("n_truth") == 4L)
   }
 
+  private def omegaOf(fitted: org.apache.spark.sql.DataFrame,
+      truthDf: org.apache.spark.sql.DataFrame): Double =
+    BigClam.scoreCommunitiesOmega(fitted, truthDf)
+      .collect()(0).getAs[Double]("omega")
+
+  test("Omega index: identical covers score 1.0, relabeling and multiplicity included") {
+    assert(omegaOf(truth, truth) == 1.0)
+    val relabeled = truth.select((col("community") + 7L).as("community"), col("node"))
+    assert(omegaOf(relabeled, truth) == 1.0)
+    // both covers put the pair in TWO shared communities: t agrees at 2,
+    // exp degenerates to 1 -> the 1.0-by-convention branch
+    val doubled = Seq((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L)).toDF("community", "node")
+    assert(omegaOf(doubled, doubled) == 1.0)
+  }
+
+  test("Omega index: hand-computed 3-node disagreement scores exactly -0.5") {
+    // A = {c:{1,2}}, B = {c:{1,3}} over nodes {1,2,3}: M = 3 pairs;
+    // agree only on (2,3) (t=0 both) -> obs = 1/3;
+    // each side has N(1)=1, N(0)=2 -> exp = (1·1 + 2·2)/9 = 5/9;
+    // omega = (1/3 - 5/9)/(1 - 5/9) = -0.5
+    val a = Seq((0L, 1L), (0L, 2L)).toDF("community", "node")
+    val b = Seq((0L, 1L), (0L, 3L)).toDF("community", "node")
+    assert(math.abs(omegaOf(a, b) - (-0.5)) < 1e-12)
+    // multiplicity DISAGREEMENT is penalized where best-match F1 is blind:
+    // same co-membership pair, but A asserts it twice -> t_A=2 vs t_B=1
+    val twice = Seq((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L)).toDF("community", "node")
+    val once = Seq((0L, 1L), (0L, 2L)).toDF("community", "node")
+    assert(omegaOf(twice, once) < 1.0)
+    assert(f1Of(twice, once) == 1.0) // F1 cannot see the difference
+  }
+
+  test("Omega index: striped structure-destroying cover scores far below a matched one") {
+    val striped = truth.select((col("node") % 4L).as("community"), col("node"))
+    val om = omegaOf(striped, truth)
+    assert(om < 0.2, s"striped cover omega suspiciously high: $om")
+    assert(omegaOf(truth, truth) > om + 0.8)
+  }
+
   test("bigclam_recovery_overlap_smoke: overlapping cover recovered well above the striped baseline") {
     val r = BigClam.bigclam_recovery_overlap_smoke(s, TestSpark.sf).collect()
     assert(r.length == 1)
     val row = r(0)
     val f1 = row.getAs[Double]("f1")
     assert(f1 > 0.6, s"overlap recovery degraded: $row")
+    // chance-corrected pair-multiplicity agreement (measured 0.594): the
+    // strictest of the three scores must also clear a real floor
+    assert(row.getAs[Double]("omega") > 0.4, s"omega degraded: $row")
     // the overlap half of the metric must actually be exercised: the truth
     // plants a real multi-membership mass AND the fit assigns one
     assert(row.getAs[Long]("n_truth_multi") >= 100L,
@@ -203,13 +244,22 @@ class EvalSpec extends AnyFunSuite {
     else assert(q("cc") >= q("fitted_argmax"), s"envelope below the fit: $q")
   }
 
-  test("bigclam_eval_smoke: one scalar row with f1 and nmi both in range") {
+  test("bigclam_eval_smoke: one scalar row; f1/nmi in range; omega zeroes the degenerate truth") {
     val r = BigClam.bigclam_eval_smoke(s, TestSpark.sf).collect()
     assert(r.length == 1)
     val f1 = r(0).getAs[Double]("f1")
     val nmi = r(0).getAs[Double]("nmi")
+    val omega = r(0).getAs[Double]("omega")
     assert(f1 > 0.0 && f1 <= 1.0, s"f1 out of range: $f1")
     assert(nmi >= 0.0 && nmi <= 1.0 + 1e-12, s"nmi out of range: $nmi")
+    assert(omega >= -1.0 && omega <= 1.0, s"omega out of range: $omega")
+    // the bounded subgraph is connected -> CC truth is ONE community ->
+    // t_truth = 1 on every pair -> observed = expected -> omega = 0
+    // EXACTLY (the chance correction zeroing a degenerate truth F1
+    // half-rewards). If the fixture ever becomes disconnected, this
+    // branch stops applying — assert conditionally on n_truth.
+    if (r(0).getAs[Long]("n_truth") == 1L)
+      assert(omega == 0.0, s"degenerate one-community truth must zero omega: $omega")
   }
 
   test("scoring a real fit against connected components lands in (0, 1]") {
