@@ -69,7 +69,9 @@ object RunPlantedCover {
     val truthMulti = truth.groupBy("node").agg(count(lit(1)).as("m"))
       .filter(col("m") >= 2).count()
     val score = BigClam.scoreCommunities(fitted, truth).collect()(0)
-    println(f"[cover] F1=${score.getDouble(0)}%.4f " +
+    val omega = BigClam.scoreCommunitiesOmega(fitted, truth)
+      .collect()(0).getAs[Double]("omega")
+    println(f"[cover] F1=${score.getDouble(0)}%.4f omega=$omega%.4f " +
       f"(fitted-best ${score.getDouble(1)}%.4f over ${score.getLong(3)} communities, " +
       f"truth-best ${score.getDouble(2)}%.4f over ${score.getLong(4)} planted); " +
       f"multi-membership fitted=$fittedMulti truth=$truthMulti")
