@@ -860,7 +860,13 @@ object BigClam {
     * table — bounded when per-community sizes are); the (0,0) mass is
     * arithmetic off the total-pair count. The t-distributions are ≤ maxK
     * rows each; everything after the pair join is exact integer counts.
-    * One row out: (omega, obs_agreement, exp_agreement, n_nodes, n_pairs). */
+    * One row out: (omega, obs_agreement, exp_agreement, n_nodes, n_pairs).
+    *
+    * NOT lazy: unlike the sibling scorers this runs three eager driver
+    * actions at construction time (union-support count plus the two
+    * nonzero-pair counts feeding the t=0 mass) — acceptable because
+    * cutLineage already materializes ta/tb, but callers composing it into
+    * a larger never-collected plan still pay those jobs. */
   def scoreCommunitiesOmega(fitted: DataFrame, truth: DataFrame): DataFrame = {
     val cut = GraphOps.cutLineage _
     def cover(df: DataFrame) = df.select(
@@ -882,15 +888,24 @@ object BigClam {
       .join(tb.withColumnRenamed("t", "t_b"), Seq("u", "v"), "full")
       .select(coalesce(col("t_a"), lit(0L)).as("t_a"),
         coalesce(col("t_b"), lit(0L)).as("t_b"))
+    // coalesce: when NO pair is co-member in either cover (all-singleton
+    // covers) `joined` is empty and sum(...) is NULL; agreement must then
+    // read as "all pairs agree at t=0", i.e. agree_nonzero = 0 with
+    // nonzero_pairs = 0, giving obs_agreement = 1.0 — not a NULL that
+    // would fall through the omega when() to 0.0.
     val agg = joined.agg(
       count(lit(1)).as("nonzero_pairs"),
-      sum(when(col("t_a") === col("t_b"), 1L).otherwise(0L)).as("agree_nonzero"))
+      coalesce(sum(when(col("t_a") === col("t_b"), 1L).otherwise(0L)),
+        lit(0L)).as("agree_nonzero"))
     // per-side t-distributions (k >= 1) as tiny frames; the k = 0 mass is
     // allPairs minus each side's nonzero-pair count
     def dist(t: DataFrame) = t.groupBy("t").agg(count(lit(1)).as("nk"))
     val prodNonzero = dist(ta).withColumnRenamed("nk", "na")
       .join(dist(tb).withColumnRenamed("nk", "nb"), Seq("t"))
-      .agg(coalesce(sum((col("na") * col("nb")).cast("decimal(38,0)")),
+      // cast an OPERAND before the multiply: na*nb in LongType can exceed
+      // Long.MaxValue for ~1e5-node covers concentrated in one t value
+      // (na, nb each ~5e9) and would silently wrap under non-ANSI mode
+      .agg(coalesce(sum(col("na").cast("decimal(38,0)") * col("nb")),
         lit(java.math.BigDecimal.ZERO)).as("sum_prod"))
     val zeroA = allPairs - ta.count()
     val zeroB = allPairs - tb.count()

@@ -28,6 +28,10 @@ object AviCodec {
   def encodeAvi(width: Int, height: Int, frames: Seq[Array[Byte]],
       fps: Int = 25): Array[Byte] = {
     require(width >= 1 && height >= 1, s"bad dims: ${width}x$height")
+    // rcFrame is written as int16; our decoder reads the avih ints, but an
+    // external AVI reader would see wrapped garbage rects past 32767
+    require(width <= Short.MaxValue && height <= Short.MaxValue,
+      s"dims exceed rcFrame int16 range: ${width}x$height")
     require(frames.nonEmpty, "need at least one frame")
     require(fps >= 1, s"bad fps: $fps")
     def pad(n: Int) = n + (n & 1)

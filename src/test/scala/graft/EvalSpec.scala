@@ -193,6 +193,19 @@ class EvalSpec extends AnyFunSuite {
     assert(f1Of(twice, once) == 1.0) // F1 cannot see the difference
   }
 
+  test("Omega index: all-singleton covers agree perfectly (empty pair join, t=0 everywhere)") {
+    // no pair is co-member in EITHER cover -> the t_a/t_b full join is
+    // EMPTY and agree_nonzero's sum would be NULL without the coalesce;
+    // all pairs agree at t=0 and exp=1 -> degenerate branch -> 1.0
+    val singA = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("community", "node")
+    val singB = Seq((5L, 1L), (6L, 2L), (7L, 3L)).toDF("community", "node")
+    assert(omegaOf(singA, singB) == 1.0)
+    // one side singleton, the other co-members a pair: obs < 1, well-defined
+    val paired = Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("community", "node")
+    val om = omegaOf(singA, paired)
+    assert(!om.isNaN && om < 1.0, s"mixed singleton-vs-paired omega: $om")
+  }
+
   test("Omega index: striped structure-destroying cover scores far below a matched one") {
     val striped = truth.select((col("node") % 4L).as("community"), col("node"))
     val om = omegaOf(striped, truth)

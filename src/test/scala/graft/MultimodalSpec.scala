@@ -221,7 +221,8 @@ class MultimodalSpec extends AnyFunSuite {
     val out = M.q_multimodal_frame_dedup(s, sf).collect()
     assert(out.nonEmpty)
     val nDocs = Tables.documents(s, sf).count()
-    // ids sharing id % 50 share frame content; frame counts are 4 + id % 8,
+    // ids sharing id / 10 (consecutive groups of 10) share frame content;
+    // frame counts are 4 + id % 8,
     // so a family pair (a, b) shares exactly min(nf_a, nf_b) frames — and
     // NO cross-family pair shares anything
     out.foreach { r =>
