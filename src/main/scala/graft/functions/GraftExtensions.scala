@@ -83,7 +83,12 @@ object GraftExtensions {
     (FunctionIdentifier("ngram_strings"),
       new ExpressionInfo(classOf[NgramStrings].getName, "ngram_strings"),
       (c: Seq[Expression]) =>
-        NgramStrings(c(0), intLit(c(1), "ngram_strings")): Expression))
+        NgramStrings(c(0), intLit(c(1), "ngram_strings")): Expression),
+    (FunctionIdentifier("simhash_bands"),
+      new ExpressionInfo(classOf[SimHashBands].getName, "simhash_bands"),
+      (c: Seq[Expression]) =>
+        SimHashBands(c(0), intLit(c(1), "simhash_bands"),
+          intLit(c(2), "simhash_bands")): Expression))
 
   /** Idempotently add the fusion rule + SQL functions to a live session. */
   def install(spark: SparkSession): Unit = {

@@ -143,6 +143,68 @@ object TextKernels {
     }
     new GenericArrayData(if (keep == 0) Array.emptyLongArray else best)
   }
+
+  // one MD5 instance per task thread, reset per token — getInstance per
+  // token would dominate the pass
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Whole-document SimHash band buckets in one byte pass: tokenize on
+    * single spaces (empty tokens preserved — identical to `split(text,
+    * " ")`), MD5 each token's UTF-8 bytes, and for signature bit j
+    * (nibble j/4 of the hex digest, bit j%4 of that nibble — the exact
+    * bit order of the expression form this replaced) count tokens with
+    * the bit set; fingerprint bit j = (+1/−1 sign sum ≥ 0) ⇔
+    * 2·nset_j ≥ n_tokens, all integer. Returns ARRAY<BIGINT>(nBands)
+    * where band b packs its bandBits fingerprint bits as Σ bit·2^r —
+    * bit-identical buckets to the 64-agg-buffer groupBy formulation
+    * (pinned in TextKernelsSpec), but with NO row expansion and NO
+    * aggregation shuffle: the per-doc state lives in one 64-int array
+    * instead of 64 codegen'd sum() buffers across an exchange. */
+  def simhashBands(s: UTF8String, nBands: Int, bandBits: Int): ArrayData = {
+    require(nBands * bandBits <= 64, "MD5 prefix provides 64 signature bits")
+    val nBits = nBands * bandBits
+    val bytes = s.getBytes // contiguous view or one copy; MD5 needs byte[]
+    val len = bytes.length
+    val md = md5Local.get()
+    val nset = new Array[Int](nBits)
+    var nTokens = 0
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val dig = md.digest()
+        var j = 0
+        while (j < nBits) {
+          val p = j >> 2 // hex-char position in the digest's hex string
+          val b = dig(p >> 1)
+          val v = if ((p & 1) == 0) (b >> 4) & 0xF else b & 0xF
+          nset(j) += (v >>> (j & 3)) & 1
+          j += 1
+        }
+        nTokens += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](nBands)
+    var band = 0
+    while (band < nBands) {
+      var acc = 0L
+      var r = 0
+      while (r < bandBits) {
+        if (2 * nset(band * bandBits + r) >= nTokens) acc |= (1L << r)
+        r += 1
+      }
+      out(band) = acc
+      band += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 private[functions] trait ShingleHashExpr extends UnaryExpression {
@@ -188,6 +250,19 @@ case class NgramStrings(child: Expression, g: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Native whole-doc SimHash band buckets: ARRAY<BIGINT>(nBands). */
+case class SimHashBands(child: Expression, nBands: Int, bandBits: Int)
+    extends ShingleHashExpr {
+  override def prettyName: String = "simhash_bands"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.simhashBands(s.asInstanceOf[UTF8String], nBands, bandBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.TextKernels.simhashBands($s, $nBands, $bandBits)")
+  override protected def withNewChildInternal(c: Expression): SimHashBands =
+    copy(child = c)
+}
+
 /** Native k-smallest shingle hashes: ascending ARRAY<BIGINT> of ≤ k. */
 case class ShingleMinK(child: Expression, k: Int) extends ShingleHashExpr {
   override def prettyName: String = "shingle_min_k"
@@ -207,6 +282,8 @@ object ShingleHash {
     Bridge.column(ShingleMinK(Bridge.expression(text), k))
   def shingleArr(text: Column): Column =
     Bridge.column(NgramStrings(Bridge.expression(text), 5))
+  def simhashBands(text: Column, nBands: Int, bandBits: Int): Column =
+    Bridge.column(SimHashBands(Bridge.expression(text), nBands, bandBits))
   def ngramArr(text: Column, g: Int): Column =
     Bridge.column(NgramStrings(Bridge.expression(text), g))
 }

@@ -380,45 +380,24 @@ object TextOps {
     * sum over tokens >= 0 (ties -> 1); band b = j/16 with bucket weight
     * 2^(j%16).
     *
-    * Scale: NO x64 row expansion. Each token row parses its 16 hex chars
-    * once into an int array, and the 64 per-bit set-counts are 64 codegen'd
-    * sum() buffers in ONE groupBy(doc_id) — rows on the wire stay at
-    * O(tokens) into a partial agg that collapses each partition to one
-    * 65-long row per doc (the original posexplode-x64 formulation shuffled
-    * the same bytes but paid 64x the row machinery: 20.4 s -> this at
-    * sf0.1). sign-sum >= 0 is evaluated as 2*nset >= n_tokens, all integer.
-    * Band buckets are then pure arithmetic over the 64 counts; posexplode
-    * unpacks the 4 (band, bucket) rows. No all-pairs anything: downstream
+    * Scale: the whole doc→4-bucket computation is ONE native codegen'd
+    * expression ([[graft.functions.TextKernels.simhashBands]]) — a single
+    * byte pass per document tokenizing in place, MD5-ing each token with a
+    * thread-cached digest, and folding the 64 per-bit counts in a local
+    * int array. MAP-ONLY until the output sort: no token-row expansion, no
+    * aggregation exchange (evolution: posexplode×64 20.4 s → 64 agg
+    * buffers in one groupBy 3.4 s → this, bit-identical, pinned against
+    * the agg-buffer form in TextKernelsSpec). sign-sum >= 0 is evaluated
+    * as 2*nset >= n_tokens, all integer. No all-pairs anything: downstream
     * candidate generation joins on the 4 (band, bucket) keys exactly like
     * q_minhash_lsh. */
-  def q_dedup_simhash(s: SparkSession, d: String): DataFrame = {
-    val sig = Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h"))
-    // parse each hex char once: dg[p] = value of signature hex char p (0..15)
-    val digits = sig.select(col("doc_id"),
-      transform(sequence(lit(0), lit(15)), p => {
-        val ch = col("h").substr(p.cast("int") + 1, lit(1))
-        when(ascii(ch) <= 57, ascii(ch) - 48).otherwise(ascii(ch) - 87)
-      }).as("dg"))
-    // 64 tiny agg buffers: nset_j = #tokens whose signature bit j is set
-    val nset = (0 until 64).map { j =>
-      sum(shiftright(element_at(col("dg"), j / 4 + 1), j % 4).bitwiseAND(lit(1)).cast("long")).as(s"b$j")
-    }
-    val agged = digits.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), nset: _*)
-    // simhash bit j = 1 iff (+1/-1 sign sum) >= 0 iff 2*nset_j >= n
-    val buckets = (0 until 4).map { b =>
-      (0 until 16).map { r =>
-        val j = b * 16 + r
-        when(col(s"b$j") * 2 >= col("n"), lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    agged
-      .select(col("doc_id"), posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+  def q_dedup_simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(graft.functions.ShingleHash.simhashBands(col("text"), 4, 16))
+          .as(Seq("band", "bucket")))
       .select(col("doc_id"), col("band").cast("int").as("band"), col("bucket"))
       .orderBy("doc_id", "band")
-  }
 
   /** [no-oracle] MinHash/LSH: 4 bands, bucket = min xxhash64(band, shingle)
     * over the doc's shingles (seeded hash family via the band id literal).

@@ -69,6 +69,36 @@ class TextKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHashBands matches the 64-agg-buffer groupBy formulation bit for bit") {
+    // the expression form this kernel replaced: per-token md5-hex nibble
+    // parse, 64 per-bit set-count sum() buffers in one groupBy(doc_id),
+    // bucket = Σ_r [2·nset ≥ n]·2^r per 16-bit band
+    val sig = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h"))
+    val digits = sig.select(col("doc_id"),
+      transform(sequence(lit(0), lit(15)), p => {
+        val ch = col("h").substr(p.cast("int") + 1, lit(1))
+        when(ascii(ch) <= 57, ascii(ch) - 48).otherwise(ascii(ch) - 87)
+      }).as("dg"))
+    val nset = (0 until 64).map { j =>
+      sum(shiftright(element_at(col("dg"), j / 4 + 1), j % 4)
+        .bitwiseAND(lit(1)).cast("long")).as(s"b$j")
+    }
+    val agged = digits.groupBy("doc_id").agg(count(lit(1)).as("n"), nset: _*)
+    val buckets = (0 until 4).map { b =>
+      (0 until 16).map { r =>
+        val j = b * 16 + r
+        when(col(s"b$j") * 2 >= col("n"), lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val aggForm = agged.select(col("doc_id"), array(buckets: _*).as("bk"))
+    val native = corpus.select(col("doc_id"),
+      ShingleHash.simhashBands(col("text"), 4, 16).as("bk2"))
+    val diff = aggForm.join(native, "doc_id").filter(!(col("bk") <=> col("bk2")))
+    assert(diff.count() == 0, diff.limit(5).collect().mkString("\n"))
+  }
+
   test("kernel queries still satisfy their invariants: exact dups share all 4 LSH buckets") {
     val dup = Seq((1L, "one two three four five six"),
       (2L, "one two three four five six"),
