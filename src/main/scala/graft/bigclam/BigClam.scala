@@ -750,21 +750,36 @@ object BigClam {
     * is community-keyed aggs; community sizes broadcast. No per-community
     * set materialization, no driver loops. Returns ONE row:
     * (f1, f1_fitted_best, f1_truth_best, n_fitted, n_truth). */
-  def scoreCommunities(fitted: DataFrame, truth: DataFrame): DataFrame = {
-    // each intermediate below is consumed 2-3 times (overlap feeds pairF1,
-    // pairF1 feeds BOTH best-match sides, sizes feed pairF1 and their own
-    // side's average) — without lineage cuts the STATIC plan re-derives the
-    // node-keyed overlap join per consumer, and when `fitted` is itself an
-    // uncached fit subtree the whole fit re-plans per consumer (the
-    // 71-exchange bigclam_eval_smoke cold plan). The cuts materialize only
-    // community-keyed aggregates (≤ #communities rows) plus the deduped
-    // input covers — all bounded artifacts a cold scoring pass computes
-    // exactly once anyway.
+  def scoreCommunities(fitted: DataFrame, truth: DataFrame): DataFrame =
+    f1OnNormalized(normCover(fitted), normCover(truth))
+
+  /** Normalize a cover to flat, deduped (community BIGINT, node BIGINT)
+    * and CUT its lineage — the one shared materialization all three
+    * scorers read. Callers scoring the same covers with several metrics
+    * (bigclam_eval_smoke runs F1 + NMI + Omega) normalize ONCE and feed
+    * the [[f1OnNormalized]]/[[nmiOnNormalized]]/[[omegaOnNormalized]]
+    * internals, instead of paying a distinct exchange + checkpoint per
+    * scorer per cover (the round-8 regression: Omega landed as a third
+    * independent normalization and re-grew the eval-smoke plan 13 → 19
+    * exchanges). */
+  private[graft] def normCover(df: DataFrame): DataFrame =
+    GraphOps.cutLineage(df.select(
+      col("community").cast("bigint").as("community"),
+      col("node").cast("bigint").as("node")).distinct())
+
+  // each intermediate below is consumed 2-3 times (overlap feeds pairF1,
+  // pairF1 feeds BOTH best-match sides, sizes feed pairF1 and their own
+  // side's average) — without lineage cuts the STATIC plan re-derives the
+  // node-keyed overlap join per consumer, and when `fitted` is itself an
+  // uncached fit subtree the whole fit re-plans per consumer (the
+  // 71-exchange bigclam_eval_smoke cold plan). The cuts materialize only
+  // community-keyed aggregates (≤ #communities rows) plus the deduped
+  // input covers — all bounded artifacts a cold scoring pass computes
+  // exactly once anyway.
+  private def f1OnNormalized(a0: DataFrame, b0: DataFrame): DataFrame = {
     val cut = GraphOps.cutLineage _
-    val a = cut(fitted.select(col("community").cast("bigint").as("ca"),
-      col("node").cast("bigint").as("node")).distinct())
-    val b = cut(truth.select(col("community").cast("bigint").as("cb"),
-      col("node").cast("bigint").as("node")).distinct())
+    val a = a0.select(col("community").as("ca"), col("node"))
+    val b = b0.select(col("community").as("cb"), col("node"))
     val sa = cut(a.groupBy("ca").agg(count(lit(1)).as("na")))
     val sb = cut(b.groupBy("cb").agg(count(lit(1)).as("nb")))
     val overlap = a.join(b, "node").groupBy("ca", "cb").agg(count(lit(1)).as("o"))
@@ -809,17 +824,18 @@ object BigClam {
     * the CELLS (|cells| ≤ min(#A·#B, n) rows — tiny), with the n scalar
     * and the margins riding broadcasts. One row out:
     * (nmi, mi, h_fitted, h_truth, n_nodes). */
-  def scoreCommunitiesNMI(fitted: DataFrame, truth: DataFrame): DataFrame = {
-    // same static-plan hygiene as scoreCommunities: cells feed both margins,
-    // the total AND the MI sum; the margins feed an entropy pass and the MI
-    // join — cut lineage once per bounded artifact (cells ≤ min(#A·#B, n)
-    // rows, margins ≤ #communities rows) so no consumer re-derives the
-    // node-keyed contingency join.
+  def scoreCommunitiesNMI(fitted: DataFrame, truth: DataFrame): DataFrame =
+    nmiOnNormalized(normCover(fitted), normCover(truth))
+
+  // same static-plan hygiene as scoreCommunities: cells feed both margins,
+  // the total AND the MI sum; the margins feed an entropy pass and the MI
+  // join — cut lineage once per bounded artifact (cells ≤ min(#A·#B, n)
+  // rows, margins ≤ #communities rows) so no consumer re-derives the
+  // node-keyed contingency join.
+  private def nmiOnNormalized(a0: DataFrame, b0: DataFrame): DataFrame = {
     val cut = GraphOps.cutLineage _
-    val a = cut(fitted.select(col("node").cast("bigint").as("node"),
-      col("community").cast("bigint").as("ca")).distinct())
-    val b = cut(truth.select(col("node").cast("bigint").as("node"),
-      col("community").cast("bigint").as("cb")).distinct())
+    val a = a0.select(col("node"), col("community").as("ca"))
+    val b = b0.select(col("node"), col("community").as("cb"))
     val cells = cut(a.join(b, "node").groupBy("ca", "cb").agg(count(lit(1)).as("nij")))
     val ni = cut(cells.groupBy("ca").agg(sum("nij").as("ni")))
     val nj = cut(cells.groupBy("cb").agg(sum("nij").as("nj")))
@@ -862,18 +878,20 @@ object BigClam {
     * rows each; everything after the pair join is exact integer counts.
     * One row out: (omega, obs_agreement, exp_agreement, n_nodes, n_pairs).
     *
-    * NOT lazy: unlike the sibling scorers this runs three eager driver
-    * actions at construction time (union-support count plus the two
-    * nonzero-pair counts feeding the t=0 mass) — acceptable because
-    * cutLineage already materializes ta/tb, but callers composing it into
-    * a larger never-collected plan still pay those jobs. */
-  def scoreCommunitiesOmega(fitted: DataFrame, truth: DataFrame): DataFrame = {
+    * NOT lazy: unlike the sibling scorers this computes EAGERLY at
+    * construction (the union-support count, the cut pair-count frames,
+    * and a collect of the tiny (t_a, t_b) contingency distribution) and
+    * returns the finished scalar row as a local relation — callers
+    * composing it into a larger never-collected plan pay the scoring
+    * jobs up front, and in exchange contribute ZERO exchanges to the
+    * composed static plan. */
+  def scoreCommunitiesOmega(fitted: DataFrame, truth: DataFrame): DataFrame =
+    omegaOnNormalized(normCover(fitted), normCover(truth))
+
+  private def omegaOnNormalized(a0: DataFrame, b0: DataFrame): DataFrame = {
     val cut = GraphOps.cutLineage _
-    def cover(df: DataFrame) = df.select(
-      col("community").cast("bigint").as("c"),
-      col("node").cast("bigint").as("node")).distinct()
-    val a = cut(cover(fitted))
-    val b = cut(cover(truth))
+    val a = a0.select(col("community").as("c"), col("node"))
+    val b = b0.select(col("community").as("c"), col("node"))
     def pairCounts(m: DataFrame): DataFrame = {
       val l = m.select(col("c"), col("node").as("u"))
       val r = m.select(col("c"), col("node").as("v"))
@@ -884,46 +902,48 @@ object BigClam {
     val tb = cut(pairCounts(b))
     val nodes = a.select("node").union(b.select("node")).distinct().count()
     val allPairs = nodes * (nodes - 1) / 2
-    val joined = ta.withColumnRenamed("t", "t_a")
+    // Collapse the pair-level full join to the (t_a, t_b) CONTINGENCY
+    // table — a distribution over co-membership multiplicities, ≤
+    // (t_max+1)² rows no matter how many nodes/pairs (t is bounded by
+    // per-node memberships), i.e. genuinely K-sized model state — and
+    // finish the arithmetic driver-side with exact BigInt sums (which
+    // also retires the Long-overflow hazard the old in-plan na*nb
+    // multiply had). The data-sized work (the two Σ|C|² membership
+    // self-joins and their full join) stays distributed; everything
+    // after is a handful of integers. This keeps the composed
+    // bigclam_eval_smoke static plan at the F1/NMI scoring joins alone.
+    val cont = ta.withColumnRenamed("t", "t_a")
       .join(tb.withColumnRenamed("t", "t_b"), Seq("u", "v"), "full")
-      .select(coalesce(col("t_a"), lit(0L)).as("t_a"),
+      .groupBy(coalesce(col("t_a"), lit(0L)).as("t_a"),
         coalesce(col("t_b"), lit(0L)).as("t_b"))
-    // coalesce: when NO pair is co-member in either cover (all-singleton
-    // covers) `joined` is empty and sum(...) is NULL; agreement must then
-    // read as "all pairs agree at t=0", i.e. agree_nonzero = 0 with
-    // nonzero_pairs = 0, giving obs_agreement = 1.0 — not a NULL that
-    // would fall through the omega when() to 0.0.
-    val agg = joined.agg(
-      count(lit(1)).as("nonzero_pairs"),
-      coalesce(sum(when(col("t_a") === col("t_b"), 1L).otherwise(0L)),
-        lit(0L)).as("agree_nonzero"))
-    // per-side t-distributions (k >= 1) as tiny frames; the k = 0 mass is
-    // allPairs minus each side's nonzero-pair count
-    def dist(t: DataFrame) = t.groupBy("t").agg(count(lit(1)).as("nk"))
-    val prodNonzero = dist(ta).withColumnRenamed("nk", "na")
-      .join(dist(tb).withColumnRenamed("nk", "nb"), Seq("t"))
-      // cast an OPERAND before the multiply: na*nb in LongType can exceed
-      // Long.MaxValue for ~1e5-node covers concentrated in one t value
-      // (na, nb each ~5e9) and would silently wrap under non-ANSI mode
-      .agg(coalesce(sum(col("na").cast("decimal(38,0)") * col("nb")),
-        lit(java.math.BigDecimal.ZERO)).as("sum_prod"))
-    val zeroA = allPairs - ta.count()
-    val zeroB = allPairs - tb.count()
-    agg.crossJoin(broadcast(prodNonzero)).select(
-      col("nonzero_pairs"), col("agree_nonzero"), col("sum_prod"),
-      lit(nodes).as("n_nodes"), lit(allPairs).as("n_pairs"))
-      .select(col("n_nodes"), col("n_pairs"),
-        ((col("agree_nonzero") + (lit(allPairs) - col("nonzero_pairs")))
-          .cast("double") / greatest(lit(allPairs), lit(1L))).as("obs_agreement"),
-        ((col("sum_prod").cast("double") + lit(zeroA).cast("double") * lit(zeroB)) /
-          (greatest(lit(allPairs), lit(1L)).cast("double") *
-            greatest(lit(allPairs), lit(1L)))).as("exp_agreement"))
-      .select(
-        when(lit(1.0) - col("exp_agreement") === 0.0,
-          when(col("obs_agreement") === 1.0, 1.0).otherwise(0.0))
-          .otherwise((col("obs_agreement") - col("exp_agreement")) /
-            (lit(1.0) - col("exp_agreement"))).as("omega"),
-        col("obs_agreement"), col("exp_agreement"), col("n_nodes"), col("n_pairs"))
+      .agg(count(lit(1)).as("m"))
+      .collect()
+    val nonzeroPairs = cont.map(_.getAs[Long]("m")).sum
+    val agreeNonzero = cont.filter(r => r.getAs[Long]("t_a") == r.getAs[Long]("t_b"))
+      .map(_.getAs[Long]("m")).sum
+    // per-side t-marginals (k >= 1); the k = 0 mass is allPairs minus the
+    // side's nonzero-pair count. An empty contingency (all-singleton
+    // covers) correctly yields obs = exp = 1 -> omega 1.0.
+    def marginal(key: String): Map[Long, Long] = cont
+      .filter(r => r.getAs[Long](key) >= 1L)
+      .groupBy(r => r.getAs[Long](key))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("m")).sum }
+    val na = marginal("t_a")
+    val nb = marginal("t_b")
+    val zeroA = allPairs - na.values.sum
+    val zeroB = allPairs - nb.values.sum
+    val sumProd = na.keysIterator.filter(nb.contains)
+      .map(k => BigInt(na(k)) * nb(k)).sum
+    val apSafe = math.max(allPairs, 1L).toDouble
+    val obs = (agreeNonzero + (allPairs - nonzeroPairs)).toDouble / apSafe
+    val exp = (sumProd.toDouble + zeroA.toDouble * zeroB.toDouble) / (apSafe * apSafe)
+    val omega =
+      if (1.0 - exp == 0.0) { if (obs == 1.0) 1.0 else 0.0 }
+      else (obs - exp) / (1.0 - exp)
+    val s2 = a0.sparkSession
+    import s2.implicits._
+    Seq((omega, obs, exp, nodes, allPairs))
+      .toDF("omega", "obs_agreement", "exp_agreement", "n_nodes", "n_pairs")
   }
 
   // ---- declared queries (no-oracle; invariants asserted in scalatest) ----
@@ -1016,21 +1036,23 @@ object BigClam {
       GraphOps.connectedComponents(smokeEdges(s, d))
         .select(col("comp").as("community"), col("node"))
     }
-    // cut lineage on the cover before the scoring joins: scoreCommunities
-    // consumes `fitted` three ways (overlap table, sizes, fittedPart→NMI),
-    // and without the cut the STATIC plan re-derives the whole fit+
-    // communities subtree per consumer (71 exchanges cold; the session
-    // memoization only masks the cost on warm calls). After the cut each
-    // consumer reads a flat |memberships|-row scan — the cold plan drops
-    // to the scoring joins themselves.
-    val fitted = GraphOps.cutLineage(bigclam_communities(s, d))
+    // normalize + cut each cover ONCE and feed the scorer INTERNALS: the
+    // public scorers each normalize (cast+distinct+checkpoint) their own
+    // copy, so composing all three would pay the fit+communities subtree
+    // re-plan (71 exchanges cold pre-cut) and then 3x2 normalization
+    // exchanges; sharing normCover keeps the static plan at the scoring
+    // joins themselves (13-exchange shape — the round-8 Omega addition
+    // briefly re-grew it to 19 by normalizing independently).
+    val fittedN = normCover(bigclam_communities(s, d))
+    val truthN = normCover(truth)
     // NMI scores the fit as a PARTITION: reduce the threshold-δ cover to
     // one deterministic label per node (min community id). Truth (CC
     // labels) is a partition already.
-    val fittedPart = fitted.groupBy("node").agg(min(col("community")).as("community"))
-    scoreCommunities(fitted, truth)
-      .crossJoin(scoreCommunitiesNMI(fittedPart, truth).select(col("nmi")))
-      .crossJoin(scoreCommunitiesOmega(fitted, truth).select(col("omega")))
+    val fittedPart = GraphOps.cutLineage(
+      fittedN.groupBy("node").agg(min(col("community")).as("community")))
+    f1OnNormalized(fittedN, truthN)
+      .crossJoin(nmiOnNormalized(fittedPart, truthN).select(col("nmi")))
+      .crossJoin(omegaOnNormalized(fittedN, truthN).select(col("omega")))
       .select(round(col("f1"), 6).as("f1"),
         round(col("f1_fitted_best"), 6).as("f1_fitted_best"),
         round(col("f1_truth_best"), 6).as("f1_truth_best"),
