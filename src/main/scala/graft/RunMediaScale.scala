@@ -38,15 +38,7 @@ object RunMediaScale {
     def ids = spark.range(nMedia).select(col("id")).as[Long]
 
     // video: parse throughput, then the dedup with its known answer
-    val videos = ids.mapPartitions { it =>
-      it.map { id =>
-        val nf = 4 + (id % 8).toInt
-        MultimodalOps.VideoRow(id, AviCodec.encodeAvi(
-          16 + (id % 16).toInt, 12 + (id % 8).toInt,
-          (0 until nf).map(f =>
-            MultimodalOps.synthFrame(MultimodalOps.videoFamilyKey(id), f))))
-      }
-    }.toDF()
+    val videos = ids.mapPartitions(_.map(MultimodalOps.synthVideoRow)).toDF()
     val tV = System.nanoTime()
     val vStats = videos.as[MultimodalOps.VideoRow]
       .mapPartitions(_.flatMap(r => AviCodec.decode(r.media)))

@@ -18,15 +18,25 @@ import java.nio.{ByteBuffer, ByteOrder}
 object AviCodec {
 
   /** Parsed container: frame payloads in stream order (opaque bytes —
-    * whatever "codec" wrote them). */
-  final case class Avi(width: Int, height: Int, frames: Vector[Array[Byte]])
+    * whatever codec wrote them; `compression` is the strf biCompression
+    * value, 0 = BI_RGB meaning the payloads are raw DIB pixel arrays
+    * decodable by [[decodeDibFrame]]). */
+  final case class Avi(width: Int, height: Int, compression: Int,
+      frames: Vector[Array[Byte]])
+
+  /** The BI_RGB "codec": raw device-independent-bitmap frames. */
+  val DIB = "DIB "
 
   private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
-  /** Canonical single-video-stream AVI holding the given opaque frame
-    * payloads. `fps` only affects the header timing fields. */
+  /** Canonical single-video-stream AVI holding the given frame payloads.
+    * `fps` only affects the header timing fields. `codec` is written as
+    * the stream handler fourcc; pass [[DIB]] for uncompressed 24-bit DIB
+    * frames (biCompression is then BI_RGB = 0, the real uncompressed-AVI
+    * convention an external reader understands). */
   def encodeAvi(width: Int, height: Int, frames: Seq[Array[Byte]],
-      fps: Int = 25): Array[Byte] = {
+      fps: Int = 25, codec: String = "grft"): Array[Byte] = {
+    require(codec.length == 4, s"codec must be a fourcc: '$codec'")
     require(width >= 1 && height >= 1, s"bad dims: ${width}x$height")
     // rcFrame is written as int16; our decoder reads the avih ints, but an
     // external AVI reader would see wrapped garbage rects past 32767
@@ -58,7 +68,7 @@ object AviCodec {
     // strl LIST: strh + strf
     buf.put(fourcc("LIST")).putInt(4 + (8 + 56) + (8 + 40)).put(fourcc("strl"))
     buf.put(fourcc("strh")).putInt(56)
-      .put(fourcc("vids")).put(fourcc("grft")) // stream type + stub handler
+      .put(fourcc("vids")).put(fourcc(codec)) // stream type + handler
       .putInt(0).putShort(0).putShort(0) // flags, priority, language
       .putInt(0) // initial frames
       .putInt(1).putInt(fps) // scale, rate -> fps
@@ -68,8 +78,9 @@ object AviCodec {
       .putShort(width.toShort).putShort(height.toShort) // rcFrame
     buf.put(fourcc("strf")).putInt(40)
       .putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
-      .put(fourcc("grft")) // biCompression: the stub codec fourcc
-      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    if (codec == DIB) buf.putInt(0) // biCompression BI_RGB
+    else buf.put(fourcc(codec)) // biCompression: the codec fourcc
+    buf.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
     // movi LIST
     buf.put(fourcc("LIST")).putInt(4 + moviBody).put(fourcc("movi"))
     frames.foreach { f =>
@@ -94,6 +105,7 @@ object AviCodec {
       if (tag() != "AVI ") return None
       var width = 0
       var height = 0
+      var compression = -1
       var declaredFrames = -1
       var sawHdrl = false
       val frames = Vector.newBuilder[Array[Byte]]
@@ -121,6 +133,12 @@ object AviCodec {
                   buf.getInt; buf.getInt; buf.getInt
                   width = buf.getInt
                   height = buf.getInt
+                  buf.position(q + clen + (clen & 1))
+                } else if (cid == "strf" && clen >= 40 &&
+                    buf.position() + clen <= end) {
+                  // BITMAPINFOHEADER: biCompression at offset 16
+                  val q = buf.position()
+                  compression = buf.getInt(q + 16)
                   buf.position(q + clen + (clen & 1))
                 } else if (cid == "LIST" && clen >= 4) {
                   buf.position(buf.position() + 4) // descend past list type
@@ -156,7 +174,72 @@ object AviCodec {
       }
       if (!sawHdrl || width < 1 || height < 1 || nFrames == 0) return None
       if (declaredFrames >= 0 && declaredFrames != nFrames) return None
-      Some(Avi(width, height, frames.result()))
+      Some(Avi(width, height, compression, frames.result()))
     } catch { case _: RuntimeException => None }
+  }
+
+  private def rowStride(width: Int): Int = (width * 3 + 3) & ~3
+
+  /** Raw 24-bit DIB frame bytes for top-down 0xRRGGBB pixels: bottom-up
+    * BGR rows padded to 4 bytes — exactly the payload an uncompressed
+    * (BI_RGB) AVI frame chunk carries, i.e. a [[BmpCodec]] pixel array
+    * without the file headers. `padSeed` fills the row-padding bytes
+    * (which carry NO pixel information) deterministically, so two encodes
+    * of the SAME pixels under different seeds are byte-DIFFERENT payloads
+    * that decode identically — the re-encode case pixel-level
+    * fingerprinting exists to catch. */
+  def encodeDibFrame(width: Int, height: Int, pixels: Array[Int],
+      padSeed: Long = 0L): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims: ${width}x$height")
+    require(pixels.length == width * height,
+      s"${pixels.length} pixels do not tile ${width}x$height")
+    val stride = rowStride(width)
+    val out = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = height - 1 - y // bottom-up
+      var pos = y * stride
+      var x = 0
+      while (x < width) {
+        val p = pixels(srcRow * width + x)
+        out(pos) = (p & 0xFF).toByte
+        out(pos + 1) = ((p >> 8) & 0xFF).toByte
+        out(pos + 2) = ((p >> 16) & 0xFF).toByte
+        pos += 3
+        x += 1
+      }
+      var i = width * 3
+      while (i < stride) {
+        out(y * stride + i) = ((padSeed * 31L + y * 7L + i) & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a raw 24-bit DIB frame payload (bottom-up BGR, 4-byte row
+    * padding) to row-major top-down 0xRRGGBB pixels; None when the
+    * payload does not tile the given dims. Never throws. */
+  def decodeDibFrame(frame: Array[Byte], width: Int, height: Int): Option[Array[Int]] = {
+    if (frame == null || width < 1 || height < 1) return None
+    val stride = rowStride(width)
+    if (stride.toLong * height != frame.length) return None
+    val pixels = new Array[Int](width * height)
+    var row = 0
+    while (row < height) {
+      var pos = (height - 1 - row) * stride
+      var x = 0
+      while (x < width) {
+        val b = frame(pos) & 0xFF
+        val g = frame(pos + 1) & 0xFF
+        val r = frame(pos + 2) & 0xFF
+        pixels(row * width + x) = (r << 16) | (g << 8) | b
+        pos += 3
+        x += 1
+      }
+      row += 1
+    }
+    Some(pixels)
   }
 }

@@ -249,17 +249,35 @@ object MultimodalOps {
   case class VideoRow(media_id: Long, media: Array[Byte])
   case class VideoStats(media_id: Long, width: Int, height: Int,
       n_frames: Long, n_sampled: Long, avg_frame_bytes: Double,
-      sampled_mean_byte: Double)
+      mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** Deterministic opaque frame payload (what a real encoder would have
-    * produced; the stub codec treats it as compressed bits). */
-  private[graft] def synthFrame(id: Long, frame: Int): Array[Byte] = {
-    val n = 32 + ((id + frame) % 32).toInt
-    val s = synthSamples(id * 1009L + frame, n)
-    val out = new Array[Byte](n)
-    var i = 0
-    while (i < n) { out(i) = (s(i) & 0xFF).toByte; i += 1 }
-    out
+  /** Family-keyed frame dims: a re-mux never changes pixel geometry, so
+    * dims derive from the FAMILY, not the id. Width is forced ODD so the
+    * DIB row stride carries 1-3 padding bytes — the byte-layout slack
+    * that makes "pixel-identical, byte-different" re-encodes real. */
+  private[graft] def videoDims(fam: Long): (Int, Int) =
+    (17 + 2 * (fam % 8).toInt, 12 + (fam % 8).toInt)
+
+  /** Deterministic frame PIXELS for frame `frame` of family `fam` —
+    * the content a family's re-muxed copies share. */
+  private[graft] def synthFramePixels(fam: Long, frame: Int, n: Int): Array[Int] =
+    synthPixels(fam * 1009L + frame, n)
+
+  /** One synthetic AVI: REAL container ([[AviCodec.encodeAvi]]) holding
+    * REAL uncompressed 24-bit DIB frames whose pixels are family-keyed
+    * while the row-padding garbage is ID-keyed — so family members carry
+    * pixel-identical but byte-DIFFERENT frame payloads (the re-encode
+    * shape that defeats raw-byte fingerprinting). Frame counts stay
+    * id-dependent (4-11). Shared by [[videoTable]] and RunMediaScale. */
+  private[graft] def synthVideoRow(id: Long): VideoRow = {
+    val fam = videoFamilyKey(id)
+    val (w, h) = videoDims(fam)
+    val nf = 4 + (id % 8).toInt
+    VideoRow(id, AviCodec.encodeAvi(w, h,
+      (0 until nf).map(f =>
+        AviCodec.encodeDibFrame(w, h, synthFramePixels(fam, f, w * h),
+          padSeed = id)),
+      codec = AviCodec.DIB))
   }
 
   /** Media sharing a family key carry the SAME frame stream (re-muxed
@@ -272,33 +290,50 @@ object MultimodalOps {
     * here by the sf0.1 gate before this fix). */
   private[graft] def videoFamilyKey(id: Long): Long = id / 10
 
-  /** Synthetic video lake: one REAL AVI container per document id
-    * ([[AviCodec.encodeAvi]], 4–11 frames of opaque payload,
-    * id-dependent dims) — container structure real, frame payloads
-    * stub-encoded. Ids sharing [[videoFamilyKey]] share frame content
-    * (their frame counts still differ), modeling the same source video
-    * re-containerized under different ids. */
+  /** Synthetic video lake: one REAL AVI container per document id with
+    * REAL 24-bit DIB frame payloads ([[synthVideoRow]]) — container AND
+    * frame codec both actually decode. Ids sharing [[videoFamilyKey]]
+    * share frame PIXELS but not frame bytes (id-keyed padding) and not
+    * frame counts, modeling the same source video re-encoded under
+    * different ids. */
   def videoTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val nf = 4 + (id % 8).toInt
-          VideoRow(id, AviCodec.encodeAvi(
-            16 + (id % 16).toInt, 12 + (id % 8).toInt,
-            (0 until nf).map(f => synthFrame(videoFamilyKey(id), f))))
-        }
-      }
+      .mapPartitions(_.map(synthVideoRow))
       .toDF()
   }
 
+  /** 64-bit content fingerprint of one frame: for BI_RGB (DIB) streams
+    * the hash runs over the DECODED top-down pixel sequence (dims folded
+    * into the seed) — so re-encodes of the same pixels with different
+    * byte layout (row padding, bottom-up vs re-padded re-mux) fingerprint
+    * identically; for unknown codecs it falls back to the raw payload
+    * bytes (still catches byte-identical re-muxes, the honest best
+    * available without that codec). */
+  private[graft] def frameFingerprint(v: AviCodec.Avi, f: Array[Byte]): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val pixels =
+      if (v.compression == 0) AviCodec.decodeDibFrame(f, v.width, v.height)
+      else None
+    pixels match {
+      case Some(px) =>
+        var acc = XXH64.hashInt(v.width, XXH64.hashInt(v.height, 42L))
+        var i = 0
+        while (i < px.length) { acc = XXH64.hashInt(px(i), acc); i += 1 }
+        acc
+      case None =>
+        XXH64.hashUnsafeBytes(f,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, f.length, 42L)
+    }
+  }
+
   /** [no-oracle] Frame-fingerprint video near-dup pairs: a re-muxed or
-    * re-containerized copy of a video shares its frame payloads even when
-    * the container bytes differ (other fps, other frame count, extra
-    * metadata) — whole-payload hashing ([[q_multimodal_dedup]]) misses
-    * exactly those. Parse the container, fingerprint every frame (md5 on
-    * the BINARY frame column — computed by Spark, codegen'd), and pair
-    * media sharing ≥ 2 identical frames.
+    * re-encoded copy of a video shares its frame CONTENT even when the
+    * payload bytes differ (other fps, other frame count, re-padded rows,
+    * extra metadata) — whole-payload hashing ([[q_multimodal_dedup]])
+    * misses exactly those. Parse the container, fingerprint every frame's
+    * decoded pixels ([[frameFingerprint]]), and pair media sharing ≥ 2
+    * identical frames.
     *
     * Scale stance: the pair generator is the rare-shingle blocking shape
     * from TextOps — frame-hash groups with df ∈ [2, 20] (a hot frame
@@ -318,21 +353,23 @@ object MultimodalOps {
   private[graft] def frameDedupPairs(videos: DataFrame): DataFrame = {
     val s = videos.sparkSession
     import s.implicits._
-    val frames = videos.as[VideoRow]
+    // fingerprints are computed INSIDE the parse pass: frame bytes (let
+    // alone pixels) never leave the mapPartitions — only 16-byte
+    // (media_id, fh) rows enter the shuffle. xxhash64 LONG fingerprints,
+    // not md5 strings: the hash is internal (nothing cross-engine reads
+    // it), and an 8-byte key vs a 32-char string shrinks every shuffle
+    // in the pipeline — measured 368 s → 322 s at 10M media (see
+    // RunMediaScale). 64-bit collisions at lake scale only matter if 2+
+    // collide onto the SAME media pair (pairs need n_shared ≥ 2) —
+    // vanishingly unlikely.
+    val fdf = videos.as[VideoRow]
       .mapPartitions { it =>
         it.flatMap { r =>
-          AviCodec.decode(r.media).toSeq.flatMap(v => v.frames.map(f => (r.media_id, f)))
+          AviCodec.decode(r.media).toSeq.flatMap(v =>
+            v.frames.map(f => (r.media_id, frameFingerprint(v, f))))
         }
       }
-      .toDF("media_id", "frame")
-    // xxhash64 LONG fingerprints, not md5 strings: the frame hash is
-    // internal (nothing cross-engine reads it), and an 8-byte key vs a
-    // 32-char string shrinks every shuffle in the pipeline — measured
-    // 368 s → 322 s on the 10M-media scale run (the rest of that run's
-    // cost is shuffle width, not key size; see RunMediaScale).
-    // 64-bit collisions at lake scale only matter if 2+ collide onto the
-    // SAME media pair (pairs need n_shared ≥ 2) — vanishingly unlikely.
-    val fdf = frames.select(col("media_id"), xxhash64(col("frame")).as("fh")).distinct()
+      .toDF("media_id", "fh").distinct()
     val shared = fdf.groupBy("fh").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 20))
       .select("fh")
@@ -349,35 +386,44 @@ object MultimodalOps {
       .filter(col("n_shared_frames") >= 2)
   }
 
-  /** [no-oracle] Real video CONTAINER parse end-to-end: the synthetic AVI
-    * lake runs through [[AviCodec.decode]] — an actual RIFF/AVI walker
+  /** [no-oracle] Real video decode end-to-end: the synthetic AVI lake
+    * runs through [[AviCodec.decode]] — an actual RIFF/AVI walker
     * recovering dimensions and every frame's byte range — then
     * frame-samples every 2nd frame (the pipeline stage container parsing
     * exists for: you sample frames WITHOUT decoding the ones you skip)
-    * and reports per-media dims, frame counts, average frame size, and
-    * the mean byte of the sampled payloads (the stub standing where a
-    * frame codec + embedder would run). Unparseable rows are dropped
-    * (quarantine); on this table every row parses. Map-only until the
-    * display sort; only stats rows leave the scan. */
+    * and DECODES each sampled frame's 24-bit DIB payload
+    * ([[AviCodec.decodeDibFrame]]) for exact per-channel pixel means —
+    * no stub left in the video path. Rows that fail either the container
+    * parse or any sampled frame's pixel decode are dropped (quarantine);
+    * on this table every row decodes. Map-only until the display sort;
+    * only stats rows leave the scan. */
   def q_multimodal_video(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     videoTable(s, d).as[VideoRow]
       .mapPartitions { it =>
         it.flatMap { r =>
-          AviCodec.decode(r.media).map { v =>
+          AviCodec.decode(r.media).filter(_.compression == 0).flatMap { v =>
             val sampled = v.frames.indices.by(2).map(v.frames)
-            var sum = 0L
-            var cnt = 0L
-            sampled.foreach { f =>
-              var i = 0
-              while (i < f.length) { sum += (f(i) & 0xFF); i += 1 }
-              cnt += f.length
+            val decoded = sampled.map(AviCodec.decodeDibFrame(_, v.width, v.height))
+            if (decoded.exists(_.isEmpty)) None
+            else {
+              var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+              decoded.flatten.foreach { px =>
+                var i = 0
+                while (i < px.length) {
+                  val p = px(i)
+                  sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                  i += 1
+                }
+                n += px.length
+              }
+              def mean(s0: Long) = math.rint(s0 * 1e6 / math.max(n, 1L)) / 1e6
+              Some(VideoStats(r.media_id, v.width, v.height,
+                v.frames.length, sampled.length,
+                math.rint(v.frames.map(_.length.toLong).sum * 1e6 /
+                  v.frames.length) / 1e6,
+                mean(sr), mean(sg), mean(sb)))
             }
-            VideoStats(r.media_id, v.width, v.height,
-              v.frames.length, sampled.length,
-              math.rint(v.frames.map(_.length.toLong).sum * 1e6 /
-                v.frames.length) / 1e6,
-              math.rint(sum * 1e6 / math.max(cnt, 1L)) / 1e6)
           }
         }
       }

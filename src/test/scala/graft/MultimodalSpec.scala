@@ -174,6 +174,7 @@ class MultimodalSpec extends AnyFunSuite {
     val bytes = AviCodec.encodeAvi(320, 240, frames, fps = 30)
     val v = AviCodec.decode(bytes).get
     assert(v.width == 320 && v.height == 240 && v.frames.length == 3)
+    assert(v.compression != 0, "stub fourcc must not read as BI_RGB")
     frames.zip(v.frames).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
     // rejects: truncation, wrong magic, WAV bytes (RIFF but not AVI), null
     assert(AviCodec.decode(bytes.dropRight(5)).isEmpty)
@@ -190,30 +191,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AviCodec.decode(lied).isEmpty)
   }
 
-  test("q_multimodal_video: every synthetic AVI parses; sampling and stats exact") {
+  test("q_multimodal_video: every synthetic AVI decodes to pixels; sampling and stats exact") {
     import graft.multimodal.{MultimodalOps => M, AviCodec}
     val out = M.q_multimodal_video(s, sf).collect()
     val nDocs = Tables.documents(s, sf).count()
-    assert(out.length == nDocs, s"container parse dropped rows: ${out.length} of $nDocs")
+    assert(out.length == nDocs, s"frame decode dropped rows: ${out.length} of $nDocs")
     out.foreach { r =>
       val id = r.getAs[Long]("media_id")
-      assert(r.getAs[Int]("width") == 16 + (id % 16).toInt)
-      assert(r.getAs[Int]("height") == 12 + (id % 8).toInt)
+      val (w, h) = M.videoDims(M.videoFamilyKey(id))
+      assert(r.getAs[Int]("width") == w)
+      assert(r.getAs[Int]("height") == h)
       val nf = r.getAs[Long]("n_frames")
       assert(nf == 4 + (id % 8), s"frame count wrong: $r")
       assert(r.getAs[Long]("n_sampled") == (nf + 1) / 2, s"stride-2 sample wrong: $r")
-      assert(r.getAs[Double]("avg_frame_bytes") >= 32.0 &&
-        r.getAs[Double]("avg_frame_bytes") < 64.0)
-      val mb = r.getAs[Double]("sampled_mean_byte")
-      assert(mb >= 0.0 && mb <= 255.0)
+      // DIB payload size is exact: stride * height
+      val stride = (w * 3 + 3) & ~3
+      assert(r.getAs[Double]("avg_frame_bytes") == stride.toDouble * h)
+      Seq("mean_r", "mean_g", "mean_b").foreach { c =>
+        val m = r.getAs[Double](c)
+        assert(m >= 0.0 && m <= 255.0, s"$c out of range: $r")
+      }
     }
-    // spot-check one row against a direct local parse of the same synth
+    // spot-check one row's channel means against a direct local decode of
+    // the same synthetic media (full round-trip: pixels -> DIB frames ->
+    // AVI -> parse -> pixel decode -> stats)
     val id = out(0).getAs[Long]("media_id")
-    val nf = 4 + (id % 8).toInt
-    val local = AviCodec.decode(AviCodec.encodeAvi(
-      16 + (id % 16).toInt, 12 + (id % 8).toInt,
-      (0 until nf).map(f => M.synthFrame(M.videoFamilyKey(id), f)))).get
+    val local = AviCodec.decode(M.synthVideoRow(id).media).get
+    assert(local.compression == 0)
+    val sampled = local.frames.indices.by(2).map(local.frames)
+    val px = sampled.flatMap(f =>
+      AviCodec.decodeDibFrame(f, local.width, local.height).get)
+    val expR = math.rint(px.map(p => ((p >> 16) & 0xFF).toLong).sum * 1e6 / px.length) / 1e6
+    assert(out(0).getAs[Double]("mean_r") == expR)
     assert(out(0).getAs[Long]("n_frames") == local.frames.length)
+  }
+
+  test("DIB frame codec: known pixels survive the full AVI round-trip; padding is pixel-invisible") {
+    import graft.multimodal.{MultimodalOps => M, AviCodec}
+    // 3x2, odd width -> 1-byte row padding; known pixel values
+    val pixels = Array(0xFF0000, 0x00FF00, 0x0000FF, 0x102030, 0xFFFFFF, 0x000000)
+    val f1 = AviCodec.encodeDibFrame(3, 2, pixels, padSeed = 1L)
+    val f2 = AviCodec.encodeDibFrame(3, 2, pixels, padSeed = 2L)
+    // different padding garbage -> byte-different payloads...
+    assert(!f1.sameElements(f2))
+    // ...that decode to the SAME pixels
+    assert(AviCodec.decodeDibFrame(f1, 3, 2).get.toSeq == pixels.toSeq)
+    assert(AviCodec.decodeDibFrame(f2, 3, 2).get.toSeq == pixels.toSeq)
+    // wrong dims / truncation quarantine (width 4 would tile the same 24
+    // bytes — stride rounding makes that ambiguity inherent — so use a
+    // width whose stride cannot)
+    assert(AviCodec.decodeDibFrame(f1, 5, 2).isEmpty)
+    assert(AviCodec.decodeDibFrame(f1.dropRight(1), 3, 2).isEmpty)
+    // through the container: BI_RGB compression recorded, frames verbatim
+    val v = AviCodec.decode(AviCodec.encodeAvi(3, 2, Seq(f1, f2),
+      codec = AviCodec.DIB)).get
+    assert(v.compression == 0)
+    assert(AviCodec.decodeDibFrame(v.frames(0), v.width, v.height).get.toSeq == pixels.toSeq)
+    // the fingerprint is over DECODED pixels: byte-different encodes agree
+    assert(M.frameFingerprint(v, v.frames(0)) == M.frameFingerprint(v, v.frames(1)))
+  }
+
+  test("frame dedup finds pixel-identical re-encodes that raw-byte hashing would miss") {
+    import graft.multimodal.{MultimodalOps => M}
+    // two same-family ids: pixel-identical frames, byte-different payloads
+    // (id-keyed padding); one cross-family id as the negative
+    val rows = Seq(M.synthVideoRow(40L), M.synthVideoRow(41L), M.synthVideoRow(90L))
+    // byte layouts genuinely differ within the family
+    assert(!rows(0).media.sameElements(rows(1).media))
+    val pairs = M.frameDedupPairs(s.createDataFrame(rows)).collect()
+    assert(pairs.length == 1, s"expected exactly the family pair: ${pairs.toSeq}")
+    assert(pairs(0).getAs[Long]("media_a") == 40L && pairs(0).getAs[Long]("media_b") == 41L)
+    assert(pairs(0).getAs[Long]("n_shared_frames") ==
+      math.min(4 + (40L % 8), 4 + (41L % 8)))
   }
 
   test("q_multimodal_frame_dedup: re-muxed families found by shared frames, exact overlap counts") {
