@@ -150,6 +150,7 @@ object SparkEntry {
     "q_sim_ann_ivf" -> VectorOps.q_sim_ann_ivf,
     "q_cluster_kmeans" -> VectorOps.q_cluster_kmeans,
     "q_embed_quantize" -> VectorOps.q_embed_quantize,
+    "q_dedup_semantic" -> VectorOps.q_dedup_semantic,
     // LLM-pipeline: multimodal (binary media + stub decode)
     "q_multimodal_dedup" -> graft.multimodal.MultimodalOps.q_multimodal_dedup,
     "q_multimodal_features" -> graft.multimodal.MultimodalOps.q_multimodal_features,

@@ -324,4 +324,66 @@ object VectorOps {
       .orderBy("vec_id")
       .limit(2000)
   }
+
+  /** [no-oracle] Semantic dedup — the SemDeDup shape (Abbas et al. 2023):
+    * where the lexical family (exact/shingle/MinHash/SimHash) catches
+    * copies of the same BYTES, this merges items whose EMBEDDINGS nearly
+    * coincide (re-phrasings, re-crawls through format churn, translations
+    * under a multilingual encoder). Pipeline: spherical k-means buckets
+    * the space (the SemDeDup approximation — candidate pairs only within
+    * a cluster), exact within-cluster cosine >= `threshold` proposes dup
+    * edges, connected components canonicalize (label = min vec_id, the
+    * deterministic keep-one rule), and every vector gets a row — members
+    * of no dup pair are their own canonical.
+    *
+    * Scale stance: pair space is (cluster size)² per cluster, never N²
+    * global — the cluster count is the knob (SemDeDup ran 50k clusters at
+    * LAION scale); centroids are k×dim model state, assignment is the
+    * zero-shuffle literal-centroid argmax, pairs are lineage-cut once
+    * before the CC fixpoint, labels stay distributed end-to-end. A skewed
+    * mega-cluster bounds at (its size)² — production either raises k or
+    * sub-buckets hot cells (the LSH/IVF composition), both plan-level
+    * knobs; this fixture needs neither. */
+  def q_dedup_semantic(s: SparkSession, d: String): DataFrame =
+    semanticDedupLabels(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      nClusters = 16, threshold = 0.35)
+      .orderBy("vec_id")
+      .limit(5000)
+
+  /** The uncapped labeling over any (vec_id, v ARRAY<DOUBLE>) frame —
+    * [[q_dedup_semantic]] adds only the display sort + limit. Zero-norm
+    * vectors have no direction (cosine undefined): they join no pair and
+    * come out as their own singleton canonicals. */
+  private[graft] def semanticDedupLabels(emb0: DataFrame, nClusters: Int,
+      threshold: Double): DataFrame = {
+    val emb = emb0.withColumn("nrm", l2norm(col("v")))
+    val directed = emb.filter(col("nrm") > 0)
+    val cents = kmeansCentroids(directed, nClusters, iters = 2)
+    val assigned = ivfAssignWith(directed, cents)
+    val a = assigned.select(col("cell"), col("vec_id").as("u"),
+      col("v").as("uv"), col("nrm").as("unrm"))
+    val b = assigned.select(col("cell"), col("vec_id").as("w"),
+      col("v").as("wv"), col("nrm").as("wnrm"))
+    // 6-dp rounding BEFORE the threshold keeps the predicate reproducible
+    // across plan changes (same convention as q_sim_neardup_cosine)
+    val pairs = graft.graph.GraphOps.cutLineage(
+      a.join(b, Seq("cell")).filter(col("u") < col("w"))
+        .filter(round(dot(col("uv"), col("wv")) / (col("unrm") * col("wnrm")), 6)
+          >= threshold)
+        .select(col("u"), col("w")))
+    val edges = pairs.select(col("u").as("src"), col("w").as("dst"))
+      .union(pairs.select(col("w").as("src"), col("u").as("dst")))
+    val labels = graft.graph.GraphOps.connectedComponents(edges)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n"))
+    emb.select(col("vec_id"))
+      .join(labels.select(col("node").as("vec_id"), col("comp")), Seq("vec_id"), "left")
+      .join(sizes.withColumnRenamed("comp", "comp2"),
+        col("comp") === col("comp2"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("canonical_id"),
+        coalesce(col("n"), lit(1L)).as("n_cluster"),
+        (coalesce(col("comp"), col("vec_id")) === col("vec_id")).as("is_canonical"))
+  }
 }

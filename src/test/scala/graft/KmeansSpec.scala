@@ -45,4 +45,48 @@ class KmeansSpec extends AnyFunSuite {
     val c2 = cohesion(2)
     assert(c2 >= c0 - 1e-6, s"refinement lost cohesion: $c0 -> $c2")
   }
+
+  test("q_dedup_semantic: every vector labeled once; canonical = min member; sizes consistent") {
+    val rows = VectorOps.q_dedup_semantic(s, TestSpark.sf).collect()
+    assert(rows.length == nVectors, "labeling must cover every vector exactly once")
+    val byCanon = rows.groupBy(_.getAs[Long]("canonical_id"))
+    byCanon.foreach { case (canon, members) =>
+      // canonical id IS the minimum member id (hash-min CC + keep-one rule)
+      assert(members.map(_.getAs[Long]("vec_id")).min == canon)
+      // every member agrees on the cluster size, and it is the real size
+      members.foreach(m => assert(m.getAs[Long]("n_cluster") == members.length))
+      assert(members.count(_.getAs[Boolean]("is_canonical")) == 1)
+    }
+    // the synthetic table has same-label near-dups: something must merge
+    assert(byCanon.exists(_._2.length >= 2), "no dup clusters found at all")
+  }
+
+  test("semantic dedup invariants: identical vectors always merge, orthogonal never, zero-norm quarantined") {
+    import s.implicits._
+    // identical pairs (10<->11, 20<->21), an orthogonal singleton, a
+    // zero-norm vector, spread across enough filler that k-means runs
+    val base = Seq(
+      // ids 0-1 exist because the k-means seed centroids are the vectors
+      // with vec_id < nClusters
+      (0L, Array(0.5, 0.5, 0.0, 0.0)),
+      (1L, Array(0.0, 0.5, 0.5, 0.0)),
+      (10L, Array(1.0, 0.0, 0.0, 0.0)),
+      (11L, Array(1.0, 0.0, 0.0, 0.0)),  // identical to 10
+      (20L, Array(0.0, 2.0, 0.0, 0.0)),
+      (21L, Array(0.0, 2.0, 0.0, 0.0)),  // identical to 20 (other direction)
+      (30L, Array(0.0, 0.0, 3.0, 0.0)),  // orthogonal to everything kept
+      (40L, Array(0.0, 0.0, 0.0, 0.0)))  // zero norm: quarantine
+    val emb = base.toDF("vec_id", "v")
+    val out = VectorOps.semanticDedupLabels(emb, nClusters = 2, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_cluster"))).toMap
+    assert(out.size == 8)
+    // identical vectors merge to the min id regardless of clustering
+    assert(out(10L) == (10L, 2L) && out(11L) == (10L, 2L))
+    assert(out(20L) == (20L, 2L) && out(21L) == (20L, 2L))
+    // orthogonal vector never merges with anything
+    assert(out(30L) == (30L, 1L))
+    // zero-norm vector is its own singleton, not NaN-poisoned
+    assert(out(40L) == (40L, 1L))
+  }
 }
