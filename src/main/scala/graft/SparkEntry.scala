@@ -157,7 +157,8 @@ object SparkEntry {
     "q_multimodal_audio" -> graft.multimodal.MultimodalOps.q_multimodal_audio,
     "q_multimodal_image" -> graft.multimodal.MultimodalOps.q_multimodal_image,
     "q_multimodal_video" -> graft.multimodal.MultimodalOps.q_multimodal_video,
-    "q_multimodal_frame_dedup" -> graft.multimodal.MultimodalOps.q_multimodal_frame_dedup
+    "q_multimodal_frame_dedup" -> graft.multimodal.MultimodalOps.q_multimodal_frame_dedup,
+    "q_multimodal_frame_dedup_exists" -> graft.multimodal.MultimodalOps.q_multimodal_frame_dedup_exists
   )
 
   /** DuckDB oracle SQL per oracle-checkable query (graft.Oracles). */

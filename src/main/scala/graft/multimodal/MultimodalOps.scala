@@ -347,21 +347,31 @@ object MultimodalOps {
       .orderBy("media_a", "media_b")
       .limit(5000)
 
-  /** The UNCAPPED frame-dedup pair pipeline over any (media_id, media
-    * BINARY-of-AVI) frame — what a drop-list consumer or a scale run uses;
-    * [[q_multimodal_frame_dedup]] adds only the display sort + limit. */
-  private[graft] def frameDedupPairs(videos: DataFrame): DataFrame = {
+  /** [no-oracle] The n_shared ≥ 1 EXISTENCE variant of
+    * [[q_multimodal_frame_dedup]] — the scale-relevant drop-list shape:
+    * skips the per-pair counting stream (at 10M media, the dominant cost
+    * of the full query) and emits just the distinct pair set sharing any
+    * blocked frame. Contract: ⊇ the full query's pairs projected to
+    * (media_a, media_b). */
+  def q_multimodal_frame_dedup_exists(s: SparkSession, d: String): DataFrame =
+    frameDedupExistencePairs(videoTable(s, d))
+      .orderBy("media_a", "media_b")
+      .limit(5000)
+
+  /** The blocked candidate-pair stream both dedup variants consume: one
+    * exploded (media_a, media_b) row PER SHARED FRAME per pair, from
+    * frame-hash groups inside the df ∈ [2, 20] blocking band.
+    * Fingerprints are computed INSIDE the parse pass: frame bytes (let
+    * alone pixels) never leave the mapPartitions — only 16-byte
+    * (media_id, fh) rows enter the shuffle. xxhash64 LONG fingerprints,
+    * not md5 strings: the hash is internal (nothing cross-engine reads
+    * it), and an 8-byte key vs a 32-char string shrinks every shuffle in
+    * the pipeline — measured 368 s → 322 s at 10M media (see
+    * RunMediaScale). 64-bit collisions at lake scale only matter if 2+
+    * collide onto the SAME media pair — vanishingly unlikely. */
+  private def framePairCandidates(videos: DataFrame): DataFrame = {
     val s = videos.sparkSession
     import s.implicits._
-    // fingerprints are computed INSIDE the parse pass: frame bytes (let
-    // alone pixels) never leave the mapPartitions — only 16-byte
-    // (media_id, fh) rows enter the shuffle. xxhash64 LONG fingerprints,
-    // not md5 strings: the hash is internal (nothing cross-engine reads
-    // it), and an 8-byte key vs a 32-char string shrinks every shuffle
-    // in the pipeline — measured 368 s → 322 s at 10M media (see
-    // RunMediaScale). 64-bit collisions at lake scale only matter if 2+
-    // collide onto the SAME media pair (pairs need n_shared ≥ 2) —
-    // vanishingly unlikely.
     val fdf = videos.as[VideoRow]
       .mapPartitions { it =>
         it.flatMap { r =>
@@ -381,10 +391,26 @@ object MultimodalOps {
           transform(slice(col("ms"), i + lit(2), size(col("ms"))),
             b => struct(a.as("media_a"), b.as("media_b")))))).as("p"))
       .select(col("p.media_a").as("media_a"), col("p.media_b").as("media_b"))
+  }
+
+  /** The UNCAPPED frame-dedup pair pipeline over any (media_id, media
+    * BINARY-of-AVI) frame — what a drop-list consumer or a scale run uses;
+    * [[q_multimodal_frame_dedup]] adds only the display sort + limit. */
+  private[graft] def frameDedupPairs(videos: DataFrame): DataFrame =
+    framePairCandidates(videos)
       .groupBy("media_a", "media_b")
       .agg(count(lit(1)).as("n_shared_frames"))
       .filter(col("n_shared_frames") >= 2)
-  }
+
+  /** The EXISTENCE pairs (n_shared ≥ 1, no count column): same blocked
+    * candidate stream, finished with a map-side-collapsing distinct
+    * instead of the per-pair counting aggregation — the cheap form for a
+    * consumer that only asks "do these two share any frame at all".
+    * Necessarily a SUPERSET of [[frameDedupPairs]] projected to its key
+    * columns (invariant-tested), the difference being exactly the
+    * single-shared-frame pairs the ≥ 2 rule treats as coincidence. */
+  private[graft] def frameDedupExistencePairs(videos: DataFrame): DataFrame =
+    framePairCandidates(videos).distinct()
 
   /** [no-oracle] Real video decode end-to-end: the synthetic AVI lake
     * runs through [[AviCodec.decode]] — an actual RIFF/AVI walker

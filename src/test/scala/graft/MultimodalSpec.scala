@@ -251,6 +251,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(M.frameFingerprint(v, v.frames(0)) == M.frameFingerprint(v, v.frames(1)))
   }
 
+  test("frame-dedup existence variant: superset of the counted pairs; finds 1-shared-frame pairs") {
+    import graft.multimodal.{MultimodalOps => M, AviCodec}
+    // contract on the real lake: existence pairs ⊇ counted pairs projected
+    val full = M.q_multimodal_frame_dedup(s, sf).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    val exists = M.q_multimodal_frame_dedup_exists(s, sf).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(full.subsetOf(exists),
+      s"existence dropped counted pairs: ${(full -- exists).take(5)}")
+    // the difference the ≥2 rule is ABOUT: a pair sharing exactly ONE
+    // frame appears in the existence set only
+    def frame(k: Int) = AviCodec.encodeDibFrame(3, 2,
+      Array.fill(6)(k * 0x010101), padSeed = k)
+    def avi(id: Long, ks: Int*) = M.VideoRow(id,
+      AviCodec.encodeAvi(3, 2, ks.map(frame), codec = AviCodec.DIB))
+    val tiny = s.createDataFrame(Seq(
+      avi(1L, 10, 11), avi(2L, 10, 12),     // share exactly frame 10
+      avi(3L, 20, 21), avi(4L, 20, 21)))    // share two frames
+    val fullTiny = M.frameDedupPairs(tiny).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    val existsTiny = M.frameDedupExistencePairs(tiny).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(fullTiny == Set((3L, 4L)))
+    assert(existsTiny == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("frame dedup finds pixel-identical re-encodes that raw-byte hashing would miss") {
     import graft.multimodal.{MultimodalOps => M}
     // two same-family ids: pixel-identical frames, byte-different payloads
