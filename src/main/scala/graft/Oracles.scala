@@ -820,6 +820,28 @@ object Oracles {
         |ORDER BY doc_id, score DESC, tok LIMIT 3000""".stripMargin,
 
 
+    // bigrams via the positioned-token self-join (b.pos = a.pos + 1) —
+    // identical pairs to Spark's 2-token ngram slices; every log argument
+    // is a ratio of exact integer counts, so only avg()'s float-sum order
+    // crosses engines (1e-15 vs the 1e-6 rounding grid)
+    "q_text_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |v AS (SELECT count(DISTINCT tok) AS vocab FROM tok),
+        |bg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        |       FROM tok a JOIN tok b
+        |         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |cbg AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |cctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |scored AS (
+        |  SELECT g.doc_id, ln((c2 + 1.0) / (c1 + vocab)) AS logp
+        |  FROM bg g JOIN cbg USING (w1, w2) JOIN cctx USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(logp), 6) AS avg_logp
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_sample_stratified" ->
       """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
         |FROM documents WHERE doc_id % 10 < 3

@@ -138,6 +138,7 @@ object SparkEntry {
     "q_sample_mixture" -> TextAnalysis.q_sample_mixture,
     "q_text_langid" -> TextAnalysis.q_text_langid,
     "q_text_tfidf" -> TextAnalysis.q_text_tfidf,
+    "q_text_lm_score" -> TextAnalysis.q_text_lm_score,
     "q_text_chunk" -> TextAnalysis.q_text_chunk,
     "q_text_fingerprint" -> TextAnalysis.q_text_fingerprint,
     "q_text_pii_mask" -> TextAnalysis.q_text_pii_mask,

@@ -308,4 +308,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("score").desc, col("tok"))
       .limit(3000)
   }
+
+  /** Bigram language-model quality score — the perplexity-filter stage of
+    * a pretraining pipeline (CCNet/RedPajama rank documents by an n-gram
+    * LM's per-token log-prob and drop the tail): per document, the mean
+    * natural-log probability of its bigrams under an add-1-smoothed
+    * bigram model, P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V). The model here is
+    * trained on the CORPUS ITSELF (the deterministic offline analog —
+    * production swaps in counts from a held-out reference corpus, same
+    * dataflow), so the score reads as "how typical is this document of
+    * the corpus"; outliers (noise, wrong-language, boilerplate-free
+    * gibberish) sit in the low tail.
+    *
+    * Fully oracle-checked: every log argument is a ratio of exact
+    * integer counts, identical in both engines; only the final mean
+    * crosses float-sum order, rounded to the 1e-6 grid (the corr-class
+    * convention).
+    *
+    * Scale stance: the bigram extraction is the native NgramStrings
+    * kernel (one pass, no HOF interpretation); counts are two partial-agg
+    * groupBys over the bigram stream; V rides a broadcast single-row
+    * cross join; scoring is one hash join per count table keyed by the
+    * bigram/context string, then a per-doc partial-agg mean. Nothing
+    * global, nothing driver-side, model tables shuffle-joined (a 100 TB
+    * corpus's bigram vocabulary outgrows any broadcast). */
+  def q_text_lm_score(s: SparkSession, d: String): DataFrame =
+    lmScoreOf(Tables.documents(s, d))
+
+  /** Core of [[q_text_lm_score]] over any (doc_id, text) frame —
+    * separated so specs can hand-check the smoothing arithmetic on a
+    * tiny fixture. Docs with <2 tokens have no bigrams and emit no row. */
+  private[graft] def lmScoreOf(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHash.ngramArr(col("text"), 2)).as("bg"))
+    val cBg = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    // context count = occurrences of w1 as a bigram head (positions 1..n-1)
+    val cCtx = bg.select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    bg.join(cBg, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(cCtx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((col("c2") + lit(1.0)) / (col("c1") + col("vocab"))).as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
 }

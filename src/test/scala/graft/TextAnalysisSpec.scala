@@ -161,6 +161,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("keep") == 1L)
   }
 
+  test("lm score: hand-checked add-1 smoothing on a tiny corpus; typical beats gibberish") {
+    import s.implicits._
+    // corpus: V = 4 (a b x y); bigram counts "a b"=2, "b a"=1, "x y"=1;
+    // context counts a=2, b=1, x=1
+    val docs = Seq((1L, "a b a b"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp"))).toMap
+    // V counts the z token too: vocab = 5
+    val v = 5.0
+    val d1 = (math.log((2 + 1) / (2 + v)) * 2 + math.log((1 + 1) / (1 + v))) / 3
+    val d2 = math.log((1 + 1) / (1 + v))
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - math.rint(d1 * 1e6) / 1e6) < 1e-9)
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - math.rint(d2 * 1e6) / 1e6) < 1e-9)
+    // single-token doc has no bigrams -> no row
+    assert(!out.contains(3L))
+    // the repeated-bigram doc is more "typical of the corpus"
+    assert(out(1L)._2 > out(2L)._2)
+    // real corpus: every doc scored, negative log-probs, n_bigrams = tokens-1
+    val real = TextAnalysis.q_text_lm_score(s, sf).collect()
+    val nDocs = Tables.documents(s, sf).count()
+    assert(real.length == nDocs)
+    real.foreach(r => assert(r.getAs[Double]("avg_logp") < 0.0))
+  }
+
   test("quality: ratios bounded and stopword counting sane") {
     val rows = TextAnalysis.q_text_quality(s, sf).collect()
     assert(rows.nonEmpty)
