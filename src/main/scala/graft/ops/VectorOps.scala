@@ -358,7 +358,11 @@ object VectorOps {
     * come out as their own singleton canonicals. */
   private[graft] def semanticDedupLabels(emb0: DataFrame, nClusters: Int,
       threshold: Double): DataFrame = {
-    val emb = emb0.withColumn("nrm", l2norm(col("v")))
+    // cut once: the normalized frame is consumed by FIVE subtrees (two
+    // Lloyd assignment passes, the cell assignment, both pair-join sides)
+    // — without the cut each re-reads the source and recomputes norms
+    val emb = graft.graph.GraphOps.cutLineage(
+      emb0.withColumn("nrm", l2norm(col("v"))))
     val directed = emb.filter(col("nrm") > 0)
     val cents = kmeansCentroids(directed, nClusters, iters = 2)
     val assigned = ivfAssignWith(directed, cents)
