@@ -122,7 +122,8 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
     val bstats = docs
-      .select(col("doc_id"), explode(TextOps.ngrams(split(col("text"), " "), 2)).as("g"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash.ngramArr(col("text"), 2)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_bigrams"))

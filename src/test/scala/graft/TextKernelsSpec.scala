@@ -58,8 +58,8 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(diff.count() == 0, diff.limit(5).collect().mkString("\n"))
   }
 
-  test("NgramStrings matches the transform/slice/array_join HOF grams bit for bit (g = 3 and 5)") {
-    for (g <- Seq(3, 5)) {
+  test("NgramStrings matches the transform/slice/array_join HOF grams bit for bit (g = 2, 3, 5)") {
+    for (g <- Seq(2, 3, 5)) {
       val hof = corpus.select(col("doc_id"),
         TextOps.ngrams(split(col("text"), " "), g).as("sh"))
       val native = corpus.select(col("doc_id"),
