@@ -438,6 +438,17 @@ object Oracles {
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
 
+    "q_events_top_paths" ->
+      """WITH tr AS (SELECT user_id,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    event_type AS e3
+        |  FROM events)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM tr WHERE e1 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
     "q_events_dau_wau" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM days GROUP BY day),

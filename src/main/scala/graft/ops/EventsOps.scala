@@ -227,6 +227,30 @@ object EventsOps {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Top 3-step event-type paths — the product-analytics "common journeys"
+    * query (the k=3 generalization of [[q_events_transition]]'s Markov
+    * edges): consecutive per-user event-type triples, counted globally,
+    * top 20 by (count desc, path asc — the rounded-tie rule).
+    *
+    * Scale stance: the triple extraction is one user-partitioned window
+    * (millions of small per-user sorts distribute; never unpartitioned);
+    * the count is a partial-agg groupBy over a key space bounded by
+    * |event types|³, not by events; top-20 is a distributed TakeOrdered,
+    * not a global sort. */
+  def q_events_top_paths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"),
+        lag(col("event_type"), 2).over(w).as("e1"),
+        lag(col("event_type"), 1).over(w).as("e2"),
+        col("event_type").as("e3"))
+      .filter(col("e1").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   /** Per-user outlier events by z-score — the monitoring / data-quality
     * staple. Determinism across engines is engineered, not hoped for: the
     * per-user moments come from EXACT decimal sums (sum v, sum v², n), and
