@@ -355,9 +355,16 @@ object VectorOps {
   /** The uncapped labeling over any (vec_id, v ARRAY<DOUBLE>) frame —
     * [[q_dedup_semantic]] adds only the display sort + limit. Zero-norm
     * vectors have no direction (cosine undefined): they join no pair and
-    * come out as their own singleton canonicals. */
+    * come out as their own singleton canonicals.
+    *
+    * `subPlanes` is the hot-cell knob for lake-scale corpora: when
+    * non-empty, the candidate block is (k-means cell, sign-LSH bucket
+    * over these hyperplanes) instead of the cell alone — Σ(block size)²
+    * drops by ~2^bits while near-identical vectors (the ≥ threshold
+    * pairs a DEDUP cares about) still share every sign bit w.h.p.
+    * RunSemanticScale measures the effect at 1M vectors. */
   private[graft] def semanticDedupLabels(emb0: DataFrame, nClusters: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, subPlanes: Seq[Array[Double]] = Nil): DataFrame = {
     // cut once: the normalized frame is consumed by FIVE subtrees (two
     // Lloyd assignment passes, the cell assignment, both pair-join sides)
     // — without the cut each re-reads the source and recomputes norms
@@ -365,15 +372,22 @@ object VectorOps {
       emb0.withColumn("nrm", l2norm(col("v"))))
     val directed = emb.filter(col("nrm") > 0)
     val cents = kmeansCentroids(directed, nClusters, iters = 2)
-    val assigned = ivfAssignWith(directed, cents)
-    val a = assigned.select(col("cell"), col("vec_id").as("u"),
+    // cut the assignment too: both pair-join sides consume it, and the
+    // nClusters-way argmax projection is the most expensive narrow stage
+    val assigned = graft.graph.GraphOps.cutLineage(
+      if (subPlanes.isEmpty)
+        ivfAssignWith(directed, cents).withColumn("blk", col("cell"))
+      else ivfAssignWith(directed, cents)
+        .withColumn("blk", struct(col("cell"),
+          lshBucket(col("v"), subPlanes).as("sub"))))
+    val a = assigned.select(col("blk"), col("vec_id").as("u"),
       col("v").as("uv"), col("nrm").as("unrm"))
-    val b = assigned.select(col("cell"), col("vec_id").as("w"),
+    val b = assigned.select(col("blk"), col("vec_id").as("w"),
       col("v").as("wv"), col("nrm").as("wnrm"))
     // 6-dp rounding BEFORE the threshold keeps the predicate reproducible
     // across plan changes (same convention as q_sim_neardup_cosine)
     val pairs = graft.graph.GraphOps.cutLineage(
-      a.join(b, Seq("cell")).filter(col("u") < col("w"))
+      a.join(b, Seq("blk")).filter(col("u") < col("w"))
         .filter(round(dot(col("uv"), col("wv")) / (col("unrm") * col("wnrm")), 6)
           >= threshold)
         .select(col("u"), col("w")))
