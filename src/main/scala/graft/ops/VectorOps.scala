@@ -150,7 +150,8 @@ object VectorOps {
     var cents = centroids(emb, k)
     for (_ <- 1 to iters) {
       val assigned = emb.select(col("v"),
-        (-greatest(centroidSims(cents): _*).getField("nid")).as("cell"))
+        graft.functions.NearestCentroid.nearest(col("v"), cents.toSeq)
+          .getField("cell").as("cell"))
       val next = assigned.groupBy("cell")
         .agg(vsum(col("v")).as("sum"), count(lit(1)).as("n"))
         .collect()
@@ -176,11 +177,10 @@ object VectorOps {
   def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame =
     ivfAssignWith(emb, centroids(emb, nCentroids))
 
-  private def ivfAssignWith(emb: DataFrame, cents: Array[(Long, Array[Double], Double)]): DataFrame = {
-    val sims = centroidSims(cents)
+  private def ivfAssignWith(emb: DataFrame, cents: Array[(Long, Array[Double], Double)]): DataFrame =
     emb.select(col("vec_id"), col("v"), col("nrm"),
-      (-greatest(sims: _*).getField("nid")).as("cell"))
-  }
+      graft.functions.NearestCentroid.nearest(col("v"), cents.toSeq)
+        .getField("cell").as("cell"))
 
   /** Multiprobe cell assignment: `nprobe` rows per vector — its nprobe
     * NEAREST cells by centroid cosine (the IVF search-quality knob: probe
@@ -248,10 +248,10 @@ object VectorOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2norm(col("v")))
     val cents = kmeansCentroids(emb, 16, iters = 2)
-    val sims = centroidSims(cents)
+    val nc = graft.functions.NearestCentroid.nearest(col("v"), cents.toSeq)
     emb.select(col("vec_id"),
-        greatest(sims: _*).getField("sim").as("cos"),
-        (-greatest(sims: _*).getField("nid")).as("cluster"))
+        nc.getField("sim").as("cos"),
+        nc.getField("cell").as("cluster"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_vectors"),
         round(avg(col("cos")), 6).as("avg_cos"))
