@@ -446,7 +446,8 @@ object Oracles {
         |  FROM events)
         |SELECT e1 || '>' || e2 || '>' || e3 AS path,
         |       CAST(count(*) AS BIGINT) AS n
-        |FROM tr WHERE e1 IS NOT NULL
+        |FROM tr
+        |WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     "q_events_dau_wau" ->

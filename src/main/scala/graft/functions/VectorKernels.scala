@@ -20,18 +20,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * ride along as a plan-referenced object, the broadcast-small-model
   * pattern), returning struct(cell, sim).
   *
-  * Argmax semantics are EXACTLY the greatest(struct(sim, -cid)) form it
+  * Argmax semantics are the greatest(struct(sim, -cid)) form it
   * replaces: per-centroid sim = dot(v, c) / (‖v‖·‖c‖) with left-to-right
-  * summation (DotProduct's association), winner = max sim with ties —
-  * including the all-NaN zero-norm case — broken toward the SMALLEST
-  * centroid id (centroids are pre-sorted by id; `Double.compare` orders
-  * NaN largest, matching Spark's greatest). VectorKernelsSpec pins
-  * bit-equality against the struct-greatest form.
+  * summation (DotProduct's association), winner = max sim, ties broken
+  * toward the SMALLEST centroid id (centroids are pre-sorted by id;
+  * strict `Double.compare` keeps the first). NaN ordering matches Spark's
+  * greatest (`Double.compare` puts NaN above every real), so a vector
+  * with NaN COMPONENTS — all sims NaN — resolves to the smallest id in
+  * both forms. The one place the forms differ is a zero-NORM vector:
+  * Spark division by zero is NULL (non-ANSI) or DIVIDE_BY_ZERO (default
+  * ANSI), never IEEE NaN, so the greatest form nulls every sim and falls
+  * to the same smallest-id tiebreak (non-ANSI) or throws (ANSI) — the
+  * kernel instead returns (smallest id, NaN) deterministically: same
+  * cell, no throw, NaN instead of NULL in the sim. Zero-norm CENTROIDS
+  * are rejected at construction (under NaN-largest ordering one would
+  * swallow every vector — malformed model state fails fast, not
+  * silently). Dimension mismatches throw rather than truncate.
+  * VectorKernelsSpec pins all of the above against the struct-greatest
+  * form under non-ANSI (IEEE-flavored) division.
   */
 object VectorKernels {
 
   /** (cell id, cosine) of the nearest centroid. `cents`/`norms`/`ids`
-    * MUST be sorted by id ascending (ties then resolve to min id). */
+    * MUST be sorted by id ascending (ties then resolve to min id); every
+    * centroid must share the vector's dimension — mismatches throw
+    * rather than truncate (centroids are uniform model state, so a
+    * mismatch is malformed embedding data worth surfacing). */
   def nearestCentroid(v: ArrayData, cents: Array[Array[Double]],
       norms: Array[Double], ids: Array[Long]): InternalRow = {
     val arr = v.toDoubleArray()
@@ -44,9 +58,14 @@ object VectorKernels {
     var c = 0
     while (c < cents.length) {
       val cv = cents(c)
+      // Centroids are uniform model state derived from these vectors —
+      // a dimension mismatch is malformed input, not a case to truncate
+      // through silently (a partial dot would mis-assign and mask it).
+      if (arr.length != cv.length) throw new IllegalArgumentException(
+        s"nearest_centroid: vector dim ${arr.length} != centroid dim ${cv.length}")
       var dot = 0.0
       var j = 0
-      val n = math.min(arr.length, cv.length)
+      val n = arr.length
       while (j < n) { dot += arr(j) * cv(j); j += 1 }
       val sim = dot / (vn * norms(c))
       // Double.compare orders NaN above every real — Spark's greatest
@@ -65,6 +84,9 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]],
     norms: Array[Double], ids: Array[Long]) extends UnaryExpression {
   require(cents.length > 0 && cents.length == norms.length &&
     cents.length == ids.length, "need >= 1 centroid with norms and ids")
+  require(norms.forall(n => n > 0 && !n.isNaN),
+    "zero/NaN-norm centroid: malformed model state (its NaN sim would " +
+      "rank above every real sim and swallow every vector)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

@@ -367,8 +367,13 @@ object MultimodalOps {
     * not md5 strings: the hash is internal (nothing cross-engine reads
     * it), and an 8-byte key vs a 32-char string shrinks every shuffle in
     * the pipeline — measured 368 s → 322 s at 10M media (see
-    * RunMediaScale). 64-bit collisions at lake scale only matter if 2+
-    * collide onto the SAME media pair — vanishingly unlikely. */
+    * RunMediaScale). Collision exposure differs per consumer: the
+    * n_shared >= 2 dedup pairs need 2+ collisions onto the SAME media
+    * pair (negligible²), but [[frameDedupExistencePairs]]'s n_shared >= 1
+    * drop-list means a SINGLE xxhash64 collision inside a blocking band
+    * creates one false dup pair — still ~N_blocked_pairs/2^64 (harmless
+    * at any realistic band size; widen the fingerprint if a drop-list
+    * consumer can't tolerate it). */
   private def framePairCandidates(videos: DataFrame): DataFrame = {
     val s = videos.sparkSession
     import s.implicits._

@@ -244,8 +244,12 @@ object EventsOps {
         lag(col("event_type"), 2).over(w).as("e1"),
         lag(col("event_type"), 1).over(w).as("e2"),
         col("event_type").as("e3"))
-      .filter(col("e1").isNotNull)
-      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      // All three legs null-filtered (oracle filters identically): with
+      // concat_ws a NULL event_type would yield 'a>b' in Spark while the
+      // oracle's e1||'>'||e2||'>'||e3 yields NULL — the engines must agree
+      // by construction, not by the synthetic data happening to be non-null.
+      .filter(col("e1").isNotNull && col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat(col("e1"), lit(">"), col("e2"), lit(">"), col("e3")).as("path"))
       .groupBy("path").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))
       .limit(20)
