@@ -12,23 +12,29 @@ import graft.bigclam.BigClam
   * communities, fit BigCLAM, and report symmetric best-match F1 against the
   * planted assignment.
   *
-  *   runMain graft.RunPlanted <nNodes> <nCommunities> <intraEdges> <interEdges> <maxIterations> [supportCap=16] [hotDegCap=200] [stableTol]
+  *   runMain graft.RunPlanted <nNodes> <nCommunities> <intraEdges> <interEdges> <maxIterations> [supportCap=16] [hotDegCap=200] [stableTol=0.01]
   *
   * K is set to the planted community count. e.g. a 100k-node, 50-community
-  * recovery: runMain graft.RunPlanted 100000 50 1000000 50000 5
+  * recovery: runMain graft.RunPlanted 100000 50 1000000 50000 40
+  *
+  * The membership-churn stop is the DEFAULT (stableTol 0.01) with
+  * `maxIterations` as the guard-rail cap — the dense-giant analysis showed
+  * fixed caps land mid-restructure and relative-LLH stops quit during
+  * slow-LLH/high-churn phases, so budget by churn unless explicitly
+  * disabled (stableTol 0 runs the fixed cap alone).
   */
 object RunPlanted {
   def main(args: Array[String]): Unit = {
     if (args.length < 5) {
       System.err.println("usage: RunPlanted <nNodes> <nCommunities> " +
         "<intraEdges> <interEdges> <maxIterations> [supportCap=16] " +
-        "[hotDegCap=200] [stableTol — e.g. 0.01 stops at <1% argmax churn]")
+        "[hotDegCap=200] [stableTol=0.01 — <1% argmax churn; 0 disables]")
       sys.exit(2)
     }
     val Array(nNodes, nComms, intra, inter, iters) = args.take(5).map(_.toLong)
     val cap = args.lift(5).map(_.toInt).getOrElse(16)
     val hotCap = args.lift(6).map(_.toLong).getOrElse(200L)
-    val stableTol = args.lift(7).map(_.toDouble)
+    val stableTol = Some(args.lift(7).map(_.toDouble).getOrElse(0.01)).filter(_ > 0)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -13,14 +13,18 @@ import graft.bigclam.BigClam
   * fitted multi-membership mass plus a structure-destroying striped
   * baseline so the score has a floor to beat.
   *
-  *   runMain graft.RunPlantedCover <nNodes> <nCommunities> <pSingle> <interEdges> <maxIterations> [supportCap=16] [hotDegCap=200] [stableTol]
-  */
+  *   runMain graft.RunPlantedCover <nNodes> <nCommunities> <pSingle> <interEdges> <maxIterations> [supportCap=16] [hotDegCap=200] [stableTol=0.01]
+  *
+  * The membership-churn stop is the DEFAULT (stableTol 0.01) with
+  * `maxIterations` as the guard-rail cap — fixed caps land mid-restructure
+  * in the dense-giant regime (see README's churn-trace analysis); pass
+  * stableTol 0 to run the fixed cap alone. */
 object RunPlantedCover {
   def main(args: Array[String]): Unit = {
     if (args.length < 5) {
       System.err.println("usage: RunPlantedCover <nNodes> <nCommunities> " +
         "<pSingle> <interEdges> <maxIterations> [supportCap=16] " +
-        "[hotDegCap=200] [stableTol]")
+        "[hotDegCap=200] [stableTol=0.01 — 0 disables]")
       sys.exit(2)
     }
     val nNodes = args(0).toLong
@@ -30,7 +34,7 @@ object RunPlantedCover {
     val iters = args(4).toInt
     val cap = args.lift(5).map(_.toInt).getOrElse(16)
     val hotCap = args.lift(6).map(_.toLong).getOrElse(200L)
-    val stableTol = args.lift(7).map(_.toDouble)
+    val stableTol = Some(args.lift(7).map(_.toDouble).getOrElse(0.01)).filter(_ > 0)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

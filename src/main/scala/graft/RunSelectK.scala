@@ -10,22 +10,26 @@ import graft.bigclam.BigClam
   * early-stop when the relative LLH gain drops below 1e-3, report the
   * chosen K and the full evaluated grid.
   *
-  *   runMain graft.RunSelectK <edgeListPath> <minK> <maxK> <steps> <fitIters> [dense|sparse:<m>] [stableTol]
+  *   runMain graft.RunSelectK <edgeListPath> <minK> <maxK> <steps> <fitIters> [dense|sparse:<m>] [stableTol] [hotDegCap=200]
   *
   * `sparse:<m>` walks the grid over the capped sparse fit — the reference's
   * own published grid (K=1000→9000) is only reachable that way; `stableTol`
-  * further lets each grid point stop on membership stability. */
+  * further lets each grid point stop on membership stability. `hotDegCap`
+  * truncates hub egos inside the shared conductance seeding (default 200,
+  * like every other scale main — uncapped, a power-law hub expands deg²
+  * rows; pass 0 to disable on small/hubless graphs). */
 object RunSelectK {
   def main(args: Array[String]): Unit = {
     if (args.length < 5) {
       System.err.println("usage: runMain graft.RunSelectK <edgeListPath> " +
-        "<minK> <maxK> <steps> <fitIters> [dense|sparse:<m>] [stableTol]")
+        "<minK> <maxK> <steps> <fitIters> [dense|sparse:<m>] [stableTol] [hotDegCap=200]")
       sys.exit(2)
     }
     val Array(path, minK, maxK, steps, iters) = args.take(5)
     val mode = args.lift(5).getOrElse("dense")
     val supportCap = if (mode.startsWith("sparse:")) Some(mode.drop(7).toInt) else None
     val stableTol = args.lift(6).map(_.toDouble)
+    val hotDegCap = Some(args.lift(7).map(_.toLong).getOrElse(200L)).filter(_ > 0)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -41,11 +45,11 @@ object RunSelectK {
         BigClam.selectKSparse(edges, BigClam.Params(k = minK.toInt),
           minK = minK.toInt, maxK = maxK.toInt, steps = steps.toInt,
           fitIterations = iters.toInt, supportCap = supportCap,
-          stableTol = stableTol)
+          stableTol = stableTol, hotDegCap = hotDegCap)
       else
         BigClam.selectK(edges, BigClam.Params(k = minK.toInt),
           minK = minK.toInt, maxK = maxK.toInt, steps = steps.toInt,
-          fitIterations = iters.toInt)
+          fitIterations = iters.toInt, hotDegCap = hotDegCap)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[selectk] $path: $nEdges directed edges, grid " +
       s"${grid.map(_._1).mkString("{", ",", "}")} ($iters iters each) " +

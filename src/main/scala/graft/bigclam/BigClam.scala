@@ -611,16 +611,20 @@ object BigClam {
     * 116-133, 225-266): walk a log-spaced K grid ascending, fit each K, and
     * stop when the relative LLH gain over the previous K falls below kTol
     * (1e-3 at bigclam4-7.scala:259). Conductance seeding is computed once
-    * per graph inside init via the shared seedRank plan. Returns the chosen
-    * (k, F, per-K final LLH). */
+    * per graph inside init via the shared seedRank plan. `hotDegCap`
+    * truncates hub egos inside that seeding — on a power-law graph an
+    * uncapped hub expands deg² rows, the one quadratic hazard in the
+    * pipeline; every scale main passes 200, and so should any caller whose
+    * graph has hubs. Returns the chosen (k, F, per-K final LLH). */
   def selectK(edges: DataFrame, base: Params, minK: Int, maxK: Int, steps: Int,
       kTol: Double = 1e-3, fitIterations: Int = 3,
+      hotDegCap: Option[Long] = None,
       retainedProbe: Int => Unit = _ => ()): (Int, DataFrame, Seq[(Int, Double)]) = {
     requireEdges(edges)
     val grid = logSpacedK(minK, maxK, steps)
     // the conductance seed ranking is K-independent: compute it once for the
     // whole grid (the per-K init only runs the cheap ego joins on top)
-    val ranked = GraphOps.seedRank(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val ranked = GraphOps.seedRank(edges, hotDegCap).persist(StorageLevel.MEMORY_AND_DISK)
     // per evaluated K, keep only the LLH scalar (the reference keeps only LLH,
     // bigclam4-7.scala:259) plus the single best-so-far F — never the full
     // per-K DataFrame list (a 100-step grid would hold 100 checkpointed factor
@@ -655,10 +659,11 @@ object BigClam {
   def selectKSparse(edges: DataFrame, base: Params, minK: Int, maxK: Int,
       steps: Int, kTol: Double = 1e-3, fitIterations: Int = 3,
       supportCap: Option[Int] = None, stableTol: Option[Double] = None,
+      hotDegCap: Option[Long] = None,
       retainedProbe: Int => Unit = _ => ()): (Int, DataFrame, Seq[(Int, Double)]) = {
     requireEdges(edges)
     val grid = logSpacedK(minK, maxK, steps)
-    val ranked = GraphOps.seedRank(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val ranked = GraphOps.seedRank(edges, hotDegCap).persist(StorageLevel.MEMORY_AND_DISK)
     var evals = List.empty[(Int, Double)]
     var best: Option[(Int, Double, DataFrame)] = None
     var prevLlh = Option.empty[Double]
