@@ -309,7 +309,9 @@ object MultimodalOps {
     * byte layout (row padding, bottom-up vs re-padded re-mux) fingerprint
     * identically; for unknown codecs it falls back to the raw payload
     * bytes (still catches byte-identical re-muxes, the honest best
-    * available without that codec). */
+    * available without that codec — MultimodalSpec's non-DIB fixture
+    * covers the fallback: re-muxed identical payloads pair, nothing is
+    * quarantined). */
   private[graft] def frameFingerprint(v: AviCodec.Avi, f: Array[Byte]): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val pixels =

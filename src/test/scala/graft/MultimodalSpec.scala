@@ -277,6 +277,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(existsTiny == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("non-DIB fallback: raw-payload fingerprints dedup byte-identical re-muxes, quarantine nothing") {
+    import graft.multimodal.{MultimodalOps => M, AviCodec}
+    // compressed-codec frame payloads: opaque bytes, NOT valid 3x2 DIB rows
+    // (odd lengths on purpose — the decoder must not try to tile them)
+    def payload(k: Int) = Array.tabulate[Byte](13 + k % 5)(i => (i * 31 + k).toByte)
+    def avi(id: Long, fps: Int, ks: Int*) = M.VideoRow(id,
+      AviCodec.encodeAvi(3, 2, ks.map(payload), fps = fps, codec = "mjpg"))
+    // 1 & 2: SAME frame payloads at different fps — a re-mux whose container
+    // bytes differ but frame bytes match; 3 shares exactly one frame with
+    // each; 4 is fully disjoint
+    val rows = Seq(avi(1L, 25, 10, 11), avi(2L, 30, 10, 11),
+      avi(3L, 25, 10, 90), avi(4L, 25, 50, 51))
+    assert(!rows(0).media.sameElements(rows(1).media), "containers must differ")
+    // every stream parses (no quarantine) and records a non-BI_RGB codec —
+    // the branch frameFingerprint answers with the raw-payload hash
+    rows.foreach { r =>
+      val v = AviCodec.decode(r.media)
+      assert(v.isDefined, s"media ${r.media_id} quarantined")
+      assert(v.get.compression != 0)
+    }
+    val df = s.createDataFrame(rows)
+    val full = M.frameDedupPairs(df).collect()
+    assert(full.map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+      == Set((1L, 2L)), s"expected only the re-mux pair: ${full.toSeq}")
+    assert(full.head.getAs[Long]("n_shared_frames") == 2L)
+    val exists = M.frameDedupExistencePairs(df).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(exists == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("frame dedup finds pixel-identical re-encodes that raw-byte hashing would miss") {
     import graft.multimodal.{MultimodalOps => M}
     // two same-family ids: pixel-identical frames, byte-different payloads
