@@ -352,6 +352,26 @@ object VectorOps {
       .orderBy("vec_id")
       .limit(5000)
 
+  /** [no-oracle] The sub-bucketed twin of [[q_dedup_semantic]] — the
+    * declared 100 TB shape: candidate blocks are (k-means cell, 4-bit
+    * sign-LSH sub-bucket) instead of the cell alone, the hot-cell knob a
+    * lake-scale run needs (Σ(block size)² drops ~16×; RunSemanticScale
+    * measures it at 1M vectors). Sub-bucketing only REMOVES candidate
+    * pairs, so its labeling REFINES the unbucketed one — every bucketed
+    * cluster is contained in exactly one unbucketed cluster, and exact
+    * copies (identical vectors → identical sign patterns, deterministically
+    * the same sub-bucket) still merge; borderline near-threshold pairs may
+    * split across sub-buckets, the recall trade the knob buys its
+    * quadratic savings with. Both invariants are pinned in KmeansSpec. */
+  def q_dedup_semantic_bucketed(s: SparkSession, d: String): DataFrame =
+    semanticDedupLabels(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      nClusters = 16, threshold = 0.35,
+      subPlanes = hyperplanes(nBits = 4, dim = 64))
+      .orderBy("vec_id")
+      .limit(5000)
+
   /** The uncapped labeling over any (vec_id, v ARRAY<DOUBLE>) frame —
     * [[q_dedup_semantic]] adds only the display sort + limit. Zero-norm
     * vectors have no direction (cosine undefined): they join no pair and

@@ -89,4 +89,51 @@ class KmeansSpec extends AnyFunSuite {
     // zero-norm vector is its own singleton, not NaN-poisoned
     assert(out(40L) == (40L, 1L))
   }
+
+  test("q_dedup_semantic_bucketed: refines the unbucketed labeling; same output contract") {
+    val rows = VectorOps.q_dedup_semantic_bucketed(s, TestSpark.sf).collect()
+    // same shape contract as the unbucketed query
+    assert(rows.length == nVectors, "labeling must cover every vector exactly once")
+    rows.groupBy(_.getAs[Long]("canonical_id")).foreach { case (canon, members) =>
+      assert(members.map(_.getAs[Long]("vec_id")).min == canon)
+      members.foreach(m => assert(m.getAs[Long]("n_cluster") == members.length))
+      assert(members.count(_.getAs[Boolean]("is_canonical")) == 1)
+    }
+    // REFINEMENT: sub-bucketing only removes candidate pairs, so every
+    // bucketed cluster must sit inside exactly one unbucketed cluster
+    val unbucketed = VectorOps.q_dedup_semantic(s, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("canonical_id")).toMap
+    rows.groupBy(_.getAs[Long]("canonical_id")).foreach { case (canon, members) =>
+      val parents = members.map(m => unbucketed(m.getAs[Long]("vec_id"))).toSet
+      assert(parents.size == 1,
+        s"bucketed cluster $canon straddles unbucketed clusters $parents")
+    }
+    // determinism across invocations (seeded hyperplanes, no rand())
+    val again = VectorOps.q_dedup_semantic_bucketed(s, TestSpark.sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("bucketed semantic dedup: exact copies share every sign bit and still merge") {
+    import s.implicits._
+    val base = Seq(
+      (0L, Array(0.5, 0.5, 0.0, 0.0)),
+      (1L, Array(0.0, 0.5, 0.5, 0.0)),
+      (10L, Array(1.0, 0.0, 0.0, 0.0)),
+      (11L, Array(1.0, 0.0, 0.0, 0.0)),  // identical to 10
+      (20L, Array(0.0, 2.0, 0.0, 0.0)),
+      (21L, Array(0.0, 2.0, 0.0, 0.0)),  // identical to 20
+      (30L, Array(0.0, 0.0, 3.0, 0.0)),
+      (40L, Array(0.0, 0.0, 0.0, 0.0)))  // zero norm: quarantine
+    val out = VectorOps.semanticDedupLabels(base.toDF("vec_id", "v"),
+      nClusters = 2, threshold = 0.9,
+      subPlanes = VectorOps.hyperplanes(nBits = 4, dim = 4))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_cluster"))).toMap
+    // identical vectors have identical sign patterns — the sub-bucket can
+    // NEVER separate an exact copy from its original
+    assert(out(10L) == (10L, 2L) && out(11L) == (10L, 2L))
+    assert(out(20L) == (20L, 2L) && out(21L) == (20L, 2L))
+    assert(out(30L) == (30L, 1L))
+    assert(out(40L) == (40L, 1L))
+  }
 }
