@@ -16,7 +16,10 @@ import graft.ops.VectorOps
   *   (b) the 5 exact copies of EVERY family share one label (identical
   *       vectors hash to identical cell + sub-bucket deterministically);
   * and reports the perturbed-member recall (how many of the 5 noisy
-  * copies the block survived — the knob-vs-recall tradeoff measured).
+  * copies the block survived — the knob-vs-recall tradeoff measured),
+  * DECOMPOSED into cross-cell misses (inherent SemDeDup blocking loss —
+  * the multiprobe case) vs same-cell sub-bucket splits (the hot-cell
+  * knob's price) vs in-block misses (threshold loss; expect 0).
   *
   *   runMain graft.RunSemanticScale [nVec=1000000] [k=256] [subBits=6] [threshold=0.9]
   *
@@ -68,7 +71,9 @@ object RunSemanticScale {
       }
       .toDF("vec_id", "v")
     val planes = if (subBits > 0) VectorOps.hyperplanes(subBits, dim) else Nil
-    val labels = VectorOps.semanticDedupLabels(emb, k, threshold, planes)
+    val (labels0, assigned) =
+      VectorOps.semanticDedupWithBlocks(emb, k, threshold, planes)
+    val labels = labels0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = labels.count()
     println(f"[semscale] $n labels over $nVec vectors, k=$k subBits=$subBits " +
@@ -93,6 +98,35 @@ object RunSemanticScale {
     println(f"[semscale] exact-copy families intact: all; perturbed members " +
       f"merged: $merged/${nVec / 2} (${merged * 100.0 / (nVec / 2)}%.2f%%)  " +
       f"TOTAL $secs%.1f s")
+
+    // Recall decomposition: WHERE did the missed perturbed members go?
+    // Reference block = the family's exact-copy block (member fam*10 —
+    // all 5 exact copies share it deterministically). A miss is either
+    //   cross_cell: landed in a different k-means CELL (the inherent
+    //     SemDeDup blocking loss; multiprobe assignment would recover it),
+    //   sub_split: same cell, different sign-LSH sub-bucket (the price of
+    //     the hot-cell knob; fewer subBits recover it), or
+    //   in_block:  shared the full block and STILL missed (threshold
+    //     loss — expect 0 at cos≈0.9988 vs threshold 0.9).
+    val missed = labels.filter(col("vec_id") % 10 >= 5)
+      .filter(col("n_cluster") === 1).select(col("vec_id"))
+    val memberBlk = assigned.select(fam(col("vec_id")).as("fam"),
+      col("vec_id"), col("cell"), col("blk"))
+    val baseBlk = assigned.filter(col("vec_id") % 10 === 0)
+      .select(fam(col("vec_id")).as("fam"),
+        col("cell").as("base_cell"), col("blk").as("base_blk"))
+    val missRows = missed.join(memberBlk, Seq("vec_id")).join(baseBlk, Seq("fam"))
+      .select(
+        when(col("cell") =!= col("base_cell"), "cross_cell")
+          .when(!(col("blk") <=> col("base_blk")), "sub_split")
+          .otherwise("in_block").as("why"))
+      .groupBy("why").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMissed = nVec / 2 - merged
+    println(s"[semscale] missed $nMissed decompose: " +
+      s"cross_cell=${missRows.getOrElse("cross_cell", 0L)} " +
+      s"sub_split=${missRows.getOrElse("sub_split", 0L)} " +
+      s"in_block=${missRows.getOrElse("in_block", 0L)}")
     spark.stop()
   }
 }

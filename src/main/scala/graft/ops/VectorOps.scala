@@ -235,6 +235,52 @@ object VectorOps {
   def q_sim_ann_ivf(s: SparkSession, d: String): DataFrame =
     ivfTopK(s, d, nprobe = 2)
 
+  /** Exact GLOBAL top-k for the bounded probe sample — probes × N pairs
+    * (a fixed sample times one linear candidate scan; the offline ground
+    * truth an ANN audit ranks against, NOT an N² all-pairs). */
+  private[graft] def bruteTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val probes = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("u"), col("v").as("uv"), col("nrm").as("unrm"))
+    val cands = emb.select(col("vec_id").as("w"), col("v").as("wv"), col("nrm").as("wnrm"))
+    val pairs = probes.crossJoin(cands).filter(col("u") =!= col("w"))
+      .select(col("u"), col("w"),
+        round(dot(col("uv"), col("wv")) / (col("unrm") * col("wnrm")), 6).as("cosine"))
+    val win = Window.partitionBy("u").orderBy(col("cosine").desc, col("w").asc)
+    pairs.select(col("u"), col("w"), col("cosine"), row_number().over(win).as("rn"))
+      .filter(col("rn") <= k)
+      .select(col("u").as("vec_id"), col("w").as("neighbor_id"))
+  }
+
+  /** [no-oracle] ANN recall audit — the offline recall@k estimate a
+    * production deployment runs before trusting an index: exact global
+    * top-3 for the 100-probe sample ([[bruteTopK]]) vs the declared
+    * IVF(nprobe=2) top-3, one row per probe with the overlap count and
+    * recall. Both rankings use the same (rounded-cosine desc, id asc)
+    * tiebreak, so the set comparison is deterministic.
+    *
+    * Scale stance: the exact side costs |sample| × N (linear in the lake
+    * for a fixed sample — this is how recall IS estimated at scale), the
+    * IVF side is the index's own bounded probe; the compare is a
+    * probe-keyed join over ≤ k·|sample| rows. TextAnalysisSpec pins
+    * recall ∈ [0,1], determinism, and that probing ALL cells snaps recall
+    * to exactly 1.0 for every probe (the audit audits itself). */
+  def q_sim_ann_recall(s: SparkSession, d: String): DataFrame = {
+    val truth = bruteTopK(s, d, k = 3)
+    val approx = ivfTopK(s, d, nprobe = 2)
+      .select(col("vec_id"), col("neighbor_id"))
+    val found = truth.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy("vec_id").agg(count(lit(1)).as("n_found"))
+    truth.groupBy("vec_id").agg(count(lit(1)).as("n_true"))
+      .join(found, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        round(coalesce(col("n_found"), lit(0L)) / col("n_true"), 6).as("recall"))
+      .orderBy("vec_id")
+  }
+
   /** [no-oracle] Embedding clustering — the diversity-sampling /
     * coverage-analysis primitive of a training-data pipeline: 2-round
     * spherical k-means over all vectors, reporting per-cluster size and
@@ -384,7 +430,16 @@ object VectorOps {
     * pairs a DEDUP cares about) still share every sign bit w.h.p.
     * RunSemanticScale measures the effect at 1M vectors. */
   private[graft] def semanticDedupLabels(emb0: DataFrame, nClusters: Int,
-      threshold: Double, subPlanes: Seq[Array[Double]] = Nil): DataFrame = {
+      threshold: Double, subPlanes: Seq[Array[Double]] = Nil): DataFrame =
+    semanticDedupWithBlocks(emb0, nClusters, threshold, subPlanes)._1
+
+  /** [[semanticDedupLabels]] plus the block assignment it used —
+    * (vec_id, cell, blk) for every nonzero-norm vector. The assignment
+    * frame is the labeler's own lineage-cut intermediate (no recompute);
+    * RunSemanticScale reads it to DECOMPOSE recall losses into
+    * cross-cell vs same-cell/cross-sub-bucket vs in-block misses. */
+  private[graft] def semanticDedupWithBlocks(emb0: DataFrame, nClusters: Int,
+      threshold: Double, subPlanes: Seq[Array[Double]] = Nil): (DataFrame, DataFrame) = {
     // cut once: the normalized frame is consumed by FIVE subtrees (two
     // Lloyd assignment passes, the cell assignment, both pair-join sides)
     // — without the cut each re-reads the source and recomputes norms
@@ -415,7 +470,7 @@ object VectorOps {
       .union(pairs.select(col("w").as("src"), col("u").as("dst")))
     val labels = graft.graph.GraphOps.connectedComponents(edges)
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n"))
-    emb.select(col("vec_id"))
+    val out = emb.select(col("vec_id"))
       .join(labels.select(col("node").as("vec_id"), col("comp")), Seq("vec_id"), "left")
       .join(sizes.withColumnRenamed("comp", "comp2"),
         col("comp") === col("comp2"), "left")
@@ -423,5 +478,6 @@ object VectorOps {
         coalesce(col("comp"), col("vec_id")).as("canonical_id"),
         coalesce(col("n"), lit(1L)).as("n_cluster"),
         (coalesce(col("comp"), col("vec_id")) === col("vec_id")).as("is_canonical"))
+    (out, assigned.select(col("vec_id"), col("cell"), col("blk")))
   }
 }

@@ -99,6 +99,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     for ((u, c1) <- best1) assert(best2(u) >= c1, s"multiprobe lost recall at probe $u")
   }
 
+  test("ANN recall audit: bounded, deterministic; probing all cells snaps recall to 1") {
+    val rows = VectorOps.q_sim_ann_recall(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $r")
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_true"))
+    }
+    val again = VectorOps.q_sim_ann_recall(s, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // the audit audits itself: with every cell probed IVF is exhaustive,
+    // and under the shared (rounded-cosine, id) tiebreak its top-3 must
+    // EQUAL the brute-force ground truth pair for pair
+    val truth = VectorOps.bruteTopK(s, sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaustive = VectorOps.ivfTopK(s, sf, nprobe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth == exhaustive,
+      s"exhaustive IVF diverged from brute force: ${(truth -- exhaustive).take(3)} / ${(exhaustive -- truth).take(3)}")
+  }
+
   test("gopher quality: ratios bounded, keep decision matches its thresholds") {
     val rows = TextAnalysis.q_text_quality_gopher(s, sf).collect()
     assert(rows.nonEmpty)
