@@ -906,6 +906,39 @@ object Oracles {
         |  count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY h LIMIT 5000""".stripMargin,
 
+    "q_dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN freq f ON s.shingle = f.shingle
+        |         WHERE f.df BETWEEN 2 AND 10),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+        |          FROM pairs p JOIN sh x ON x.doc_id = p.doc_a
+        |          JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+        |          GROUP BY p.doc_a, p.doc_b),
+        |jac AS (SELECT i.doc_a, i.doc_b,
+        |          round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) AS j
+        |        FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+        |        JOIN sizes sb ON sb.doc_id = i.doc_b),
+        |newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |corph AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+        |ex AS (SELECT doc_id FROM newdocs WHERE md5(text) IN (SELECT h FROM corph)),
+        |near AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+        |           count(*) AS n
+        |         FROM jac
+        |         WHERE ((doc_a % 10 = 0) <> (doc_b % 10 = 0)) AND j >= 0.5
+        |         GROUP BY 1)
+        |SELECT n.doc_id,
+        |  CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
+        |  CAST(coalesce(nr.n, 0) AS BIGINT) AS n_near,
+        |  CAST(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM newdocs n LEFT JOIN ex e USING (doc_id) LEFT JOIN near nr USING (doc_id)
+        |ORDER BY doc_id LIMIT 5000""".stripMargin,
+
     "q_dedup_lines" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |idx AS (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // 8)) AS i

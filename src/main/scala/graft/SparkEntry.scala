@@ -122,6 +122,7 @@ object SparkEntry {
     "q_dedup_exact" -> TextOps.q_dedup_exact,
     "q_dedup_shingle" -> TextOps.q_dedup_shingle,
     "q_dedup_jaccard" -> TextOps.q_dedup_jaccard,
+    "q_dedup_incremental" -> TextOps.q_dedup_incremental,
     "q_dedup_containment" -> TextOps.q_dedup_containment,
     "q_dedup_lines" -> TextOps.q_dedup_lines,
     "q_dedup_prefix" -> TextOps.q_dedup_prefix,

@@ -163,7 +163,15 @@ object TextOps {
     *     while the distinct-shingle count gives |A∪B| — which is also
     *     exactly the Jaccard denominator. No (doc, shingle)-keyed second
     *     probe, no separate per-doc sizes agg joined back twice. */
-  def q_dedup_jaccard(s: SparkSession, d: String): DataFrame = {
+  def q_dedup_jaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(s, d)
+      .orderBy("doc_a", "doc_b")
+      .limit(5000)
+
+  /** The unlimited blocked-pair Jaccard frame — [[q_dedup_jaccard]] adds
+    * only the display sort + limit; [[q_dedup_incremental]] filters it to
+    * the new-batch × corpus cross pairs. */
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docShingle = docShingles(s, d)
     val pairs = rareShinglePairRows(docShingle).distinct()
     val melt = pairs.select(col("doc_a"), col("doc_b"),
@@ -178,7 +186,44 @@ object TextOps {
         (col("tot") - col("n_union")).as("n_inter"),
         round((col("tot") - col("n_union")).cast("double") / col("n_union"), 6)
           .as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental dedup — the daily-crawl shape: dedup a NEW batch (stand-in
+    * split: doc_id ≡ 0 mod 10) against the EXISTING corpus (the rest),
+    * never batch-vs-batch alone. Per new doc: an exact-copy bit (md5 match
+    * against any corpus doc), the count of corpus near-dups (blocked-pair
+    * Jaccard ≥ 0.5 across the split), and the keep decision (neither).
+    *
+    * Scale stance: the exact side is a semi-join of the batch's md5s
+    * against the corpus hash set — linear, map-side-combined, the batch
+    * side tiny by construction; the near side reuses the whole-corpus
+    * rare-shingle blocking (df ∈ [2,10] computed over corpus+batch
+    * together — one pipeline, and a boilerplate shingle frequent in the
+    * corpus stays excluded no matter how new docs shift df) filtered to
+    * cross-split pairs; output is one row per NEW doc only. */
+  def q_dedup_incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val isNewId = (c: org.apache.spark.sql.Column) => c % 10 === 0
+    val newDocs = docs.filter(isNewId(col("doc_id")))
+    val corpusHashes = docs.filter(!isNewId(col("doc_id")))
+      .select(md5(col("text")).as("h")).distinct()
+    val exact = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpusHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("is_exact"))
+    val near = jaccardPairs(s, d)
+      .filter(isNewId(col("doc_a")) =!= isNewId(col("doc_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select(when(isNewId(col("doc_a")), col("doc_a")).otherwise(col("doc_b"))
+        .as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    newDocs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_exact"), lit(0L)).as("is_exact_dup"),
+        coalesce(col("n"), lit(0L)).as("n_near"),
+        when(col("is_exact").isNull && col("n").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
       .limit(5000)
   }
 
