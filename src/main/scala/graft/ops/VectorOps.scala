@@ -245,7 +245,9 @@ object VectorOps {
     val probes = emb.filter(col("vec_id") < 100)
       .select(col("vec_id").as("u"), col("v").as("uv"), col("nrm").as("unrm"))
     val cands = emb.select(col("vec_id").as("w"), col("v").as("wv"), col("nrm").as("wnrm"))
-    val pairs = probes.crossJoin(cands).filter(col("u") =!= col("w"))
+    // the PROBE side is the broadcast build side (bounded sample); building
+    // on the candidate side would broadcast the whole lake at scale
+    val pairs = broadcast(probes).crossJoin(cands).filter(col("u") =!= col("w"))
       .select(col("u"), col("w"),
         round(dot(col("uv"), col("wv")) / (col("unrm") * col("wnrm")), 6).as("cosine"))
     val win = Window.partitionBy("u").orderBy(col("cosine").desc, col("w").asc)
