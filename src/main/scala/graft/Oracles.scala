@@ -450,6 +450,31 @@ object Oracles {
         |WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
+    "q_events_attribution" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    last_value(CASE WHEN event_type IN ('click','view')
+        |        THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER w AS lt_us,
+        |    last_value(CASE WHEN event_type IN ('click','view')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER w AS lt_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |pur AS (
+        |  SELECT epoch_us(ts) - lt_us AS gap_us, lt_us, lt_type
+        |  FROM base WHERE event_type = 'purchase'),
+        |att AS (
+        |  SELECT CASE WHEN lt_us IS NULL OR gap_us > 604800000000 THEN 'none'
+        |              ELSE lt_type END AS attr_type,
+        |         gap_us
+        |  FROM pur)
+        |SELECT attr_type, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(coalesce(sum(CASE WHEN attr_type <> 'none' THEN gap_us END)
+        |                  // count(*), -1) AS BIGINT) AS avg_gap_us
+        |FROM att GROUP BY 1 ORDER BY attr_type""".stripMargin,
+
     "q_events_dau_wau" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM days GROUP BY day),

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_events_anomaly" -> EventsOps.q_events_anomaly,
     "q_events_transition" -> EventsOps.q_events_transition,
     "q_events_top_paths" -> EventsOps.q_events_top_paths,
+    "q_events_attribution" -> EventsOps.q_events_attribution,
     "q_events_dau_wau" -> EventsOps.q_events_dau_wau,
     "q_events_ohlc" -> EventsOps.q_events_ohlc,
     // graph

@@ -255,6 +255,46 @@ object EventsOps {
       .limit(20)
   }
 
+  /** Batch LAST-TOUCH attribution — the marketing-analytics staple the
+    * streaming interval join ([[graft.streaming.StreamingOps.attribution]])
+    * doesn't answer: each 'purchase' attributes to the SAME user's most
+    * recent PRIOR 'click' or 'view' within 7 days (ordering (ts, event_id)
+    * — the full deterministic order both engines share), rolled up per
+    * attributed touch type with exact purchase counts and the mean
+    * touch-to-purchase gap. Gaps ride the unix_micros/epoch_us convention,
+    * and the mean is an exact INTEGER floor-average (sum div count over
+    * exact micro sums): at gap magnitudes ~1e11 µs a double's ulp exceeds
+    * the 1e-6 rounding grid, so round(avg(double), 6) is NOT cross-engine
+    * stable there — integer division is (found by the sf0.01 oracle).
+    *
+    * Scale stance: ONE user-partitioned window pass (running last over
+    * touch rows — no self-join, no interval pair explosion, the reason
+    * last-touch is THE batch shape at 100 TB) into a bounded-key groupBy
+    * (|touch types| + 1 rows). */
+  def q_events_attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val winUs = 7L * 86400L * 1000000L
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("lt_us", last(when(isTouch, us), ignoreNulls = true).over(w))
+      .withColumn("lt_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_us", us - col("lt_us"))
+      .withColumn("attr_type",
+        when(col("lt_us").isNull || col("gap_us") > winUs, lit("none"))
+          .otherwise(col("lt_type")))
+      .groupBy("attr_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attr_type") =!= "none", col("gap_us"))).as("sg"))
+      .select(col("attr_type"), col("n_purchases"),
+        coalesce(expr("sg div n_purchases"), lit(-1L)).as("avg_gap_us"))
+      .orderBy("attr_type")
+  }
+
   /** Per-user outlier events by z-score — the monitoring / data-quality
     * staple. Determinism across engines is engineered, not hoped for: the
     * per-user moments come from EXACT decimal sums (sum v, sum v², n), and
