@@ -172,6 +172,16 @@ object Oracles {
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // the PLAIN unsalted join on purpose: the oracle proves the salted
+    // plan is semantics-preserving
+    "q_join_salted" ->
+      """WITH dim AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |             FROM events GROUP BY user_id)
+        |SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN dim USING (user_id)
+        |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+
     "q_agg_stats" ->
       """WITH base AS (
         |  SELECT o_orderstatus,
@@ -794,6 +804,15 @@ object Oracles {
         |  CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS len_ok,
         |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_corpus_stats" ->
+      """SELECT source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id, n_tokens,

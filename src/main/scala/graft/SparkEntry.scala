@@ -49,6 +49,7 @@ object SparkEntry {
     "q_agg_array_sum" -> Aggregates.q_agg_array_sum,
     "q_agg_approx_distinct" -> Aggregates.q_agg_approx_distinct,
     "q_agg_salted" -> Aggregates.q_agg_salted,
+    "q_join_salted" -> Aggregates.q_join_salted,
     "q_agg_percentiles" -> Aggregates.q_agg_percentiles,
     "q_pivot" -> Aggregates.q_pivot,
     "q_agg_histogram" -> Aggregates.q_agg_histogram,
@@ -124,6 +125,7 @@ object SparkEntry {
     "q_dedup_shingle" -> TextOps.q_dedup_shingle,
     "q_dedup_jaccard" -> TextOps.q_dedup_jaccard,
     "q_dedup_incremental" -> TextOps.q_dedup_incremental,
+    "q_corpus_stats" -> TextAnalysis.q_corpus_stats,
     "q_dedup_containment" -> TextOps.q_dedup_containment,
     "q_dedup_lines" -> TextOps.q_dedup_lines,
     "q_dedup_prefix" -> TextOps.q_dedup_prefix,

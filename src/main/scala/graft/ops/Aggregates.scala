@@ -254,4 +254,31 @@ object Aggregates {
         round(col("sum_value"), 6).as("sum_value"),
         col("min_value"), col("max_value"))
       .orderBy("event_type")
+
+  /** Salted JOIN as a declared contract — the [[q_agg_salted]] discipline
+    * for the join side of the skew toolbox: a cohort join (events × the
+    * per-user first-seen-day dimension) where the fact side carries a
+    * deterministic per-ROW salt and the dimension is replicated once per
+    * salt value ([[Skew.explodeSalt]]), so a mega-user's rows spread over
+    * 8 reducers instead of funneling one. Salting is semantics-preserving
+    * by construction, and the oracle PROVES it: the DuckDB twin is the
+    * PLAIN unsalted join — the hash check asserts the salted plan returns
+    * byte-identical answers.
+    *
+    * Scale stance: the salt column is pure projection (no extra shuffle on
+    * the fact side beyond the join's own), the dim inflation is ×salts on
+    * the SMALL side only, and the final rollup is a bounded-key groupBy.
+    * This is the manual fallback for skew AQE can't split (broadcast-side
+    * hot keys, deterministic reproducibility requirements). */
+  def q_join_salted(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts").cast("date").as("day"))
+    val dim = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.withColumn("salt_id", Skew.salt(8, col("event_id")))
+      .join(Skew.explodeSalt(dim, 8), Seq("user_id", "salt_id"))
+      .groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day")
+  }
 }

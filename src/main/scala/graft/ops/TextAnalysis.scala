@@ -11,6 +11,30 @@ import graft.Tables
   */
 object TextAnalysis {
 
+  /** Corpus composition rollup — the dataset-card query every training-data
+    * release ships: per (source, lang) stratum, document and token counts,
+    * mean tokens per doc, and exact interpolated length percentiles (the
+    * Spark `percentile` ↔ DuckDB `quantile_cont` parity q_agg_percentiles
+    * established).
+    *
+    * Scale stance: ONE partial-agg-friendly groupBy over a bounded key
+    * space (|sources| × |langs|); counts/sums combine map-side. The exact
+    * percentile buffers its group's values — fine for card-sized strata
+    * and for sampled audits; at full-lake stratum sizes swap
+    * `percentile` → `approx_percentile` (one token change, loses the
+    * oracle, keeps the plan shape). */
+  def q_corpus_stats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        round(avg(col("n_toks")), 6).as("avg_tokens"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
+      .orderBy("source", "lang")
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
   /** Quality scoring: token stats + stopword ratio + a blended score — the
