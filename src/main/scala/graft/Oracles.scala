@@ -643,6 +643,40 @@ object Oracles {
         |        FROM deg d LEFT JOIN it3 i ON i.node = d.node)
         |SELECT node, round(pr, 9) AS pr FROM pr3 ORDER BY node LIMIT 5000""".stripMargin,
 
+    "q_graph_ppr" ->
+      """WITH raw AS (SELECT l_orderkey AS src, l_suppkey + 100000 AS dst
+        |             FROM lineitem WHERE l_orderkey < 2000),
+        |edges AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)),
+        |deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY src),
+        |ns AS (SELECT count(*) AS n FROM deg WHERE node % 100 = 0),
+        |pr0 AS (SELECT node, CASE WHEN node % 100 = 0
+        |          THEN CAST(1.0 AS DOUBLE) / (SELECT n FROM ns)
+        |          ELSE CAST(0.0 AS DOUBLE) END AS pr FROM deg),
+        |it1 AS (SELECT e.dst AS node, sum(p.pr / d.degree) AS inflow
+        |        FROM edges e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.node = e.src
+        |        GROUP BY e.dst),
+        |pr1 AS (SELECT d.node, CAST(0.15 AS DOUBLE) * (CASE WHEN d.node % 100 = 0
+        |          THEN CAST(1.0 AS DOUBLE) / (SELECT n FROM ns) ELSE 0.0 END)
+        |          + CAST(0.85 AS DOUBLE) * coalesce(i.inflow, 0) AS pr
+        |        FROM deg d LEFT JOIN it1 i ON i.node = d.node),
+        |it2 AS (SELECT e.dst AS node, sum(p.pr / d.degree) AS inflow
+        |        FROM edges e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.node = e.src
+        |        GROUP BY e.dst),
+        |pr2 AS (SELECT d.node, CAST(0.15 AS DOUBLE) * (CASE WHEN d.node % 100 = 0
+        |          THEN CAST(1.0 AS DOUBLE) / (SELECT n FROM ns) ELSE 0.0 END)
+        |          + CAST(0.85 AS DOUBLE) * coalesce(i.inflow, 0) AS pr
+        |        FROM deg d LEFT JOIN it2 i ON i.node = d.node),
+        |it3 AS (SELECT e.dst AS node, sum(p.pr / d.degree) AS inflow
+        |        FROM edges e JOIN pr2 p ON p.node = e.src JOIN deg d ON d.node = e.src
+        |        GROUP BY e.dst),
+        |pr3 AS (SELECT d.node, CAST(0.15 AS DOUBLE) * (CASE WHEN d.node % 100 = 0
+        |          THEN CAST(1.0 AS DOUBLE) / (SELECT n FROM ns) ELSE 0.0 END)
+        |          + CAST(0.85 AS DOUBLE) * coalesce(i.inflow, 0) AS pr
+        |        FROM deg d LEFT JOIN it3 i ON i.node = d.node)
+        |SELECT node, CAST(floor(pr * 1000000000 + 0.5) AS BIGINT) AS ppr_e9
+        |FROM pr3 ORDER BY node LIMIT 5000""".stripMargin,
+
     "q_graph_degree_dist" ->
       """WITH e AS (
         |  SELECT DISTINCT src, dst FROM (

@@ -99,6 +99,7 @@ object SparkEntry {
     "q_graph_seed_rank" -> GraphOps.q_graph_seed_rank,
     "q_graph_cc" -> GraphOps.q_graph_cc,
     "q_graph_pagerank" -> GraphOps.q_graph_pagerank,
+    "q_graph_ppr" -> GraphOps.q_graph_ppr,
     "q_graph_lpa" -> GraphOps.q_graph_lpa,
     "q_graph_link_predict" -> GraphOps.q_graph_link_predict,
     "q_graph_kcore" -> GraphOps.q_graph_kcore,

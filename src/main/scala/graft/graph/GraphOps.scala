@@ -447,6 +447,55 @@ object GraphOps {
       .orderBy("node")
       .limit(5000)
 
+  /** Personalized PageRank (random walk with restart to a SEED SET) — the
+    * neighborhood-relevance primitive behind related-item ranking, local
+    * community scoring, and graph-based recommendation; distinct from
+    * [[pageRank]] exactly in the reset vector: teleport mass returns to
+    * the seeds (uniformly), not to every node, so rank concentrates in the
+    * seeds' neighborhoods. Same fixed-3-iteration unrolled formulation as
+    * global PR (SQL-expressible for the oracle, no oscillation concerns);
+    * symmetric input ⇒ no dangling nodes by construction.
+    *
+    * Scale stance: identical shuffle shape to [[pageRank]] — per round one
+    * |E|-row join keyed src + one partial-agg groupBy keyed dst; the seed
+    * indicator is a pure projection (no seed-set join: the predicate
+    * computes in-plan), the edge frame is materialized once for the loop,
+    * ranks are lineage-cut per round. */
+  def personalizedPageRank(edges0: DataFrame, seedPred: Column,
+      iterations: Int = 3): DataFrame = {
+    def cut(df: DataFrame): DataFrame = cutLineage(df)
+    val edges = cut(edges0)
+    val deg = degrees(edges)
+    val nSeeds = deg.filter(seedPred).count()
+    require(nSeeds > 0, "personalized PageRank requires a non-empty seed set")
+    val reset = when(seedPred, lit(1.0) / nSeeds).otherwise(lit(0.0))
+    var pr = cut(deg.select(col("node"), reset.as("pr")))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(pr.join(deg, Seq("node"))
+          .select(col("node").as("src"), (col("pr") / col("degree")).as("c")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("inflow"))
+      pr = cut(pr.select("node").join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15) * reset + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr")))
+    }
+    pr
+  }
+
+  /** PPR over the bounded subgraph, seeds = nodes ≡ 0 (mod 100). Ranks are
+    * reported in integer nano-units via floor(x·1e9 + 0.5) — NOT round():
+    * the seed-restart arithmetic (0.15/|S|, 0.85 halvings) produces
+    * TERMINATING decimals that land exactly on the 9-dp rounding midpoint,
+    * where Spark's BigDecimal HALF_UP and DuckDB's round disagree on the
+    * nearest-double input (caught by the sf0.1 oracle); floor(x + 0.5) is
+    * IEEE-identical everywhere (the q_embed_quantize rule). */
+  def q_graph_ppr(s: SparkSession, d: String): DataFrame =
+    personalizedPageRank(symEdges(rawEdges(s, d, 2000)), col("node") % 100 === 0)
+      .select(col("node"),
+        floor(col("pr") * 1e9 + 0.5).cast("bigint").as("ppr_e9"))
+      .orderBy("node")
+      .limit(5000)
+
   /** Components of the bounded bipartite subgraph, labeled by min member. */
   def q_graph_cc(s: SparkSession, d: String): DataFrame =
     connectedComponents(symEdges(rawEdges(s, d, 2000)))
