@@ -373,6 +373,105 @@ object VectorOps {
       .limit(2000)
   }
 
+  /** Train PQ codebooks: for each of `m` subspaces (dsub dims each), a
+    * k-centroid EUCLIDEAN Lloyd fit (PQ quantizes raw subvectors, so the
+    * geometry is L2, not the spherical k-means the IVF coarse quantizer
+    * uses). ALL m subspaces train in ONE shuffle per iteration: the vector
+    * explodes to (vec_id, j, subvector) rows, the assignment is a per-j
+    * argmin projection over plan-literal centroids, and the update is a
+    * single groupBy(j, code) array-sum — m·k rows of model state to the
+    * driver per round, never the vectors. Seeds: the subvectors of the k
+    * smallest vec_ids (deterministic); empty cells keep their previous
+    * centroid. Returns codebooks(j)(code) = centroid. */
+  private[graft] def pqCodebooks(emb: DataFrame, m: Int, dsub: Int, k: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val s = emb.sparkSession
+    val vsum = udaf(ArraySumAgg)
+    val seeds = emb.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(seeds.length == k, s"need vec_id 0..${k - 1} as PQ seeds")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+    val exploded = emb.select(col("vec_id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col("v"), j * dsub + 1, dsub)): _*)).as(Seq("j", "sv")))
+    for (_ <- 1 to iters) {
+      val code = pqCodeExpr(col("j"), col("sv"), books)
+      val next = exploded.select(col("j"), code.as("code"), col("sv"))
+        .groupBy("j", "code")
+        .agg(vsum(col("sv")).as("sum"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = next.map(r => (r.getInt(0), r.getLong(1).toInt) ->
+        (r.getSeq[Double](2).toArray, r.getLong(3))).toMap
+      books = Array.tabulate(m)(j => Array.tabulate(k)(c =>
+        byCell.get((j, c)).map { case (sum, n) => sum.map(_ / n) }
+          .getOrElse(books(j)(c))))
+    }
+    books
+  }
+
+  /** In-plan PQ code for the (j, subvector) row: argmin_code ||sv − c||²,
+    * ties to the smaller code (least over (dist, code) structs); the CASE
+    * chain over j keeps all m codebooks in one expression so training is
+    * one job per Lloyd round. */
+  private def pqCodeExpr(j: Column, sv: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    def argmin(cents: Array[Array[Double]]): Column =
+      least(cents.zipWithIndex.map { case (cv, c) =>
+        val lcv = array(cv.toIndexedSeq.map(lit): _*)
+        struct(aggregate(zip_with(sv, lcv, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("dist"), lit(c.toLong).as("code"))
+      }.toIndexedSeq: _*).getField("code")
+    books.zipWithIndex.tail.foldLeft(
+      when(j === 0, argmin(books(0)))) { case (acc, (cents, jj)) =>
+      acc.when(j === jj, argmin(cents))
+    }
+  }
+
+  /** [no-oracle] Product-quantization audit — the OTHER embedding
+    * compression next to [[q_embed_quantize]]'s int8, and the PQ half of
+    * the IVF+PQ pairing that makes billion-vector ANN storable: 64 dims →
+    * 8 subspaces × 8 dims, each subvector snapped to one of 16 per-subspace
+    * Euclidean centroids (2 Lloyd rounds), i.e. 8 bytes... here 8 nibbles —
+    * a 64× compression of the vector. Per vector: the joined code string
+    * and the reconstruction MSE.
+    *
+    * Scale stance: training is one shuffle per Lloyd round with m·k·dsub
+    * doubles of driver model state (the codebooks); the audit itself is a
+    * single narrow projection over plan-literal codebooks — map-only, like
+    * the int8 audit. PqSpec pins determinism, exact-copy code equality,
+    * MSE ≥ 0, and Lloyd's monotone within-cluster-SS property (2 rounds
+    * reconstruct no worse than the raw seeds). */
+  def q_embed_pq(s: SparkSession, d: String): DataFrame =
+    pqAudit(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      iters = 2)
+      .orderBy("vec_id")
+      .limit(5000)
+
+  /** The audit over any (vec_id, v) frame with a training-round knob
+    * (PqSpec compares iters=0 vs 2 for the Lloyd-monotonicity pin). */
+  private[graft] def pqAudit(emb0: DataFrame, iters: Int): DataFrame = {
+    val m = 8; val dsub = 8; val k = 16
+    val emb = graft.graph.GraphOps.cutLineage(emb0)
+    val books = pqCodebooks(emb, m, dsub, k, iters)
+    val parts = (0 until m).map { j =>
+      val sv = slice(col("v"), j * dsub + 1, dsub)
+      least(books(j).zipWithIndex.map { case (cv, c) =>
+        val lcv = array(cv.toIndexedSeq.map(lit): _*)
+        struct(aggregate(zip_with(sv, lcv, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("dist"), lit(c.toLong).as("code"))
+      }.toIndexedSeq: _*)
+    }
+    emb.select(col("vec_id") +: parts.zipWithIndex.map { case (p, j) => p.as(s"p$j") }: _*)
+      .select(col("vec_id"),
+        concat_ws(",", (0 until m).map(j => col(s"p$j.code")): _*).as("pq_code"),
+        round((0 until m).map(j => col(s"p$j.dist")).reduce(_ + _) / (m * dsub), 9)
+          .as("mse"))
+  }
+
   /** [no-oracle] Semantic dedup — the SemDeDup shape (Abbas et al. 2023):
     * where the lexical family (exact/shingle/MinHash/SimHash) catches
     * copies of the same BYTES, this merges items whose EMBEDDINGS nearly
