@@ -161,6 +161,7 @@ object SparkEntry {
     "q_dedup_semantic_bucketed" -> VectorOps.q_dedup_semantic_bucketed,
     "q_sim_ann_recall" -> VectorOps.q_sim_ann_recall,
     "q_embed_pq" -> VectorOps.q_embed_pq,
+    "q_sim_ann_ivfpq" -> VectorOps.q_sim_ann_ivfpq,
     // LLM-pipeline: multimodal (binary media + stub decode)
     "q_multimodal_dedup" -> graft.multimodal.MultimodalOps.q_multimodal_dedup,
     "q_multimodal_features" -> graft.multimodal.MultimodalOps.q_multimodal_features,

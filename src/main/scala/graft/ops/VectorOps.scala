@@ -472,6 +472,61 @@ object VectorOps {
           .as("mse"))
   }
 
+  /** [no-oracle] IVF+PQ ANN with asymmetric distance computation — the
+    * composition that makes billion-vector search storable AND fast, and
+    * the reason [[q_embed_pq]] exists: candidates live in their coarse
+    * cell carrying only their 8-nibble PQ code (64× smaller than the
+    * vector), probes search their 2 nearest cells, and ranking uses ADC —
+    * the EXACT probe subvector against the candidate's RECONSTRUCTED
+    * centroid, Σ_j ‖u_j − codebook_j[code_j]‖² — so only the quantization
+    * error of the candidate side enters the estimate (the standard
+    * IVF-ADC trade). Top-3 per probe by (ADC distance asc, id asc).
+    *
+    * Scale stance: the shuffled candidate payload is (cell, vec_id,
+    * 8 codes) — the raw vectors never move; the ADC expression indexes
+    * plan-literal codebooks (`element_at` on an array-of-arrays literal)
+    * per candidate code, all inside one codegen projection; cells bound
+    * the pair count exactly as in [[q_sim_ann_ivf]]. PqSpec pins
+    * determinism and recall vs the exact-L2 baseline. */
+  def q_sim_ann_ivfpq(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dsub = 8; val k = 16
+    val emb = graft.graph.GraphOps.cutLineage(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", l2norm(col("v"))))
+    val cents = kmeansCentroids(emb, 16, iters = 2)
+    val books = pqCodebooks(emb, m, dsub, k, iters = 2)
+    // candidate side: (cell, id, m nibble codes) — vectors stay behind
+    val codeCols = (0 until m).map { j =>
+      val sv = slice(col("v"), j * dsub + 1, dsub)
+      least(books(j).zipWithIndex.map { case (cv, c) =>
+        val lcv = array(cv.toIndexedSeq.map(lit): _*)
+        struct(aggregate(zip_with(sv, lcv, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("dist"), lit(c.toLong).as("code"))
+      }.toIndexedSeq: _*).getField("code").as(s"code$j")
+    }
+    val cands = ivfAssignWith(emb, cents)
+      .select(col("vec_id").as("w") +: col("cell") +: codeCols: _*)
+    val probes = ivfProbeCellsWith(emb.filter(col("vec_id") < 100), cents, 2)
+      .select(col("vec_id").as("u"), col("v").as("uv"), col("cell"))
+    // ADC: exact probe subvector vs the candidate's reconstructed centroid
+    val adc = (0 until m).map { j =>
+      val bookLit = array(books(j).toIndexedSeq.map(cv =>
+        array(cv.toIndexedSeq.map(lit): _*)): _*)
+      aggregate(zip_with(slice(col("uv"), j * dsub + 1, dsub),
+        element_at(bookLit, col(s"code$j").cast("int") + 1),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+    }.reduce(_ + _)
+    val pairs = probes.join(cands, Seq("cell")).filter(col("u") =!= col("w"))
+      .select(col("u"), col("w"), round(adc, 9).as("adc_dist"))
+    val win = Window.partitionBy("u").orderBy(col("adc_dist").asc, col("w").asc)
+    pairs.select(col("u"), col("w"), col("adc_dist"), row_number().over(win).as("rn"))
+      .filter(col("rn") <= 3)
+      .select(col("u").as("vec_id"), col("w").as("neighbor_id"),
+        col("adc_dist"), col("rn").cast("int").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** [no-oracle] Semantic dedup — the SemDeDup shape (Abbas et al. 2023):
     * where the lexical family (exact/shingle/MinHash/SimHash) catches
     * copies of the same BYTES, this merges items whose EMBEDDINGS nearly
