@@ -394,12 +394,14 @@ object VectorOps {
     require(seeds.length == k, s"need vec_id 0..${k - 1} as PQ seeds")
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
-    val exploded = emb.select(col("vec_id"),
-      posexplode(array((0 until m).map(j =>
-        slice(col("v"), j * dsub + 1, dsub)): _*)).as(Seq("j", "sv")))
     for (_ <- 1 to iters) {
-      val code = pqCodeExpr(col("j"), col("sv"), books)
-      val next = exploded.select(col("j"), code.as("code"), col("sv"))
+      // ONE kernel call codes every subspace; the update regroups on the
+      // exploded (subspace, code) key with the subvector sliced in-plan
+      val pc = graft.functions.PqFns.pqCodes(col("v"), books)
+      val next = emb
+        .select(col("v"), posexplode(pc.getField("codes")).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          slice(col("v"), col("j") * dsub + 1, lit(dsub)).as("sv"))
         .groupBy("j", "code")
         .agg(vsum(col("sv")).as("sum"), count(lit(1)).as("n"))
         .collect()
@@ -410,24 +412,6 @@ object VectorOps {
           .getOrElse(books(j)(c))))
     }
     books
-  }
-
-  /** In-plan PQ code for the (j, subvector) row: argmin_code ||sv − c||²,
-    * ties to the smaller code (least over (dist, code) structs); the CASE
-    * chain over j keeps all m codebooks in one expression so training is
-    * one job per Lloyd round. */
-  private def pqCodeExpr(j: Column, sv: Column,
-      books: Array[Array[Array[Double]]]): Column = {
-    def argmin(cents: Array[Array[Double]]): Column =
-      least(cents.zipWithIndex.map { case (cv, c) =>
-        val lcv = array(cv.toIndexedSeq.map(lit): _*)
-        struct(aggregate(zip_with(sv, lcv, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x).as("dist"), lit(c.toLong).as("code"))
-      }.toIndexedSeq: _*).getField("code")
-    books.zipWithIndex.tail.foldLeft(
-      when(j === 0, argmin(books(0)))) { case (acc, (cents, jj)) =>
-      acc.when(j === jj, argmin(cents))
-    }
   }
 
   /** [no-oracle] Product-quantization audit — the OTHER embedding
@@ -457,19 +441,16 @@ object VectorOps {
     val m = 8; val dsub = 8; val k = 16
     val emb = graft.graph.GraphOps.cutLineage(emb0)
     val books = pqCodebooks(emb, m, dsub, k, iters)
-    val parts = (0 until m).map { j =>
-      val sv = slice(col("v"), j * dsub + 1, dsub)
-      least(books(j).zipWithIndex.map { case (cv, c) =>
-        val lcv = array(cv.toIndexedSeq.map(lit): _*)
-        struct(aggregate(zip_with(sv, lcv, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x).as("dist"), lit(c.toLong).as("code"))
-      }.toIndexedSeq: _*)
-    }
-    emb.select(col("vec_id") +: parts.zipWithIndex.map { case (p, j) => p.as(s"p$j") }: _*)
+    // the native kernel ([[graft.functions.PqCodes]]) replaces the m·k
+    // nested aggregate/zip_with least-struct trees the first cut used —
+    // that form spent seconds in whole-stage codegen COMPILATION alone
+    // (the two slowest bench rows); PqSpec pins bit-equality against it
+    emb.select(col("vec_id"),
+        graft.functions.PqFns.pqCodes(col("v"), books).as("pq"))
       .select(col("vec_id"),
-        concat_ws(",", (0 until m).map(j => col(s"p$j.code")): _*).as("pq_code"),
-        round((0 until m).map(j => col(s"p$j.dist")).reduce(_ + _) / (m * dsub), 9)
-          .as("mse"))
+        array_join(transform(col("pq.codes"), c => c.cast("string")), ",")
+          .as("pq_code"),
+        round(col("pq.err") / (m * dsub), 9).as("mse"))
   }
 
   /** [no-oracle] IVF+PQ ANN with asymmetric distance computation — the
@@ -496,29 +477,19 @@ object VectorOps {
         .withColumn("nrm", l2norm(col("v"))))
     val cents = kmeansCentroids(emb, 16, iters = 2)
     val books = pqCodebooks(emb, m, dsub, k, iters = 2)
-    // candidate side: (cell, id, m nibble codes) — vectors stay behind
-    val codeCols = (0 until m).map { j =>
-      val sv = slice(col("v"), j * dsub + 1, dsub)
-      least(books(j).zipWithIndex.map { case (cv, c) =>
-        val lcv = array(cv.toIndexedSeq.map(lit): _*)
-        struct(aggregate(zip_with(sv, lcv, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x).as("dist"), lit(c.toLong).as("code"))
-      }.toIndexedSeq: _*).getField("code").as(s"code$j")
-    }
+    // candidate side: (cell, id, m nibble codes) — vectors stay behind;
+    // the native PqCodes/AdcDistance kernels replace the first cut's m·k
+    // HOF trees (seconds of codegen compile per query, see pqAudit note)
     val cands = ivfAssignWith(emb, cents)
-      .select(col("vec_id").as("w") +: col("cell") +: codeCols: _*)
+      .select(col("vec_id").as("w"), col("cell"),
+        graft.functions.PqFns.pqCodes(col("v"), books)
+          .getField("codes").as("codes"))
     val probes = ivfProbeCellsWith(emb.filter(col("vec_id") < 100), cents, 2)
       .select(col("vec_id").as("u"), col("v").as("uv"), col("cell"))
-    // ADC: exact probe subvector vs the candidate's reconstructed centroid
-    val adc = (0 until m).map { j =>
-      val bookLit = array(books(j).toIndexedSeq.map(cv =>
-        array(cv.toIndexedSeq.map(lit): _*)): _*)
-      aggregate(zip_with(slice(col("uv"), j * dsub + 1, dsub),
-        element_at(bookLit, col(s"code$j").cast("int") + 1),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
-    }.reduce(_ + _)
     val pairs = probes.join(cands, Seq("cell")).filter(col("u") =!= col("w"))
-      .select(col("u"), col("w"), round(adc, 9).as("adc_dist"))
+      .select(col("u"), col("w"),
+        round(graft.functions.PqFns.adcDistance(col("uv"), col("codes"), books), 9)
+          .as("adc_dist"))
     val win = Window.partitionBy("u").orderBy(col("adc_dist").asc, col("w").asc)
     pairs.select(col("u"), col("w"), col("adc_dist"), row_number().over(win).as("rn"))
       .filter(col("rn") <= 3)

@@ -14,6 +14,50 @@ class PqSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   import s.implicits._
 
+  test("native PqCodes/AdcDistance match the HOF least-struct forms bit for bit") {
+    import graft.functions.PqFns
+    val m = 8; val dsub = 8
+    val emb = Tables.embeddings(s, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val books = VectorOps.pqCodebooks(emb, m, dsub, k = 16, iters = 2)
+    // the replaced HOF form: per subspace least(struct(aggregate-dist, code))
+    val hofParts = (0 until m).map { j =>
+      val sv = slice(col("v"), j * dsub + 1, dsub)
+      least(books(j).zipWithIndex.map { case (cv, c) =>
+        val lcv = array(cv.toIndexedSeq.map(lit): _*)
+        struct(aggregate(zip_with(sv, lcv, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("dist"), lit(c.toLong).as("code"))
+      }.toIndexedSeq: _*)
+    }
+    val hof = emb.select(col("vec_id") +:
+        hofParts.zipWithIndex.map { case (p, j) => p.as(s"p$j") }: _*)
+      .select(col("vec_id"),
+        array((0 until m).map(j => col(s"p$j.code")): _*).as("codes"),
+        (0 until m).map(j => col(s"p$j.dist")).reduce(_ + _).as("err"))
+    val nat = emb.select(col("vec_id"), PqFns.pqCodes(col("v"), books).as("pq"))
+      .select(col("vec_id"), col("pq.codes").as("codes2"), col("pq.err").as("err2"))
+    val diff = hof.join(nat, "vec_id")
+      .filter(!(col("codes") <=> col("codes2")) || !(col("err") <=> col("err2")))
+    assert(diff.count() == 0, diff.limit(5).collect().mkString("\n"))
+    // ADC vs the HOF element_at lookup form, on real (probe, codes) pairs
+    val codes = nat.select(col("vec_id"), col("codes2").as("codes"))
+    val pairs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("u"), col("v").as("uv"))
+      .crossJoin(codes.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("w"), col("codes")))
+    val hofAdc = (0 until m).map { j =>
+      val bookLit = array(books(j).toIndexedSeq.map(cv =>
+        array(cv.toIndexedSeq.map(lit): _*)): _*)
+      aggregate(zip_with(slice(col("uv"), j * dsub + 1, dsub),
+        element_at(bookLit, element_at(col("codes"), j + 1).cast("int") + 1),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+    }.reduce(_ + _)
+    val adcDiff = pairs
+      .select(hofAdc.as("a"), PqFns.adcDistance(col("uv"), col("codes"), books).as("b"))
+      .filter(!(col("a") <=> col("b")))
+    assert(adcDiff.count() == 0, adcDiff.limit(5).collect().mkString("\n"))
+  }
+
   test("q_embed_pq: coverage, mse >= 0, deterministic") {
     val rows = VectorOps.q_embed_pq(s, TestSpark.sf).collect()
     val n = Tables.embeddings(s, TestSpark.sf).count()
