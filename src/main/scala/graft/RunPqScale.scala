@@ -82,9 +82,36 @@ object RunPqScale {
     val total0 = VectorOps.pqAudit(emb, 0)
       .agg(sum(col("mse"))).collect()(0).getDouble(0)
     println(f"[pqscale] total mse: seeds=$total0%.2f trained=$total%.2f " +
-      f"(${(1 - total / total0) * 100}%.1f%% lower)  TOTAL $secs%.1f s")
+      f"(${(1 - total / total0) * 100}%.1f%% lower)  ($secs%.1f s)")
     require(total <= total0 + 1e-6 * math.abs(total0),
       s"Lloyd lost reconstruction at scale: $total0 -> $total")
+
+    // (c) the SEARCH side at scale: IVF cells + 8-nibble codes + ADC
+    // top-3 for 100 probes (families 0-9 complete). Planted geometry makes
+    // the answer checkable: same-family L2² ≈ 0.1 vs cross-family ≈ 40,
+    // and per-vector quantization error ≈ 15 — so ADC top-1 must stay
+    // in-family for (nearly) every probe despite 64× compression.
+    val embN = graft.graph.GraphOps.cutLineage(
+      emb.withColumn("nrm", VectorOps.l2norm(col("v"))))
+    val cents = VectorOps.kmeansCentroids(embN, 256, iters = 2)
+    val books = VectorOps.pqCodebooks(embN, 8, 8, 16, iters)
+    val cands = VectorOps.ivfAssignWith(embN, cents)
+      .select(col("vec_id").as("w"), col("cell"),
+        graft.functions.PqFns.pqCodes(col("v"), books).getField("codes").as("codes"))
+    val probes = VectorOps.ivfProbeCellsWith(embN.filter(col("vec_id") < 100), cents, 2)
+      .select(col("vec_id").as("u"), col("v").as("uv"), col("cell"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("adc").asc, col("w").asc)
+    val top1 = probes.join(cands, Seq("cell")).filter(col("u") =!= col("w"))
+      .select(col("u"), col("w"),
+        graft.functions.PqFns.adcDistance(col("uv"), col("codes"), books).as("adc"))
+      .select(col("u"), col("w"), row_number().over(win).as("rn"))
+      .filter(col("rn") === 1)
+    val inFam = top1.filter(floor(col("u") / 10) === floor(col("w") / 10)).count()
+    val nProbes = top1.count()
+    println(f"[pqscale] ADC search: top-1 in-family $inFam/$nProbes  TOTAL $secs%.1f s")
+    require(inFam >= (nProbes * 9) / 10,
+      s"ADC top-1 in-family recall collapsed: $inFam/$nProbes")
     spark.stop()
   }
 }

@@ -177,7 +177,7 @@ object VectorOps {
   def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame =
     ivfAssignWith(emb, centroids(emb, nCentroids))
 
-  private def ivfAssignWith(emb: DataFrame, cents: Array[(Long, Array[Double], Double)]): DataFrame =
+  private[graft] def ivfAssignWith(emb: DataFrame, cents: Array[(Long, Array[Double], Double)]): DataFrame =
     emb.select(col("vec_id"), col("v"), col("nrm"),
       graft.functions.NearestCentroid.nearest(col("v"), cents.toSeq)
         .getField("cell").as("cell"))
@@ -191,7 +191,7 @@ object VectorOps {
   def ivfProbeCells(emb: DataFrame, nCentroids: Int, nprobe: Int): DataFrame =
     ivfProbeCellsWith(emb, centroids(emb, nCentroids), nprobe)
 
-  private def ivfProbeCellsWith(emb: DataFrame, cents: Array[(Long, Array[Double], Double)],
+  private[graft] def ivfProbeCellsWith(emb: DataFrame, cents: Array[(Long, Array[Double], Double)],
       nprobe: Int): DataFrame = {
     val sims = centroidSims(cents)
     emb.select(col("vec_id"), col("v"), col("nrm"),
