@@ -60,6 +60,16 @@ object RunGraphScale {
       .agg(count(lit(1)).as("n_labels"), max(col("sz")).as("biggest")).collect()(0)
     println(f"[graphscale] LPA(5): ${lpaStats.getLong(0)} labels, " +
       f"biggest=${lpaStats.getLong(1)} (${(System.nanoTime() - tLpa) / 1e9}%.0f s)")
+
+    // PPR mass is EXACTLY mass-preserving on a symmetric graph (no
+    // dangling nodes): Σpr stays 1 through every iteration — the same
+    // checkable invariant PageRank's run asserts, under the seed reset
+    val tPpr = System.nanoTime()
+    val ppr = GraphOps.personalizedPageRank(edges, col("node") % 1000 === 0, 3)
+    val pprStats = ppr.agg(sum(col("pr")).as("mass"),
+      sum(when(col("node") % 1000 === 0, col("pr"))).as("seed_mass")).collect()(0)
+    println(f"[graphscale] PPR(3, seeds=node%%1000==0): mass=${pprStats.getDouble(0)}%.4f " +
+      f"seed_share=${pprStats.getDouble(1)}%.4f (${(System.nanoTime() - tPpr) / 1e9}%.0f s)")
     println(f"[graphscale] total $secs%.0f s")
     spark.stop()
   }
