@@ -59,6 +59,8 @@ object PqKernels {
       off += dsub
       j += 1
     }
+    if (off != arr.length) throw new IllegalArgumentException(
+      s"pq_codes: vector dim ${arr.length} does not match codebook span $off")
     new GenericInternalRow(Array[Any](new GenericArrayData(codes), err))
   }
 
@@ -83,6 +85,8 @@ object PqKernels {
       off += dsub
       j += 1
     }
+    if (off != arr.length) throw new IllegalArgumentException(
+      s"adc_distance: vector dim ${arr.length} does not match codebook span $off")
     total
   }
 }

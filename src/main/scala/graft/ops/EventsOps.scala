@@ -288,8 +288,13 @@ object EventsOps {
         when(col("lt_us").isNull || col("gap_us") > winUs, lit("none"))
           .otherwise(col("lt_type")))
       .groupBy("attr_type")
+      // sum in DECIMAL(38,0) (the q_events_anomaly exact-decimal
+      // convention): the oracle sums in HUGEINT, and a BIGINT sum of
+      // ~6e11-µs gaps can overflow at very large purchase counts where
+      // the oracle stays exact; `div` on DECIMAL yields BIGINT like //
       .agg(count(lit(1)).as("n_purchases"),
-        sum(when(col("attr_type") =!= "none", col("gap_us"))).as("sg"))
+        sum(when(col("attr_type") =!= "none",
+          col("gap_us").cast("decimal(38,0)"))).as("sg"))
       .select(col("attr_type"), col("n_purchases"),
         coalesce(expr("sg div n_purchases"), lit(-1L)).as("avg_gap_us"))
       .orderBy("attr_type")

@@ -115,9 +115,44 @@ object VectorOps {
       when(dot(v, lp) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** IVF coarse quantizer seeds: deterministic centroids (the vectors with
-    * the `nCentroids` smallest ids), refined by [[kmeansCentroids]] before
-    * use. Returns (cell_id, centroid, norm).
+  /** Deterministic seed selection shared by the spherical k-means and PQ
+    * trainers: the k DISTINCT vectors with the smallest vec_ids PRESENT in
+    * the frame — no assumption that ids 0..k-1 exist (filtered/offset
+    * embedding frames train fine), and planted exact copies don't waste
+    * codebook capacity on identical seeds that would start and stay dead.
+    *
+    * Mechanics: a bounded id-ranked pool (k·64 rows via TakeOrdered — a
+    * map-side top-k, no full shuffle; seeding must not cost a pass keyed
+    * on a 64-dim array at 100 TB) is de-duplicated by vector content on
+    * the driver in id order. A degenerate pool with fewer than k distinct
+    * vectors falls back to filling with the smallest remaining ids —
+    * duplicate-seeded cells then behave exactly like empty cells (keep
+    * their centroid), so training still runs. On a frame whose smallest k
+    * ids are contiguous and distinct (every declared fixture) this is
+    * bit-identical to the historical `vec_id < k` rule. */
+  private[graft] def seedVectors(emb: DataFrame, k: Int): Array[(Long, Array[Double])] = {
+    val pool = emb.select(col("vec_id"), col("v"))
+      .orderBy(col("vec_id")).limit(k * 64).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    pool.foreach { case (id, v) =>
+      if (out.length < k && seen.add(v.toSeq)) out += ((id, v)) }
+    if (out.length < k) {
+      val have = out.map(_._1).toSet
+      pool.foreach { case (id, v) =>
+        if (out.length < k && !have.contains(id)) out += ((id, v)) }
+    }
+    require(out.length == k,
+      s"need at least $k vectors to seed, found ${out.length}")
+    out.sortBy(_._1).toArray
+  }
+
+  /** IVF coarse quantizer seeds: deterministic centroids ([[seedVectors]] —
+    * the k distinct vectors with smallest present ids), refined by
+    * [[kmeansCentroids]] before use. Returns (cell_id, centroid, norm);
+    * the cell id is the seed's vec_id.
     *
     * The centroid table is MODEL STATE, not data — nCentroids × dim doubles
     * — so it is collected once and embedded as plan literals (the same
@@ -127,13 +162,9 @@ object VectorOps {
     * ×nCentroids row expansion (the round-2 form paid a full shuffle of
     * every vector through a groupBy argmax after a ×16 broadcast join). */
   private def centroids(emb: DataFrame, nCentroids: Int): Array[(Long, Array[Double], Double)] =
-    emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id"), col("v"))
-      .collect()
-      .map { r =>
-        val cv = r.getSeq[Double](1).toArray
-        (r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
-      }
+    seedVectors(emb, nCentroids).map { case (id, cv) =>
+      (id, cv, math.sqrt(cv.map(x => x * x).sum))
+    }
 
   /** Distributed spherical k-means (Lloyd): assign every vector to its
     * nearest centroid by cosine (the zero-shuffle literal-centroid argmax
@@ -380,18 +411,15 @@ object VectorOps {
     * explodes to (vec_id, j, subvector) rows, the assignment is a per-j
     * argmin projection over plan-literal centroids, and the update is a
     * single groupBy(j, code) array-sum — m·k rows of model state to the
-    * driver per round, never the vectors. Seeds: the subvectors of the k
-    * smallest vec_ids (deterministic); empty cells keep their previous
-    * centroid. Returns codebooks(j)(code) = centroid. */
+    * driver per round, never the vectors. Seeds: [[seedVectors]] — the k
+    * DISTINCT vectors with smallest present ids (deterministic, no id
+    * contiguity assumed); empty cells keep their previous centroid.
+    * Returns codebooks(j)(code) = centroid. */
   private[graft] def pqCodebooks(emb: DataFrame, m: Int, dsub: Int, k: Int,
       iters: Int): Array[Array[Array[Double]]] = {
     val s = emb.sparkSession
     val vsum = udaf(ArraySumAgg)
-    val seeds = emb.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("v")).collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toArray)
-    require(seeds.length == k, s"need vec_id 0..${k - 1} as PQ seeds")
+    val seeds = seedVectors(emb, k).map(_._2)
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
     for (_ <- 1 to iters) {

@@ -119,6 +119,70 @@ class PqSpec extends AnyFunSuite {
     assert(hit.toDouble / tot > 0.1, s"ADC recall ${hit.toDouble / tot}")
   }
 
+  test("pq kernels fail fast on EITHER dim mismatch: shorter AND longer than the codebook span") {
+    import graft.functions.PqFns
+    val books = Array.tabulate(2)(_ => Array.tabulate(2)(c =>
+      Array.fill(4)(c.toDouble))) // span = 2 subspaces x 4 dims = 8
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    for (badDim <- Seq(7, 9)) { // one short, one long
+      val bad = Seq((1L, Array.fill(badDim)(1.0))).toDF("vec_id", "v")
+      val exC = intercept[Throwable] {
+        bad.select(PqFns.pqCodes(col("v"), books)).collect() }
+      assert(chain(exC).exists(_.contains("pq_codes")),
+        s"dim=$badDim: ${chain(exC).mkString(" | ")}")
+      val exA = intercept[Throwable] {
+        bad.withColumn("codes", array(lit(0L), lit(1L)))
+          .select(PqFns.adcDistance(col("v"), col("codes"), books)).collect() }
+      assert(chain(exA).exists(_.contains("adc_distance")),
+        s"dim=$badDim: ${chain(exA).mkString(" | ")}")
+    }
+    // the exact span evaluates clean
+    val ok = Seq((1L, Array.fill(8)(1.0))).toDF("vec_id", "v")
+    assert(ok.select(PqFns.pqCodes(col("v"), books)).collect().length == 1)
+  }
+
+  test("seeding: rank-of-present-ids, copy-aware, and bit-identical to the old rule on the fixture") {
+    val emb = Tables.embeddings(s, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // (1) contiguous-distinct fixture: seeds are exactly ids 0..15 — the
+    // historical `vec_id < k` rule — so every declared output is unchanged
+    val seeds = VectorOps.seedVectors(emb, 16)
+    assert(seeds.map(_._1).toSeq == (0L until 16L),
+      s"fixture seeds drifted: ${seeds.map(_._1).mkString(",")}")
+    val old = emb.filter(col("vec_id") < 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    seeds.foreach { case (id, v) => assert(v.sameElements(old(id))) }
+    // (2) gapped/offset ids: no contiguity assumed — a filtered frame
+    // (every third id dropped, id 0 gone) still trains, seeded by the 16
+    // smallest PRESENT ids
+    val gapped = emb.filter(col("vec_id") % 3 =!= 0)
+    val gseeds = VectorOps.seedVectors(gapped, 16)
+    val expected = gapped.select(col("vec_id")).collect().map(_.getLong(0))
+      .sorted.take(16).toSeq
+    assert(gseeds.map(_._1).toSeq == expected)
+    val gbooks = VectorOps.pqCodebooks(gapped, 8, 8, 16, iters = 1)
+    assert(gbooks.length == 8 && gbooks.forall(_.length == 16))
+    // (3) planted exact copies in the seed range: ids 1..4 carry id 0's
+    // vector — the seed set skips the duplicates instead of wasting 4
+    // codebook entries that would start identical and stay dead
+    val v0 = emb.filter(col("vec_id") === 0L).collect().head.getSeq[Double](1).toArray
+    val copyIds = (1L to 4L).toSet
+    val planted = emb.filter(!col("vec_id").isin(copyIds.toSeq: _*))
+      .unionByName(s.createDataFrame(
+        s.sparkContext.parallelize(copyIds.toSeq.map(id => org.apache.spark.sql.Row(id, v0.toSeq))),
+        emb.schema))
+    val pseeds = VectorOps.seedVectors(planted, 16)
+    assert(pseeds.map(_._1).toSeq == (Seq(0L) ++ (5L to 19L)),
+      s"copy-aware seeding picked: ${pseeds.map(_._1).mkString(",")}")
+    // (4) degenerate pool (< k distinct): falls back to duplicate seeds so
+    // training still runs instead of aborting
+    val tiny = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id"), transform(col("v"), x => lit(1.0)).as("v"))
+    val tseeds = VectorOps.seedVectors(tiny, 4)
+    assert(tseeds.length == 4 && tseeds.map(_._1).toSeq == (0L until 4L))
+  }
+
   test("2 Lloyd rounds reconstruct no worse than the raw seed codebooks") {
     val emb = Tables.embeddings(s, TestSpark.sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
