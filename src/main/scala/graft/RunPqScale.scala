@@ -109,9 +109,101 @@ object RunPqScale {
       .filter(col("rn") === 1)
     val inFam = top1.filter(floor(col("u") / 10) === floor(col("w") / 10)).count()
     val nProbes = top1.count()
-    println(f"[pqscale] ADC search: top-1 in-family $inFam/$nProbes  TOTAL $secs%.1f s")
+    println(f"[pqscale] ADC search: top-1 in-family $inFam/$nProbes ($secs%.1f s)")
     require(inFam >= (nProbes * 9) / 10,
       s"ADC top-1 in-family recall collapsed: $inFam/$nProbes")
+
+    // (d) the recall-vs-nprobe CURVE — the operating table an IVF+PQ
+    // deployment reads to pick its cost/quality point. One all-pairs pass
+    // (100 probes x nVec candidates, probe side broadcast, candidate side
+    // streamed — no shuffle of the lake) computes BOTH the quantized ADC
+    // distance and the exact L2², each candidate tagged with the rank of
+    // its cell in the probe's cell ordering; every nprobe point is then a
+    // cellrank filter over the same tiny per-(probe, cellrank) top-3
+    // digest, so the whole sweep costs one scan, two narrow shuffles and
+    // a 76k-row collect. Two recall columns, two different questions:
+    //   vs ADC-full-scan  — what the CELL PRUNING loses (candidate stage;
+    //                       provably monotone in nprobe, exactly 1.0 at
+    //                       nprobe = nCells — both asserted);
+    //   vs exact L2       — what pruning AND 64x quantization lose
+    //                       end-to-end (need not be monotone).
+    // Self-audit: the merged all-cells digest must equal a global ADC
+    // window computed WITHOUT the cell decomposition — a candidate lost or
+    // double-counted by the IVF partitioning would break set equality.
+    val nCells = 256
+    val sweep = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256)
+    val kTop = 3
+    val cands2 = VectorOps.ivfAssignWith(embN, cents)
+      .select(col("vec_id").as("w"), col("v").as("wv"), col("nrm").as("wnrm"),
+        col("cell"),
+        graft.functions.PqFns.pqCodes(col("v"), books).getField("codes").as("codes"))
+    val probesR = VectorOps.ivfProbeCellsRankedAll(
+        embN.filter(col("vec_id") < 100), cents)
+      .select(col("vec_id").as("u"), col("v").as("uv"), col("nrm").as("unrm"),
+        col("cell"), col("cellrank"))
+    val pairsN = broadcast(probesR).join(cands2, Seq("cell"))
+      .filter(col("u") =!= col("w"))
+      .select(col("u"), col("w"), col("cellrank"),
+        graft.functions.PqFns.adcDistance(col("uv"), col("codes"), books).as("adc"),
+        (col("unrm") * col("unrm") + col("wnrm") * col("wnrm")
+          - lit(2.0) * VectorOps.dot(col("uv"), col("wv"))).as("l2x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("u", "cellrank").orderBy(col("adc").asc, col("w").asc)
+    val digest = pairsN
+      .select(col("u"), col("w"), col("cellrank"), col("adc"),
+        row_number().over(wCell).as("rn"))
+      .filter(col("rn") <= kTop).drop("rn").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getDouble(3)))
+    val scanned = pairsN.groupBy("u", "cellrank").count().collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def topSets(byU: Map[Long, Array[(Long, Int, Long, Double)]], p: Int) =
+      byU.map { case (u, rows) =>
+        u -> rows.filter(_._2 <= p).sortBy(t => (t._4, t._3)).take(kTop)
+          .map(_._3).toSet
+      }
+    val byU = digest.groupBy(_._1)
+    val probeIds = byU.keySet.toSeq.sorted
+    val adcFull = topSets(byU, nCells)
+    val wGlob = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("adc").asc, col("w").asc)
+    val globSets = pairsN
+      .select(col("u"), col("w"), row_number().over(wGlob).as("rn"))
+      .filter(col("rn") <= kTop).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.map(_.getLong(1)).toSet }
+    require(probeIds.forall(u => adcFull(u) == globSets(u)),
+      "IVF cell decomposition lost/duplicated a candidate vs the global ADC scan")
+    val exactSets = pairsN
+      .select(col("u"), col("w"), row_number().over(org.apache.spark.sql
+        .expressions.Window.partitionBy("u")
+        .orderBy(col("l2x").asc, col("w").asc)).as("rn"))
+      .filter(col("rn") <= kTop).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.map(_.getLong(1)).toSet }
+    println(f"[pqscale] nprobe sweep over ${probeIds.size} probes, " +
+      f"$nCells cells, top-$kTop ($secs%.1f s):")
+    println("[pqscale]   nprobe  avg_cands  scan_frac  recall_vs_adcfull  recall_vs_exact")
+    var prevAdcRecall = 0.0
+    for (p <- sweep) {
+      val sets = topSets(byU, p)
+      def recall(truth: Map[Long, Set[Long]]) = probeIds.map { u =>
+        val t = truth(u); if (t.isEmpty) 1.0
+        else (sets(u) & t).size.toDouble / t.size
+      }.sum / probeIds.size
+      val rAdc = recall(adcFull)
+      val rExact = recall(exactSets.toMap)
+      val avgCands = probeIds.map { u =>
+        (1 to p).map(c => scanned.getOrElse((u, c), 0L)).sum
+      }.sum.toDouble / probeIds.size
+      println(f"[pqscale]   $p%6d  $avgCands%9.0f  ${avgCands / nVec}%9.4f" +
+        f"  $rAdc%17.4f  $rExact%15.4f")
+      require(rAdc >= prevAdcRecall - 1e-12,
+        s"candidate-stage recall not monotone at nprobe=$p: $prevAdcRecall -> $rAdc")
+      prevAdcRecall = rAdc
+    }
+    require(math.abs(prevAdcRecall - 1.0) < 1e-12,
+      s"probing all $nCells cells must recover the full ADC scan exactly: $prevAdcRecall")
+    pairsN.unpersist()
+    println(f"[pqscale] TOTAL $secs%.1f s")
     spark.stop()
   }
 }

@@ -231,6 +231,21 @@ object VectorOps {
         s => -s.getField("nid"))).as("cell"))
   }
 
+  /** EVERY cell with its per-probe rank (1 = nearest) — the full-ranking
+    * variant of [[ivfProbeCellsWith]] an nprobe SWEEP reads once: since a
+    * candidate lives in exactly one cell, filtering `cellrank <= p` on the
+    * (probe × candidate) join replays any operating point of the sweep
+    * from a single all-pairs pass instead of one join per nprobe value. */
+  private[graft] def ivfProbeCellsRankedAll(emb: DataFrame,
+      cents: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val sims = centroidSims(cents)
+    emb.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(transform(reverse(array_sort(array(sims: _*))),
+          s => -s.getField("nid"))).as(Seq("pos", "cell")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        (col("pos") + 1).cast("int").as("cellrank"))
+  }
+
   /** IVF top-k ANN: candidates live in their one nearest cell, each probe
     * searches its `nprobe` nearest cells, exact cosine + top-3 within the
     * probed set. A candidate appears in exactly one cell, so the
