@@ -91,9 +91,13 @@ object RunPqScale {
     // the answer checkable: same-family L2² ≈ 0.1 vs cross-family ≈ 40,
     // and per-vector quantization error ≈ 15 — so ADC top-1 must stay
     // in-family for (nearly) every probe despite 64× compression.
+    // ONE cell-count constant: the coarse quantizer's k and the sweep's
+    // all-cells assertions must agree or the recall==1.0 require evaluates
+    // against the wrong cell count
+    val nCells = 256
     val embN = graft.graph.GraphOps.cutLineage(
       emb.withColumn("nrm", VectorOps.l2norm(col("v"))))
-    val cents = VectorOps.kmeansCentroids(embN, 256, iters = 2)
+    val cents = VectorOps.kmeansCentroids(embN, nCells, iters = 2)
     val books = VectorOps.pqCodebooks(embN, 8, 8, 16, iters)
     val cands = VectorOps.ivfAssignWith(embN, cents)
       .select(col("vec_id").as("w"), col("cell"),
@@ -130,8 +134,7 @@ object RunPqScale {
     // Self-audit: the merged all-cells digest must equal a global ADC
     // window computed WITHOUT the cell decomposition — a candidate lost or
     // double-counted by the IVF partitioning would break set equality.
-    val nCells = 256
-    val sweep = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256)
+    val sweep = Iterator.iterate(1)(_ * 2).takeWhile(_ <= nCells).toSeq
     val kTop = 3
     val cands2 = VectorOps.ivfAssignWith(embN, cents)
       .select(col("vec_id").as("w"), col("v").as("wv"), col("nrm").as("wnrm"),

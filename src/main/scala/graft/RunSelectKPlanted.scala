@@ -13,29 +13,41 @@ import graft.bigclam.BigClam
   * grid boundary). Here the graph is drawn from the AGM itself
   * (GraphGen.plantedCoverEdges — the exact generative model the fit
   * maximizes) with a KNOWN community count K*, so the LLH-vs-K curve has a
-  * true answer to recover: gains should be large while K < K* (each new
-  * community explains a planted block) and collapse once K >= K* (extra
-  * capacity explains nothing that is really there).
+  * true answer to recover.
+  *
+  * Round-11 lesson baked in: a fixed iteration budget (40) + churn stop left
+  * large-K fits systematically under-converged, so the curve compared
+  * unequally-converged models and came back non-monotone (argmax at the grid
+  * floor, recovery F1 0.43). The walk now converges EVERY grid point to the
+  * reference's own relative-LLH rule (SGDFindC, bigclam4-7.scala:225-243:
+  * |1 − LLH/LLHold| < 1e-4) with `fitIters` as a hard job budget, which is
+  * what makes the cross-K comparison fair.
   *
   * Reference semantics: the v4 K-grid walk, bigclam4-7.scala:16-20,225-266.
   *
   *   runMain graft.RunSelectKPlanted <nNodes> <kStar> <pSingle> <interEdges>
-  *     <minK> <maxK> <steps> <fitIters> [supportCap=16] [stableTol=0.01]
-  *     [hotDegCap=200]
+  *     <minK> <maxK> <steps> <fitIters> [supportCap=16] [llhTol=1e-4]
+  *     [hotDegCap=200] [heldFrac=0.1 — 0 skips the held-out walk]
   *
-  * The grid is walked in FULL (no early stop) — the curve is the
-  * deliverable; the reference's kTol=1e-3 stopping rule is then REPLAYED on
-  * the recorded curve, so one run reports both the raw-LLH argmax and what
-  * the reference's walker would have chosen. The argmax-K fit is finally
-  * scored (best-match F1 + Omega) against the planted truth: a high score
-  * at K~K* is the end-to-end evidence that grid selection finds real
-  * structure when there is real structure to find. */
+  * Four deliverables from one run:
+  *  1. the full LLH-vs-K curve (no early stop), every K equally converged;
+  *  2. the reference's kTol=1e-3 stopping rule REPLAYED on the curve — the
+  *     SIGNED test of bigclam4-7.scala:259 ((1 − new/old) < 1e-3, which also
+  *     fires on any LLH decrease) choosing the stop-point K itself (KforC);
+  *  3. recovery scoring (best-match F1 + Omega) of the argmax-K fit AND of a
+  *     fit at exactly K* — the latter is the achievable bar: if conductance
+  *     seeding degenerates on planted covers, the K* fit shows it directly;
+  *  4. a held-out selection walk (train on 90% of undirected pairs, score
+  *     Bernoulli LLH on the held 10% + an equal non-edge sample) — the
+  *     standard answer if raw training LLH still rises monotonically in K.
+  */
 object RunSelectKPlanted {
   def main(args: Array[String]): Unit = {
     if (args.length < 8) {
       System.err.println("usage: RunSelectKPlanted <nNodes> <kStar> " +
         "<pSingle> <interEdges> <minK> <maxK> <steps> <fitIters> " +
-        "[supportCap=16] [stableTol=0.01 — 0 disables] [hotDegCap=200]")
+        "[supportCap=16] [llhTol=1e-4 — 0 disables] [hotDegCap=200] " +
+        "[heldFrac=0.1 — 0 skips held-out walk]")
       sys.exit(2)
     }
     val nNodes = args(0).toLong
@@ -47,8 +59,9 @@ object RunSelectKPlanted {
     val steps = args(6).toInt
     val iters = args(7).toInt
     val cap = args.lift(8).map(_.toInt).getOrElse(16)
-    val stableTol = Some(args.lift(9).map(_.toDouble).getOrElse(0.01)).filter(_ > 0)
+    val llhTol = Some(args.lift(9).map(_.toDouble).getOrElse(1e-4)).filter(_ > 0)
     val hotCap = Some(args.lift(10).map(_.toLong).getOrElse(200L)).filter(_ > 0)
+    val heldFrac = args.lift(11).map(_.toDouble).getOrElse(0.1)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -67,36 +80,67 @@ object RunSelectKPlanted {
     println(f"[selectk*] $nNodes nodes, K*=$kStar planted, ${edges.count()} " +
       f"directed edge rows, pSingle=$pSingle ($secs%.0f s to generate)")
 
-    // full-grid walk: kTol=0 never satisfies |1 - llh/prev| < kTol, so every
-    // grid point is evaluated and the curve comes back whole
+    // score any fitted sparse F against the planted truth
+    def scoreFit(fs: org.apache.spark.sql.DataFrame, k: Int, tag: String): Double = {
+      val f = BigClam.toDenseF(fs, k).persist(StorageLevel.MEMORY_AND_DISK)
+      val fitted = BigClam.communities(f, edges, BigClam.Params(k = k))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val score = BigClam.scoreCommunities(fitted, truth).collect()(0)
+      val omega = BigClam.scoreCommunitiesOmega(fitted, truth)
+        .collect()(0).getAs[Double]("omega")
+      println(f"[selectk*] $tag (K=$k) vs planted truth: " +
+        f"F1=${score.getDouble(0)}%.4f omega=$omega%.4f ($secs%.0f s)")
+      fitted.unpersist(); f.unpersist()
+      score.getDouble(0)
+    }
+
+    // 1. full-grid walk, every K converged to the same relative-LLH rule:
+    //    kTol=0 never satisfies |1 - llh/prev| < kTol, so every grid point
+    //    is evaluated and the curve comes back whole
     val (bestK, bestF, grid) = BigClam.selectKSparse(edges,
       BigClam.Params(k = minK), minK = minK, maxK = maxK, steps = steps,
       kTol = 0.0, fitIterations = iters, supportCap = Some(cap),
-      stableTol = stableTol, hotDegCap = hotCap)
+      stableTol = None, hotDegCap = hotCap, llhTol = llhTol)
     println(f"[selectk*] grid walked in $secs%.0f s:")
     grid.foreach { case (k, llh) => println(f"[selectk*]   K=$k%-6d llh=$llh%.4e") }
-    // replay the reference's stopping rule (bigclam4-7.scala:259) on the
-    // recorded curve: walk ascending, stop at the first sub-1e-3 relative
-    // gain, report the best LLH seen up to the stop
+
+    // 2. replay the reference's stopping rule (bigclam4-7.scala:259) on the
+    //    recorded curve: walk ascending, stop at the first SIGNED sub-1e-3
+    //    relative gain — (1 − new/old) < 1e-3 also fires on any LLH
+    //    decrease — and report the stop-point K itself (KforC = i)
     val stopIdx = grid.indices.drop(1)
-      .find(i => math.abs(1.0 - grid(i)._2 / grid(i - 1)._2) < 1e-3)
-    val refChoice = stopIdx match {
-      case Some(i) => grid.take(i + 1).maxBy(_._2)._1
-      case None    => grid.maxBy(_._2)._1
-    }
+      .find(i => 1.0 - grid(i)._2 / grid(i - 1)._2 < 1e-3)
+    val refChoice = stopIdx.map(i => grid(i)._1).getOrElse(grid.last._1)
     println(s"[selectk*] planted K*=$kStar  argmax-LLH K=$bestK  " +
       s"reference-rule(1e-3) K=$refChoice" +
-      stopIdx.map(i => s" (stopped after ${grid(i)._1})").getOrElse(" (never stopped)"))
+      (if (stopIdx.isDefined) "" else " (never stopped — grid boundary)"))
 
-    // close the loop: does the argmax-K model recover the planted cover?
-    val f = BigClam.toDenseF(bestF, bestK).persist(StorageLevel.MEMORY_AND_DISK)
-    val fitted = BigClam.communities(f, edges, BigClam.Params(k = bestK))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val score = BigClam.scoreCommunities(fitted, truth).collect()(0)
-    val omega = BigClam.scoreCommunitiesOmega(fitted, truth)
-      .collect()(0).getAs[Double]("omega")
-    println(f"[selectk*] argmax-K fit vs planted truth: F1=${score.getDouble(0)}%.4f " +
-      f"omega=$omega%.4f  TOTAL $secs%.1f s")
+    // 3. recovery of the argmax-K fit, plus the K* achievable bar
+    scoreFit(bestF, bestK, "argmax-K fit")
+    if (bestK != kStar) {
+      val ranked = GraphOps.seedRank(edges, hotCap).persist(StorageLevel.MEMORY_AND_DISK)
+      val (fStar, histStar) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
+        iterations = iters, ranked = Some(ranked), supportCap = Some(cap),
+        llhTol = llhTol)
+      println(f"[selectk*] K* bar fit: ${histStar.length} LLH points, " +
+        f"final=${histStar.last}%.4e")
+      scoreFit(fStar, kStar, "K*-bar fit")
+      ranked.unpersist()
+    }
+
+    // 4. held-out selection — the capacity-honest criterion
+    if (heldFrac > 0) {
+      val (hk, hf, hcurve) = BigClam.selectKSparseHeldOut(edges,
+        BigClam.Params(k = minK), minK = minK, maxK = maxK, steps = steps,
+        heldFrac = heldFrac, fitIterations = iters, llhTol = llhTol,
+        supportCap = Some(cap), hotDegCap = hotCap)
+      println(f"[selectk*] held-out walk (frac=$heldFrac) in $secs%.0f s:")
+      hcurve.foreach { case (k, tr, ho) =>
+        println(f"[selectk*]   K=$k%-6d train_llh=$tr%.4e held_llh=$ho%.4e") }
+      println(s"[selectk*] held-out choice K=$hk (planted K*=$kStar)")
+      scoreFit(hf, hk, "held-out-K fit")
+    }
+    println(f"[selectk*] TOTAL $secs%.1f s")
     spark.stop()
   }
 }

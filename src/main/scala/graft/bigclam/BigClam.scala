@@ -485,7 +485,8 @@ object BigClam {
   def fitSparse(edges: DataFrame, p: Params, iterations: Int,
       trackHistory: Boolean = true, ranked: Option[DataFrame] = None,
       supportCap: Option[Int] = None,
-      stableTol: Option[Double] = None): (DataFrame, Seq[Double]) = {
+      stableTol: Option[Double] = None,
+      llhTol: Option[Double] = None): (DataFrame, Seq[Double]) = {
     requireEdges(edges)
     // cap >= K can't prune anything: use the uncapped path so "no-op cap"
     // means bit-identical, not merely value-close (float op order matters)
@@ -497,7 +498,17 @@ object BigClam {
     // whose argmax community moved this iteration drops below stableTol.
     // One row per node in F (initSparse joins on degrees), so count once.
     val nNodes = stableTol.fold(0L)(_ => f.count())
+    // llhTol = the reference's SGDFindC convergence (bigclam4-7.scala:
+    // 225-243: loop until |1 − LLH/LLHold| < 1e-4) with `iterations` as a
+    // hard job budget. This is the rule a K-GRID walk needs: the round-11
+    // planted run (10k nodes, K*=100) showed that a fixed budget + churn
+    // stop leaves large-K fits systematically under-converged, so the
+    // LLH-vs-K curve compares unequally-converged models and goes
+    // non-monotone — walking every K to the SAME relative tolerance is what
+    // makes the cross-K comparison fair.
     val history = scala.collection.mutable.ArrayBuffer[Double]()
+    var llhPrev = Option.empty[Double]
+    var convergedAtMeasure = false
     var it = 0
     var stop = false
     while (!stop && it < iterations) {
@@ -506,36 +517,52 @@ object BigClam {
       val sf = sumFSparse(f, p)
       val state = nodeStateSparse(edges, f, sf, p, cap)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (trackHistory) {
-        history += totalLlh(state)
+      val llh = if (trackHistory || llhTol.isDefined) {
+        val v = totalLlh(state)
+        if (trackHistory) history += v
         System.err.println(f"[bigclam] sparse iter $it/$iterations start: " +
-          f"llh=${history.last}%.2f (+${(System.nanoTime() - t0) / 1e9}%.0f s)")
+          f"llh=$v%.2f (+${(System.nanoTime() - t0) / 1e9}%.0f s)")
+        Some(v)
+      } else None
+      val converged = llhTol.exists(tol => (llhPrev, llh) match {
+        case (Some(prev), Some(cur)) => math.abs(1.0 - cur / prev) < tol
+        case _ => false
+      })
+      llhPrev = llh
+      if (converged) {
+        // the LLH just measured IS the final F's LLH: stop without another
+        // update, and without the trailing re-measure below (history.last
+        // already holds it when tracking)
+        state.unpersist()
+        stop = true
+        convergedAtMeasure = true
+      } else {
+        val updates = lineSearchSparse(edges, f, state, sf, p)
+        val next = checkpointF(capF(f.join(updates, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("fi_new"), col("fi")).as("fi"),
+            coalesce(col("fv_new"), col("fv")).as("fv")), cap))
+        stop = stableTol.exists { tol =>
+          // churn is read off the two CHECKPOINTED frames, projected to
+          // (id, argmax) before the join — two longs per node of shuffle, and
+          // the fit's own plan is untouched (persisting the line-search output
+          // for this count instead would reorder the checkpoint's rows and
+          // drift the float-sum LLH by an ulp; PropertySpec pins bit-equality
+          // with the untracked fit)
+          def am(df: DataFrame) = df.select(col("id"),
+            SparseF.argmaxIndex(col("fi"), col("fv")).as("am"))
+          val changed = am(f).join(am(next).withColumnRenamed("am", "am2"), Seq("id"))
+            .filter(col("am") =!= col("am2")).count()
+          val frac = changed.toDouble / math.max(nNodes, 1L)
+          System.err.println(f"[bigclam] sparse iter $it membership churn: " +
+            f"$changed/$nNodes = $frac%.4f (stop < $tol)")
+          frac < tol
+        }
+        state.unpersist()
+        f = next
       }
-      val updates = lineSearchSparse(edges, f, state, sf, p)
-      val next = checkpointF(capF(f.join(updates, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("fi_new"), col("fi")).as("fi"),
-          coalesce(col("fv_new"), col("fv")).as("fv")), cap))
-      stop = stableTol.exists { tol =>
-        // churn is read off the two CHECKPOINTED frames, projected to
-        // (id, argmax) before the join — two longs per node of shuffle, and
-        // the fit's own plan is untouched (persisting the line-search output
-        // for this count instead would reorder the checkpoint's rows and
-        // drift the float-sum LLH by an ulp; PropertySpec pins bit-equality
-        // with the untracked fit)
-        def am(df: DataFrame) = df.select(col("id"),
-          SparseF.argmaxIndex(col("fi"), col("fv")).as("am"))
-        val changed = am(f).join(am(next).withColumnRenamed("am", "am2"), Seq("id"))
-          .filter(col("am") =!= col("am2")).count()
-        val frac = changed.toDouble / math.max(nNodes, 1L)
-        System.err.println(f"[bigclam] sparse iter $it membership churn: " +
-          f"$changed/$nNodes = $frac%.4f (stop < $tol)")
-        frac < tol
-      }
-      state.unpersist()
-      f = next
     }
-    if (trackHistory) {
+    if (trackHistory && !convergedAtMeasure) {
       val finalState = nodeStateSparse(edges, f, sumFSparse(f, p), p)
       history += totalLlh(finalState)
     }
@@ -660,7 +687,8 @@ object BigClam {
       steps: Int, kTol: Double = 1e-3, fitIterations: Int = 3,
       supportCap: Option[Int] = None, stableTol: Option[Double] = None,
       hotDegCap: Option[Long] = None,
-      retainedProbe: Int => Unit = _ => ()): (Int, DataFrame, Seq[(Int, Double)]) = {
+      retainedProbe: Int => Unit = _ => (),
+      llhTol: Option[Double] = None): (Int, DataFrame, Seq[(Int, Double)]) = {
     requireEdges(edges)
     val grid = logSpacedK(minK, maxK, steps)
     val ranked = GraphOps.seedRank(edges, hotDegCap).persist(StorageLevel.MEMORY_AND_DISK)
@@ -670,7 +698,8 @@ object BigClam {
     var stop = false
     for (k <- grid if !stop) {
       val (fs, hist) = fitSparse(edges, base.copy(k = k), fitIterations,
-        ranked = Some(ranked), supportCap = supportCap, stableTol = stableTol)
+        ranked = Some(ranked), supportCap = supportCap, stableTol = stableTol,
+        llhTol = llhTol)
       val llh = hist.last
       retainedProbe(1 + best.size)
       prevLlh.foreach(pl => if (math.abs(1.0 - llh / pl) < kTol) stop = true)
@@ -679,6 +708,116 @@ object BigClam {
       evals = (k, llh) :: evals
     }
     ranked.unpersist()
+    val (bk, _, bf) = best.get
+    (bk, bf, evals.reverse)
+  }
+
+  /** Deterministic undirected train/held-out edge split for model selection.
+    * The coin is hashed on the UNDIRECTED pair (least, greatest), so both
+    * directed rows of an edge land on the same side — holding out one
+    * direction of a symmetric pair would leak the edge into training.
+    * Returns (train: symmetric directed rows, held: one (u, v) row per
+    * undirected held-out pair, u < v). Fully distributed — two narrow
+    * filters over the edge frame, no shuffle. */
+  def splitEdgesHoldOut(edges: DataFrame, heldFrac: Double,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    require(heldFrac > 0.0 && heldFrac < 1.0, "heldFrac must be in (0,1)")
+    val u01 = shiftrightunsigned(
+      xxhash64(least(col("src"), col("dst")), greatest(col("src"), col("dst")),
+        lit(seed)), 11).cast("double") * lit(1.0 / (1L << 53))
+    val train = edges.filter(u01 >= heldFrac)
+    val held = edges.filter(u01 < heldFrac && col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    (train, held)
+  }
+
+  /** `n` deterministic NON-edge (u, v) pairs (u < v) over the graph's node
+    * id range — the negative half of a held-out likelihood (scoring edges
+    * alone rewards capacity monotonically; non-edges are what extra
+    * communities over-explain). Draws hash-uniform pairs over [0, maxId],
+    * keeps those whose endpoints both exist, anti-joins the full edge set;
+    * on a sparse graph almost every draw survives, so `oversample` bounds
+    * the retry-free shortfall. All joins are key-partitioned; nothing is
+    * collected. */
+  def sampleNonEdgePairs(edges: DataFrame, n: Long, seed: Long = 42L,
+      oversample: Double = 1.3): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxId = nodes.agg(max(col("node"))).collect()(0).getLong(0)
+    def h(salt: Int) = pmod(xxhash64(col("id"), lit(seed), lit(salt)), lit(maxId + 1))
+    val draws = spark.range(math.max((n * oversample).toLong, n + 16))
+      .select(least(h(41), h(42)).as("u"), greatest(h(41), h(42)).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    draws
+      .join(nodes.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(nodes.select(col("node").as("v")), Seq("v"), "left_semi")
+      .join(edges.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy("u", "v").limit(n.toInt)
+      .select(col("u"), col("v"))
+  }
+
+  /** Held-out Bernoulli log-likelihood of a fitted sparse F on a labeled
+    * pair set: Σ_{held edges} log(1 − clip(exp(−Fu·Fv))) +
+    * Σ_{sampled non-edges} log(clip(exp(−Fu·Fv))) — the AGM link function
+    * scored on pairs the fit never saw, with the fit's own p-clips so a
+    * zero dot product stays finite. Nodes absent from F (isolated in the
+    * train split) contribute dot = 0 via the left-join coalesce to empty
+    * support. Two key-partitioned joins + one DECIMAL sum; F never leaves
+    * the executors. */
+  def heldOutLlhSparse(fs: DataFrame, heldEdges: DataFrame,
+      nonEdges: DataFrame, p: Params): Double = {
+    val empty = array().cast("array<int>")
+    val emptyV = array().cast("array<double>")
+    def withF(pairs: DataFrame, isEdge: Boolean) = pairs
+      .join(fs.select(col("id").as("u"), col("fi").as("ufi"), col("fv").as("ufv")),
+        Seq("u"), "left")
+      .join(fs.select(col("id").as("v"), col("fi").as("vfi"), col("fv").as("vfv")),
+        Seq("v"), "left")
+      .select(SparseF.sparseDot(
+        coalesce(col("ufi"), empty), coalesce(col("ufv"), emptyV),
+        coalesce(col("vfi"), empty), coalesce(col("vfv"), emptyV)).as("d"))
+      .select((if (isEdge) log(lit(1.0) - clipP(exp(-col("d")), p))
+               else log(clipP(exp(-col("d")), p))).as("llh"))
+    withF(heldEdges, isEdge = true).unionAll(withF(nonEdges, isEdge = false))
+      .agg(sum(col("llh").cast("decimal(38,12)")).cast("double"))
+      .collect()(0).getDouble(0)
+  }
+
+  /** Held-out K selection — the standard answer when raw LLH rises with
+    * capacity monotonically (on hub-dominated unplanted graphs it does —
+    * README "Two findings" — so the reference's relative-gain stop never
+    * fires and argmax training LLH is not a model-selection signal). Split
+    * the edges once (undirected-pair-hashed), fit every grid K on the train
+    * split to the SAME convergence tolerance, score each fit's Bernoulli
+    * LLH on the held-out edges plus an equal-sized non-edge sample, and
+    * choose the argmax. Returns (chosen K, its F fitted on train, per-K
+    * (k, trainLlh, heldLlh) curve). Retention matches [[selectKSparse]]:
+    * one best-so-far F plus the current one. */
+  def selectKSparseHeldOut(edges: DataFrame, base: Params, minK: Int,
+      maxK: Int, steps: Int, heldFrac: Double = 0.1,
+      fitIterations: Int = 50, llhTol: Option[Double] = Some(1e-4),
+      supportCap: Option[Int] = None, hotDegCap: Option[Long] = None,
+      seed: Long = 42L): (Int, DataFrame, Seq[(Int, Double, Double)]) = {
+    requireEdges(edges)
+    val (train, held) = splitEdgesHoldOut(edges, heldFrac, seed)
+    val trainP = train.persist(StorageLevel.MEMORY_AND_DISK)
+    val heldP = held.persist(StorageLevel.MEMORY_AND_DISK)
+    val nHeld = heldP.count()
+    val nonEdges = sampleNonEdgePairs(edges, math.max(nHeld, 1L), seed)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ranked = GraphOps.seedRank(trainP, hotDegCap).persist(StorageLevel.MEMORY_AND_DISK)
+    var evals = List.empty[(Int, Double, Double)]
+    var best: Option[(Int, Double, DataFrame)] = None
+    for (k <- logSpacedK(minK, maxK, steps)) {
+      val (fs, hist) = fitSparse(trainP, base.copy(k = k), fitIterations,
+        ranked = Some(ranked), supportCap = supportCap, llhTol = llhTol)
+      val ho = heldOutLlhSparse(fs, heldP, nonEdges, base.copy(k = k))
+      if (best.forall(_._2 < ho)) best = Some((k, ho, fs))
+      evals = (k, hist.last, ho) :: evals
+    }
+    ranked.unpersist(); trainP.unpersist(); heldP.unpersist(); nonEdges.unpersist()
     val (bk, _, bf) = best.get
     (bk, bf, evals.reverse)
   }

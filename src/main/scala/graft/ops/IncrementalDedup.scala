@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted-state incremental dedup — the production new-batch flow behind
+  * [[TextOps.q_dedup_incremental]] (whose oracle-checked query answers the
+  * same question with an in-table split stand-in). Here the corpus index is
+  * REAL STATE on disk, appended batch after batch, so a daily-crawl pipeline
+  * can dedup each arrival against everything previously accepted without
+  * ever re-reading the historical corpus text:
+  *
+  *   state/hashes    (h)                md5 of every accepted doc
+  *   state/postings  (shingle, doc_id)  distinct 5-gram shingle postings of
+  *                                      every accepted doc
+  *   state/decisions (batch, doc_id, is_exact_dup, n_near, keep)
+  *
+  * Per batch: in-batch exact dedup (keep min doc_id per md5) → exact check
+  * against the index hash set (one semi-join — linear, the batch side tiny)
+  * → near-dup check against the index via the SAME rare-shingle blocking as
+  * the oracle-checked queries (df ∈ [2, 10] computed over index+batch
+  * postings TOGETHER, so boilerplate frequent in the corpus stays excluded
+  * no matter how a new batch shifts df) → exact Jaccard ≥ 0.5 verification
+  * over full posting lists → survivors appended to the index.
+  *
+  * Scale stance (100 TB corpus, daily batches): state is linear in the
+  * ACCEPTED corpus (hash set + shingle postings — the inverted index every
+  * production dedup service keeps); each batch costs one semi-join keyed on
+  * md5 plus one df-bounded blocked pair generation (≤ 10 docs per rare
+  * shingle by construction ⇒ ≤ 100 cross pairs per shingle) plus posting-
+  * list joins for the proposed pairs only. Nothing is collected; nothing is
+  * quadratic in either corpus or batch.
+  */
+object IncrementalDedup {
+
+  /** The in-memory handle on the persisted index. `hashes` (h: string),
+    * `postings` (shingle, doc_id). Batch-local frames work too (the
+    * streaming foreachBatch path accumulates state between micro-batches
+    * without touching disk). */
+  case class State(hashes: DataFrame, postings: DataFrame)
+
+  /** Per-doc batch decisions plus the state delta the caller appends on
+    * accept: `decisions` one row per batch doc (doc_id, is_exact_dup,
+    * n_near, keep); `acceptedHashes`/`acceptedPostings` cover exactly the
+    * keep=1 docs. */
+  case class BatchResult(decisions: DataFrame, acceptedHashes: DataFrame,
+      acceptedPostings: DataFrame)
+
+  def emptyState(s: SparkSession): State = {
+    import s.implicits._
+    State(Seq.empty[String].toDF("h"),
+      Seq.empty[(String, Long)].toDF("shingle", "doc_id"))
+  }
+
+  /** Load the index from `dir`, empty frames when a component is absent
+    * (first batch). */
+  def loadState(s: SparkSession, dir: String): State = {
+    def read(sub: String, fallback: DataFrame): DataFrame = {
+      val p = new java.io.File(s"$dir/$sub")
+      if (p.exists()) s.read.parquet(p.getPath) else fallback
+    }
+    val e = emptyState(s)
+    State(read("hashes", e.hashes), read("postings", e.postings))
+  }
+
+  /** Append a batch's accepted-doc index delta (+ its decisions for audit)
+    * to `dir`. Parquet append — each batch adds files, no rewrite of
+    * historical state.
+    *
+    * All three outputs are MATERIALIZED (eager localCheckpoint) before the
+    * first write: they share plan subtrees that READ the very directories
+    * being appended to, so writing hashes first and then letting the
+    * postings/decisions plans re-list the hashes dir would feed the batch
+    * its own hashes back — every doc flips to exact-dup in the persisted
+    * decisions while the in-memory stats said otherwise (caught by the
+    * first two-JVM run of RunIncrementalDedup). */
+  def appendState(dir: String, batch: Long, r: BatchResult): Unit = {
+    val h = r.acceptedHashes.localCheckpoint(true)
+    val p = r.acceptedPostings.localCheckpoint(true)
+    val dcs = r.decisions.withColumn("batch", lit(batch)).localCheckpoint(true)
+    h.write.mode("append").parquet(s"$dir/hashes")
+    p.write.mode("append").parquet(s"$dir/postings")
+    dcs.write.mode("append").parquet(s"$dir/decisions")
+  }
+
+  /** Process one batch of (doc_id, text) against the index. Pure plan
+    * construction — nothing here runs a job; the caller materializes (and
+    * at scale should localCheckpoint/persist `decisions` before writing the
+    * three outputs, which share it). */
+  def processBatch(batch: DataFrame, state: State): BatchResult = {
+    val withH = batch.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    // in-batch exact dedup: the min doc_id of each hash group represents it
+    val keeper = withH.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+    // exact flag = duplicate of an in-batch keeper OR of an indexed doc
+    val indexHit = withH.join(state.hashes, Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    val exactDup = withH.join(keeper, Seq("h"))
+      .filter(col("doc_id") =!= col("keep_id")).select(col("doc_id"))
+      .unionAll(indexHit).distinct()
+    val exactSurvivors = batch.join(exactDup, Seq("doc_id"), "left_anti")
+
+    // near-dup: rare-shingle blocking over index+batch postings together,
+    // cross (batch survivor × indexed doc) pairs only, exact Jaccard ≥ 0.5
+    val batchPost = TextOps.docShinglesOf(exactSurvivors)
+      .select(col("shingle"), col("doc_id"))
+    // BY NAME: state.postings comes back from parquet in storage order —
+    // a positional union would zip shingles into doc_ids
+    val combined = state.postings.unionByName(batchPost)
+    val rare = combined.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 10)).select("shingle")
+    val crossPairs = batchPost.join(rare, Seq("shingle"))
+      .select(col("shingle"), col("doc_id").as("b"))
+      .join(state.postings.join(rare, Seq("shingle"))
+        .select(col("shingle"), col("doc_id").as("c")), Seq("shingle"))
+      .select(col("b"), col("c")).distinct()
+    // exact Jaccard via the melt pattern (TextOps.jaccardPairs): one join
+    // fetches both sides' postings; per pair, probe-row total = |A|+|B| and
+    // distinct-shingle count = |A∪B|
+    val melt = crossPairs.select(col("b"), col("c"),
+      explode(array(col("b"), col("c"))).as("doc_id"))
+    val nearHits = melt.join(combined, Seq("doc_id"))
+      .groupBy("b", "c", "shingle").agg(count(lit(1)).as("cnt"))
+      .groupBy("b", "c")
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_union"))
+      .filter((col("tot") - col("n_union")).cast("double") / col("n_union") >= 0.5)
+      .groupBy(col("b").as("doc_id")).agg(count(lit(1)).as("n"))
+
+    val decisions = batch.select(col("doc_id"))
+      .join(exactDup.select(col("doc_id"), lit(1L).as("e")), Seq("doc_id"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(0L)).as("is_exact_dup"),
+        coalesce(col("n"), lit(0L)).as("n_near"),
+        when(col("e").isNull && col("n").isNull, 1L).otherwise(0L).as("keep"))
+    val kept = decisions.filter(col("keep") === 1L).select("doc_id")
+    BatchResult(
+      decisions,
+      withH.join(kept, Seq("doc_id"), "left_semi").select(col("h")),
+      batchPost.join(kept, Seq("doc_id"), "left_semi")
+        .select(col("shingle"), col("doc_id")))
+  }
+}

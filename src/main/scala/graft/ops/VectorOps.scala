@@ -140,6 +140,13 @@ object VectorOps {
     pool.foreach { case (id, v) =>
       if (out.length < k && seen.add(v.toSeq)) out += ((id, v)) }
     if (out.length < k) {
+      // degenerate pool: fewer than k distinct vectors in the id-ranked
+      // window. Fill with duplicate-content rows so training still runs
+      // (duplicate-seeded cells behave like empty cells), but say so —
+      // a quietly duplicate-seeded codebook trains dead entries.
+      System.err.println(s"[seedVectors] WARN: only ${out.length} distinct " +
+        s"vectors in the ${pool.length}-row seed pool; filling the remaining " +
+        s"${k - out.length} of $k seeds with duplicates (dead-cell risk)")
       val have = out.map(_._1).toSet
       pool.foreach { case (id, v) =>
         if (out.length < k && !have.contains(id)) out += ((id, v)) }

@@ -78,6 +78,98 @@ class ModelSelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("fitSparse llhTol converges to the reference relative-LLH rule") {
+    // a loose tolerance must stop well inside a generous budget, with the
+    // stop condition actually satisfied between the last two LLH points
+    // (on this 6-node toy the simultaneous-update fit keeps >1% LLH motion
+    // indefinitely — the per-node Armijo note below — so the test tolerance
+    // is 10%, which the iter-3→4 settling satisfies)
+    val tol = 0.1
+    val (f, hist) = BigClam.fitSparse(edges, BigClam.Params(k = 2),
+      iterations = 30, llhTol = Some(tol))
+    assert(hist.size >= 2 && hist.size < 31, s"never converged: ${hist.size}")
+    val (a, b) = (hist(hist.size - 2), hist.last)
+    assert(math.abs(1.0 - b / a) < tol, s"stop fired without convergence: $hist")
+    assert(f.count() == 6)
+    // llhTol must tighten monotonically: a stricter tol never stops earlier
+    val (_, histTight) = BigClam.fitSparse(edges, BigClam.Params(k = 2),
+      iterations = 30, llhTol = Some(1e-6))
+    assert(histTight.size >= hist.size,
+      s"tighter tol stopped earlier: ${histTight.size} < ${hist.size}")
+    // shared prefix: convergence checking must not perturb the fit itself
+    hist.dropRight(1).zip(histTight).foreach { case (x, y) =>
+      assert(x == y, s"llhTol changed the fit path: $hist vs $histTight")
+    }
+  }
+
+  test("splitEdgesHoldOut keeps undirected pairs whole and partitions them") {
+    import org.apache.spark.sql.functions._
+    val (train, held) = BigClam.splitEdgesHoldOut(edges, 0.4)
+    // train stays symmetric: every (a,b) has its (b,a)
+    val asym = train.select(col("src"), col("dst"))
+      .except(train.select(col("dst").as("src"), col("src").as("dst"))).count()
+    assert(asym == 0, "train split broke edge symmetry")
+    // held is single-direction u < v
+    assert(held.filter(col("u") >= col("v")).count() == 0)
+    // partition: held + train's undirected pairs == all undirected pairs
+    val trainU = train.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val allU = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    assert(trainU.intersect(held).count() == 0, "pair on both sides")
+    assert(trainU.unionAll(held).count() == allU.count())
+    // deterministic
+    val (_, held2) = BigClam.splitEdgesHoldOut(edges, 0.4)
+    assert(held.except(held2).count() == 0 && held2.except(held).count() == 0)
+  }
+
+  test("sampleNonEdgePairs draws real non-edges over existing nodes") {
+    import org.apache.spark.sql.functions._
+    val ne = BigClam.sampleNonEdgePairs(edges, 4).cache()
+    assert(ne.count() == 4)
+    assert(ne.filter(col("u") >= col("v")).count() == 0)
+    // none is an edge (in either direction — edges are symmetric)
+    val hits = ne.join(edges.select(col("src").as("u"), col("dst").as("v")),
+      Seq("u", "v"), "left_semi").count()
+    assert(hits == 0, s"$hits sampled pairs are edges")
+    // endpoints all exist in the graph
+    val nodes = edges.select(col("src")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    ne.collect().foreach { r =>
+      assert(nodes(r.getLong(1)) && nodes(r.getLong(0))) }
+  }
+
+  test("heldOutLlhSparse is finite, negative, and rewards the better model") {
+    val (train, held) = BigClam.splitEdgesHoldOut(edges, 0.3)
+    val ne = BigClam.sampleNonEdgePairs(edges, held.count()).cache()
+    val p = BigClam.Params(k = 2)
+    val (fs, _) = BigClam.fitSparse(train, p, iterations = 6, trackHistory = false)
+    val fitted = BigClam.heldOutLlhSparse(fs, held, ne, p)
+    assert(!fitted.isNaN && !fitted.isInfinite && fitted < 0.0)
+    // an all-zero factor matrix predicts no edges at all: the held-out
+    // edges' clipped log(1 - maxP-floor) terms must score strictly worse
+    import org.apache.spark.sql.functions._
+    val zeroF = fs.select(col("id"),
+      array().cast("array<int>").as("fi"),
+      array().cast("array<double>").as("fv"))
+    val zero = BigClam.heldOutLlhSparse(zeroF, held, ne, p)
+    assert(fitted > zero, s"fit $fitted did not beat the empty model $zero")
+  }
+
+  test("selectKSparseHeldOut walks the full grid and picks a grid K") {
+    val (k, f, curve) = BigClam.selectKSparseHeldOut(edges,
+      BigClam.Params(k = 2), minK = 2, maxK = 4, steps = 2,
+      heldFrac = 0.3, fitIterations = 4, llhTol = Some(1e-3))
+    val grid = BigClam.logSpacedK(2, 4, 2)
+    assert(curve.map(_._1) == grid, "held-out walk must cover the whole grid")
+    assert(grid.contains(k))
+    curve.foreach { case (_, tr, ho) =>
+      assert(!tr.isNaN && !ho.isNaN && ho < 0.0) }
+    // the chosen K is the held-LLH argmax
+    assert(curve.maxBy(_._3)._1 == k)
+    assert(f.count() > 0)
+  }
+
   test("fitConverged terminates and improves LLH overall") {
     // NOTE: per-node Armijo acceptance does not guarantee *joint* LLH
     // monotonicity under simultaneous updates — the reference has the same
