@@ -80,6 +80,28 @@ object RunSelectKPlanted {
     println(f"[selectk*] $nNodes nodes, K*=$kStar planted, ${edges.count()} " +
       f"directed edge rows, pSingle=$pSingle ($secs%.0f s to generate)")
 
+    // DIAGNOSTIC 1 — seeding degeneracy check: do the top-K* conductance
+    // seeds actually spread over the planted communities, or do they pile
+    // into a few dense blocks? (A degenerate seed cover explains a large-K
+    // fit that converges into a poor optimum.)
+    val seedCov = GraphOps.rankTopSeeds(GraphOps.seedRank(edges, hotCap), kStar)
+      .join(truth, col("seed") === col("node"))
+      .agg(countDistinct(col("community")).as("cov")).collect()(0).getLong(0)
+    println(f"[selectk*] seeding: top-$kStar conductance seeds touch " +
+      f"$seedCov/$kStar planted communities ($secs%.0f s)")
+
+    // DIAGNOSTIC 2 — the ORACLE LLH bar: score the planted F itself
+    // (F[u][c] = s for every true membership, s² = −ln(1−pSingle) — the
+    // exact F plantedCoverEdges drew from). Any fitted model at K >= K*
+    // could represent this; the gap between a fit's LLH and this number is
+    // pure optimization shortfall, not model class.
+    val sLit = math.sqrt(-math.log(1.0 - pSingle))
+    val truthF = truth.groupBy(col("node").as("id"))
+      .agg(sort_array(collect_set(col("community").cast("int"))).as("fi"))
+      .withColumn("fv", transform(col("fi"), _ => lit(sLit)))
+    val truthLlh = BigClam.llhSparse(edges, truthF, BigClam.Params(k = kStar))
+    println(f"[selectk*] ORACLE bar: planted-F llh=$truthLlh%.4e ($secs%.0f s)")
+
     // score any fitted sparse F against the planted truth
     def scoreFit(fs: org.apache.spark.sql.DataFrame, k: Int, tag: String): Double = {
       val f = BigClam.toDenseF(fs, k).persist(StorageLevel.MEMORY_AND_DISK)
@@ -115,18 +137,30 @@ object RunSelectKPlanted {
       s"reference-rule(1e-3) K=$refChoice" +
       (if (stopIdx.isDefined) "" else " (never stopped — grid boundary)"))
 
-    // 3. recovery of the argmax-K fit, plus the K* achievable bar
+    // 3. recovery of the argmax-K fit, plus two K* bars:
+    //    (a) the ACHIEVABLE bar — a K=K* fit under the membership-churn
+    //        stop (recovery converges later than LLH: the 100k lesson), and
+    //    (b) the OPTIMIZER-vs-INIT separator — a fit WARM-STARTED from the
+    //        planted F itself. If (b) holds recovery while (a) does not,
+    //        the landscape near truth is fine and conductance seeding is
+    //        what fails on this cover shape.
     scoreFit(bestF, bestK, "argmax-K fit")
     if (bestK != kStar) {
       val ranked = GraphOps.seedRank(edges, hotCap).persist(StorageLevel.MEMORY_AND_DISK)
       val (fStar, histStar) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
         iterations = iters, ranked = Some(ranked), supportCap = Some(cap),
-        llhTol = llhTol)
-      println(f"[selectk*] K* bar fit: ${histStar.length} LLH points, " +
-        f"final=${histStar.last}%.4e")
+        stableTol = Some(0.01))
+      println(f"[selectk*] K* bar fit (churn-stop): ${histStar.length} LLH " +
+        f"points, final=${histStar.last}%.4e")
       scoreFit(fStar, kStar, "K*-bar fit")
       ranked.unpersist()
     }
+    val (fWarm, histWarm) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
+      iterations = iters, supportCap = Some(cap), llhTol = llhTol,
+      warmStart = Some(truthF))
+    println(f"[selectk*] truth-warm-start fit: ${histWarm.length} LLH points, " +
+      f"${histWarm.head}%.4e -> ${histWarm.last}%.4e")
+    scoreFit(fWarm, kStar, "truth-warm-start fit")
 
     // 4. held-out selection — the capacity-honest criterion
     if (heldFrac > 0) {

@@ -482,16 +482,24 @@ object BigClam {
   private def requireEdges(edges: DataFrame): Unit =
     require(!edges.isEmpty, "BigClam fit requires a non-empty edge set")
 
+  /** `warmStart` replaces the conductance init with a caller-provided
+    * sparse F (id, fi, fv — one row per node of `edges`): restart a
+    * checkpointed model against new data, or (the planted experiments)
+    * start from an oracle F to separate landscape problems from init
+    * problems. The warm rows pass through the same support cap as any
+    * other iterate. */
   def fitSparse(edges: DataFrame, p: Params, iterations: Int,
       trackHistory: Boolean = true, ranked: Option[DataFrame] = None,
       supportCap: Option[Int] = None,
       stableTol: Option[Double] = None,
-      llhTol: Option[Double] = None): (DataFrame, Seq[Double]) = {
+      llhTol: Option[Double] = None,
+      warmStart: Option[DataFrame] = None): (DataFrame, Seq[Double]) = {
     requireEdges(edges)
     // cap >= K can't prune anything: use the uncapped path so "no-op cap"
     // means bit-identical, not merely value-close (float op order matters)
     val cap = supportCap.filter(_ < p.k)
-    var f = checkpointF(capF(initSparse(edges, p, ranked), cap))
+    var f = checkpointF(capF(
+      warmStart.getOrElse(initSparse(edges, p, ranked)), cap))
     // membership-stability stop rule (the 100k planted-recovery lesson:
     // recovery converges later than LLH, so the stop observable is argmax
     // membership churn, not the LLH delta): halt once the fraction of nodes
@@ -568,6 +576,20 @@ object BigClam {
     }
     (f, history.toSeq)
   }
+
+  /** Total AGM log-likelihood of a GIVEN sparse factor matrix on `edges` —
+    * the model-audit surface the planted experiments need: score an
+    * oracle/planted F to get the LLH the optimizer SHOULD reach, compare
+    * fits across inits, or re-score a checkpointed model against today's
+    * graph. Exactly the per-node likelihood the fit maximizes
+    * (Bigclamv2.scala:189-197), summed with the same order-independent
+    * DECIMAL reduction the fit's history uses. Rows of `fs`: (id, fi
+    * ARRAY<INT> sorted, fv ARRAY<DOUBLE>) — `fs` must carry a row for
+    * every node that appears in `edges` (a missing row drops that node's
+    * terms through the state join; fitted Fs and planted-truth Fs both
+    * cover all nodes). */
+  def llhSparse(edges: DataFrame, fs: DataFrame, p: Params): Double =
+    totalLlh(nodeStateSparse(edges, fs, sumFSparse(fs, p), p))
 
   /** Column sums of F — K doubles to the driver (the only collect). */
   def sumF(f: DataFrame, p: Params): Array[Double] = {

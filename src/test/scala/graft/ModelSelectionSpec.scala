@@ -170,6 +170,18 @@ class ModelSelectionSpec extends AnyFunSuite {
     assert(f.count() > 0)
   }
 
+  test("fitSparse warmStart from its own init reproduces the cold fit exactly") {
+    val p = BigClam.Params(k = 2)
+    val (_, cold) = BigClam.fitSparse(edges, p, iterations = 3)
+    val (_, warm) = BigClam.fitSparse(edges, p, iterations = 3,
+      warmStart = Some(BigClam.initSparse(edges, p)))
+    assert(cold == warm, s"warm-start path perturbed the fit: $cold vs $warm")
+    // llhSparse on the final F of a tracked fit equals the recorded final
+    // LLH (same state + same DECIMAL reduction)
+    val (f, hist) = BigClam.fitSparse(edges, p, iterations = 2)
+    assert(math.abs(BigClam.llhSparse(edges, f, p) - hist.last) <= 1e-9)
+  }
+
   test("fitConverged terminates and improves LLH overall") {
     // NOTE: per-node Armijo acceptance does not guarantee *joint* LLH
     // monotonicity under simultaneous updates — the reference has the same
