@@ -162,6 +162,33 @@ object RunSelectKPlanted {
       f"${histWarm.head}%.4e -> ${histWarm.last}%.4e")
     scoreFit(fWarm, kStar, "truth-warm-start fit")
 
+    // DIAGNOSTIC 3 — reference-faithful RANDOM init (Bigclamv2.scala:62-63,
+    // 77-89 pads every row randomly; graft's deterministic equivalent is
+    // the xxhash64(id, c) mod 16 padding rule, normally applied only to
+    // ego-uncovered nodes). Applying it to ALL nodes removes conductance
+    // seeding from the loop entirely: if this cold start recovers where
+    // the ego-seeded one does not, seeding — not the optimizer, not the
+    // model — is the failing stage on this cover shape.
+    val randF = truth.select(col("node").as("id")).distinct()
+      .select(col("id"),
+        filter(sequence(lit(0), lit(kStar - 1)),
+          c => pmod(xxhash64(col("id"), c), lit(16)) === 0)
+          .cast("array<int>").as("fi"))
+      .withColumn("fv", transform(col("fi"), _ => lit(1.0)))
+    // stop on the LLH rule, NOT churn: an undifferentiated random init
+    // (every membership exactly 1.0) starts with near-zero argmax churn —
+    // the first run of this arm fired the 1% churn stop after ONE
+    // iteration at F1=0.05. Churn is a convergence observable only once
+    // memberships have differentiated; on random inits the reference's
+    // LLH rule is the right stop (and is what the reference used with its
+    // own random init).
+    val (fRand, histRand) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
+      iterations = iters, supportCap = Some(cap), llhTol = llhTol,
+      warmStart = Some(randF))
+    println(f"[selectk*] hash-random-init fit (llhTol-stop): " +
+      f"${histRand.length} LLH points, ${histRand.head}%.4e -> ${histRand.last}%.4e")
+    scoreFit(fRand, kStar, "hash-random-init fit")
+
     // 4. held-out selection — the capacity-honest criterion
     if (heldFrac > 0) {
       val (hk, hf, hcurve) = BigClam.selectKSparseHeldOut(edges,
