@@ -189,6 +189,26 @@ object RunSelectKPlanted {
       f"${histRand.length} LLH points, ${histRand.head}%.4e -> ${histRand.last}%.4e")
     scoreFit(fRand, kStar, "hash-random-init fit")
 
+    // DIAGNOSTIC 4 — SPREAD seeding (the coverage fix): non-adjacent greedy
+    // seed selection over the conductance pool, then the identical ego +
+    // hash-padding init. Coverage printed next to diagnostic 1's: the
+    // hypothesis is that the cold-fit collapse tracks seed coverage (the
+    // working 4k/40 fixture: 36/40 covered; the failing 10k/100: 67/100).
+    val spread = GraphOps.rankTopSeedsSpread(
+      GraphOps.seedRank(edges, hotCap), edges, kStar)
+    val spreadCov = spread.join(truth, col("seed") === col("node"))
+      .agg(countDistinct(col("community")).as("cov")).collect()(0).getLong(0)
+    println(f"[selectk*] SPREAD seeding: top-$kStar non-adjacent seeds touch " +
+      f"$spreadCov/$kStar planted communities ($secs%.0f s)")
+    val initSpread = BigClam.initSparseFromSeeds(edges, BigClam.Params(k = kStar),
+      spread.select(col("seed"), (col("rank") - 1).as("c")))
+    val (fSp, histSp) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
+      iterations = iters, supportCap = Some(cap), llhTol = llhTol,
+      warmStart = Some(initSpread))
+    println(f"[selectk*] spread-seeded cold fit (llhTol-stop): " +
+      f"${histSp.length} LLH points, ${histSp.head}%.4e -> ${histSp.last}%.4e")
+    scoreFit(fSp, kStar, "spread-seeded cold fit")
+
     // 4. held-out selection — the capacity-honest criterion
     if (heldFrac > 0) {
       val (hk, hf, hcurve) = BigClam.selectKSparseHeldOut(edges,

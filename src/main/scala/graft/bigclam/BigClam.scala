@@ -121,9 +121,17 @@ object BigClam {
     * uncovered nodes filter the K-range through the same xxhash64 padding
     * predicate — the identical hash on the identical int argument, so the
     * selected dims match the dense path's exactly. */
-  def initSparse(edges: DataFrame, p: Params, ranked: Option[DataFrame] = None): DataFrame = {
-    val seeds = GraphOps.rankTopSeeds(ranked.getOrElse(GraphOps.seedRank(edges)), p.k)
-      .select(col("seed"), (col("rank") - 1).as("c"))
+  def initSparse(edges: DataFrame, p: Params, ranked: Option[DataFrame] = None): DataFrame =
+    initSparseFromSeeds(edges, p,
+      GraphOps.rankTopSeeds(ranked.getOrElse(GraphOps.seedRank(edges)), p.k)
+        .select(col("seed"), (col("rank") - 1).as("c")))
+
+  /** [[initSparse]] from an explicit (seed, c) community-seed frame —
+    * the seam that lets alternative seed SELECTIONS (e.g.
+    * GraphOps.rankTopSeedsSpread, the round-12 coverage fix for dense
+    * overlapping covers) reuse the identical ego-membership + hash-padding
+    * init. `c` must be 0..k-1, one row per community. */
+  def initSparseFromSeeds(edges: DataFrame, p: Params, seeds: DataFrame): DataFrame = {
     val ego = edges.join(seeds, col("src") === col("seed"))
       .select(col("c"), col("dst").as("member"))
       .union(seeds.select(col("c"), col("seed").as("member")))

@@ -266,6 +266,67 @@ object GraphOps {
       .toSeq.toDF("seed", "phi", "rank")
   }
 
+  /** Spread variant of [[rankTopSeeds]]: greedy (phi, seed)-ascending seed
+    * selection subject to pairwise NON-ADJACENCY, over a bounded candidate
+    * pool. Motivation (round-12 planted-cover diagnosis): on dense
+    * overlapping covers the plain top-K conductance seeds pile into the
+    * cleanest blocks — at 10k nodes/K*=100 they touch only 67/100 planted
+    * communities, and the cold fit collapses (F1 0.23 vs the warm-start
+    * 1.0); the WORKING 4k/40 fixture has 90% seed coverage. Nodes sharing
+    * a planted community are adjacent with probability ≥ pSingle, so
+    * forbidding adjacent seed pairs biases selection toward distinct
+    * blocks — the classic seed-spacing refinement, made deterministic.
+    *
+    * Scale shape: the pool is k·poolFactor rows (TakeOrdered — map-side
+    * top-k, collected once: model-state-sized, the same class as
+    * rankTopSeeds' k rows), and the pool's induced adjacency is fetched
+    * with two broadcast semi-joins then counted BEFORE collecting; a pool
+    * whose induced subgraph exceeds `maxInducedEdges` (hub-dense pools)
+    * falls back to plain [[rankTopSeeds]] rather than gambling the driver.
+    * If greedy independence yields fewer than k seeds, the remainder fills
+    * with the best skipped candidates in rank order (never fails). */
+  private[graft] def rankTopSeedsSpread(seeds: DataFrame, edges: DataFrame,
+      k: Int, poolFactor: Int = 64,
+      maxInducedEdges: Long = 8000000L): DataFrame = {
+    val s = seeds.sparkSession
+    import s.implicits._
+    val pool = seeds.orderBy(col("phi").asc, col("seed").asc).limit(k * poolFactor)
+      .select(col("seed").cast("bigint"), col("phi").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (seed, phi) => (phi, seed) }
+    val poolDf = pool.map(_._1).toSeq.toDF("pid")
+    val induced = edges
+      .join(broadcast(poolDf.select(col("pid").as("src"))), Seq("src"), "left_semi")
+      .join(broadcast(poolDf.select(col("pid").as("dst"))), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+    if (induced.count() > maxInducedEdges) {
+      System.err.println(s"[rankTopSeedsSpread] WARN: induced pool adjacency " +
+        s"exceeds $maxInducedEdges rows; falling back to plain rankTopSeeds")
+      rankTopSeeds(seeds, k)
+    } else {
+      val adj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashSet[Long]]()
+      induced.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getLong(0), scala.collection.mutable.HashSet.empty) += r.getLong(1)
+      }
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      val skipped = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      val chosenSet = scala.collection.mutable.HashSet.empty[Long]
+      pool.foreach { case cand @ (id, _) =>
+        if (chosen.length < k) {
+          if (adj.get(id).forall(ns => !ns.exists(chosenSet))) {
+            chosen += cand; chosenSet += id
+          } else skipped += cand
+        }
+      }
+      val filled = (chosen ++ skipped.take(k - chosen.length)).take(k)
+        .sortBy { case (seed, phi) => (phi, seed) }
+      filled.zipWithIndex
+        .map { case ((seed, phi), i) => (seed, phi, i + 1) }
+        .toSeq.toDF("seed", "phi", "rank")
+    }
+  }
+
   def q_graph_seed_rank(s: SparkSession, d: String): DataFrame =
     rankTopSeeds(
       seedRank(cutLineage(symEdges(rawEdges(s, d, 2000))))

@@ -182,6 +182,36 @@ class ModelSelectionSpec extends AnyFunSuite {
     assert(math.abs(BigClam.llhSparse(edges, f, p) - hist.last) <= 1e-9)
   }
 
+  test("rankTopSeedsSpread picks non-adjacent seeds and fills deterministically") {
+    import org.apache.spark.sql.functions._
+    val ranked = GraphOps.seedRank(edges)
+    val spread = GraphOps.rankTopSeedsSpread(ranked, edges, 2)
+    assert(spread.count() == 2)
+    val picked = spread.select("seed").collect().map(_.getLong(0)).toSet
+    // pairwise non-adjacent on the two-triangle toy (one seed per triangle)
+    val adjacentPairs = edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => picked(a) && picked(b) }
+    assert(adjacentPairs.isEmpty, s"spread seeds adjacent: $picked")
+    assert(picked.exists(_ <= 2) && picked.exists(_ >= 3),
+      s"expected one seed per triangle, got $picked")
+    // deterministic
+    val again = GraphOps.rankTopSeedsSpread(ranked, edges, 2)
+      .select("seed").collect().map(_.getLong(0)).toSet
+    assert(again == picked)
+    // rank column is gapless 1..k ascending by (phi, seed)
+    val ranks = spread.orderBy("rank").collect().map(_.getAs[Int]("rank")).toSeq
+    assert(ranks == Seq(1, 2))
+    // the init seam: feeding rankTopSeeds' own selection through
+    // initSparseFromSeeds reproduces initSparse exactly
+    val p = BigClam.Params(k = 2)
+    val viaSeam = BigClam.initSparseFromSeeds(edges, p,
+      GraphOps.rankTopSeeds(ranked, 2)
+        .select(col("seed"), (col("rank") - 1).as("c")))
+    val direct = BigClam.initSparse(edges, p)
+    assert(viaSeam.except(direct).count() == 0 && direct.except(viaSeam).count() == 0)
+  }
+
   test("fitConverged terminates and improves LLH overall") {
     // NOTE: per-node Armijo acceptance does not guarantee *joint* LLH
     // monotonicity under simultaneous updates — the reference has the same
