@@ -62,6 +62,11 @@ object RunSelectKPlanted {
     val llhTol = Some(args.lift(9).map(_.toDouble).getOrElse(1e-4)).filter(_ > 0)
     val hotCap = Some(args.lift(10).map(_.toLong).getOrElse(200L)).filter(_ > 0)
     val heldFrac = args.lift(11).map(_.toDouble).getOrElse(0.1)
+    // comma-list arm filter (default all): grid,bar,warm,random,spread,
+    // staged,heldout — lets a re-run execute one experiment arm without
+    // paying the whole battery again
+    val arms = args.lift(12).map(_.split(",").toSet).getOrElse(Set("all"))
+    def arm(name: String): Boolean = arms("all") || arms(name)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -119,33 +124,37 @@ object RunSelectKPlanted {
     // 1. full-grid walk, every K converged to the same relative-LLH rule:
     //    kTol=0 never satisfies |1 - llh/prev| < kTol, so every grid point
     //    is evaluated and the curve comes back whole
-    val (bestK, bestF, grid) = BigClam.selectKSparse(edges,
-      BigClam.Params(k = minK), minK = minK, maxK = maxK, steps = steps,
-      kTol = 0.0, fitIterations = iters, supportCap = Some(cap),
-      stableTol = None, hotDegCap = hotCap, llhTol = llhTol)
-    println(f"[selectk*] grid walked in $secs%.0f s:")
-    grid.foreach { case (k, llh) => println(f"[selectk*]   K=$k%-6d llh=$llh%.4e") }
+    var bestK = kStar
+    if (arm("grid")) {
+      val (bk, bestF, grid) = BigClam.selectKSparse(edges,
+        BigClam.Params(k = minK), minK = minK, maxK = maxK, steps = steps,
+        kTol = 0.0, fitIterations = iters, supportCap = Some(cap),
+        stableTol = None, hotDegCap = hotCap, llhTol = llhTol)
+      bestK = bk
+      println(f"[selectk*] grid walked in $secs%.0f s:")
+      grid.foreach { case (k, llh) => println(f"[selectk*]   K=$k%-6d llh=$llh%.4e") }
 
-    // 2. replay the reference's stopping rule (bigclam4-7.scala:259) on the
-    //    recorded curve: walk ascending, stop at the first SIGNED sub-1e-3
-    //    relative gain — (1 − new/old) < 1e-3 also fires on any LLH
-    //    decrease — and report the stop-point K itself (KforC = i)
-    val stopIdx = grid.indices.drop(1)
-      .find(i => 1.0 - grid(i)._2 / grid(i - 1)._2 < 1e-3)
-    val refChoice = stopIdx.map(i => grid(i)._1).getOrElse(grid.last._1)
-    println(s"[selectk*] planted K*=$kStar  argmax-LLH K=$bestK  " +
-      s"reference-rule(1e-3) K=$refChoice" +
-      (if (stopIdx.isDefined) "" else " (never stopped — grid boundary)"))
+      // 2. replay the reference's stopping rule (bigclam4-7.scala:259) on
+      //    the recorded curve: walk ascending, stop at the first SIGNED
+      //    sub-1e-3 relative gain — (1 − new/old) < 1e-3 also fires on any
+      //    LLH decrease — and report the stop-point K itself (KforC = i)
+      val stopIdx = grid.indices.drop(1)
+        .find(i => 1.0 - grid(i)._2 / grid(i - 1)._2 < 1e-3)
+      val refChoice = stopIdx.map(i => grid(i)._1).getOrElse(grid.last._1)
+      println(s"[selectk*] planted K*=$kStar  argmax-LLH K=$bestK  " +
+        s"reference-rule(1e-3) K=$refChoice" +
+        (if (stopIdx.isDefined) "" else " (never stopped — grid boundary)"))
+      scoreFit(bestF, bestK, "argmax-K fit")
+    }
 
-    // 3. recovery of the argmax-K fit, plus two K* bars:
+    // 3. two K* bars:
     //    (a) the ACHIEVABLE bar — a K=K* fit under the membership-churn
     //        stop (recovery converges later than LLH: the 100k lesson), and
     //    (b) the OPTIMIZER-vs-INIT separator — a fit WARM-STARTED from the
     //        planted F itself. If (b) holds recovery while (a) does not,
     //        the landscape near truth is fine and conductance seeding is
     //        what fails on this cover shape.
-    scoreFit(bestF, bestK, "argmax-K fit")
-    if (bestK != kStar) {
+    if (arm("bar") && bestK != kStar) {
       val ranked = GraphOps.seedRank(edges, hotCap).persist(StorageLevel.MEMORY_AND_DISK)
       val (fStar, histStar) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
         iterations = iters, ranked = Some(ranked), supportCap = Some(cap),
@@ -155,12 +164,14 @@ object RunSelectKPlanted {
       scoreFit(fStar, kStar, "K*-bar fit")
       ranked.unpersist()
     }
-    val (fWarm, histWarm) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
-      iterations = iters, supportCap = Some(cap), llhTol = llhTol,
-      warmStart = Some(truthF))
-    println(f"[selectk*] truth-warm-start fit: ${histWarm.length} LLH points, " +
-      f"${histWarm.head}%.4e -> ${histWarm.last}%.4e")
-    scoreFit(fWarm, kStar, "truth-warm-start fit")
+    if (arm("warm")) {
+      val (fWarm, histWarm) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
+        iterations = iters, supportCap = Some(cap), llhTol = llhTol,
+        warmStart = Some(truthF))
+      println(f"[selectk*] truth-warm-start fit: ${histWarm.length} LLH points, " +
+        f"${histWarm.head}%.4e -> ${histWarm.last}%.4e")
+      scoreFit(fWarm, kStar, "truth-warm-start fit")
+    }
 
     // DIAGNOSTIC 3 — reference-faithful RANDOM init (Bigclamv2.scala:62-63,
     // 77-89 pads every row randomly; graft's deterministic equivalent is
@@ -182,35 +193,116 @@ object RunSelectKPlanted {
     // memberships have differentiated; on random inits the reference's
     // LLH rule is the right stop (and is what the reference used with its
     // own random init).
-    val (fRand, histRand) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
-      iterations = iters, supportCap = Some(cap), llhTol = llhTol,
-      warmStart = Some(randF))
-    println(f"[selectk*] hash-random-init fit (llhTol-stop): " +
-      f"${histRand.length} LLH points, ${histRand.head}%.4e -> ${histRand.last}%.4e")
-    scoreFit(fRand, kStar, "hash-random-init fit")
+    if (arm("random")) {
+      val (fRand, histRand) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
+        iterations = iters, supportCap = Some(cap), llhTol = llhTol,
+        warmStart = Some(randF))
+      println(f"[selectk*] hash-random-init fit (llhTol-stop): " +
+        f"${histRand.length} LLH points, ${histRand.head}%.4e -> ${histRand.last}%.4e")
+      scoreFit(fRand, kStar, "hash-random-init fit")
+    }
 
     // DIAGNOSTIC 4 — SPREAD seeding (the coverage fix): non-adjacent greedy
     // seed selection over the conductance pool, then the identical ego +
     // hash-padding init. Coverage printed next to diagnostic 1's: the
     // hypothesis is that the cold-fit collapse tracks seed coverage (the
     // working 4k/40 fixture: 36/40 covered; the failing 10k/100: 67/100).
-    val spread = GraphOps.rankTopSeedsSpread(
-      GraphOps.seedRank(edges, hotCap), edges, kStar)
-    val spreadCov = spread.join(truth, col("seed") === col("node"))
-      .agg(countDistinct(col("community")).as("cov")).collect()(0).getLong(0)
-    println(f"[selectk*] SPREAD seeding: top-$kStar non-adjacent seeds touch " +
-      f"$spreadCov/$kStar planted communities ($secs%.0f s)")
-    val initSpread = BigClam.initSparseFromSeeds(edges, BigClam.Params(k = kStar),
-      spread.select(col("seed"), (col("rank") - 1).as("c")))
-    val (fSp, histSp) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
-      iterations = iters, supportCap = Some(cap), llhTol = llhTol,
-      warmStart = Some(initSpread))
-    println(f"[selectk*] spread-seeded cold fit (llhTol-stop): " +
-      f"${histSp.length} LLH points, ${histSp.head}%.4e -> ${histSp.last}%.4e")
-    scoreFit(fSp, kStar, "spread-seeded cold fit")
+    if (arm("spread")) {
+      val spread = GraphOps.rankTopSeedsSpread(
+        GraphOps.seedRank(edges, hotCap), edges, kStar)
+      val spreadCov = spread.join(truth, col("seed") === col("node"))
+        .agg(countDistinct(col("community")).as("cov")).collect()(0).getLong(0)
+      println(f"[selectk*] SPREAD seeding: top-$kStar non-adjacent seeds touch " +
+        f"$spreadCov/$kStar planted communities ($secs%.0f s)")
+      val initSpread = BigClam.initSparseFromSeeds(edges, BigClam.Params(k = kStar),
+        spread.select(col("seed"), (col("rank") - 1).as("c")))
+      val (fSp, histSp) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
+        iterations = iters, supportCap = Some(cap), llhTol = llhTol,
+        warmStart = Some(initSpread))
+      println(f"[selectk*] spread-seeded cold fit (llhTol-stop): " +
+        f"${histSp.length} LLH points, ${histSp.head}%.4e -> ${histSp.last}%.4e")
+      scoreFit(fSp, kStar, "spread-seeded cold fit")
+    }
+
+    // DIAGNOSTIC 5 — STAGED split seeding: fit a COARSE model first (the
+    // K=K*/4 fit converges fast and recovers coarse structure — F1 0.43 at
+    // 10k/100), then seed m=K*/kCoarse sub-communities INSIDE each coarse
+    // block (per-block conductance candidates, greedy non-adjacent within
+    // the block) and warm-start the full-K fit from their egos. The coarse
+    // stage localizes structure, so per-block coverage is an m-seeds-in-
+    // one-block problem instead of K*-seeds-over-the-whole-graph.
+    if (arm("staged")) {
+      val kC = math.max(kStar / 4, 2)
+      val m = math.max((kStar + kC - 1) / kC, 1)
+      val ranked = GraphOps.seedRank(edges, hotCap)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (fC, histC) = BigClam.fitSparse(edges, BigClam.Params(k = kC),
+        iterations = iters, ranked = Some(ranked), supportCap = Some(cap),
+        llhTol = llhTol)
+      println(f"[selectk*] staged: coarse K=$kC fit ${histC.length} LLH points, " +
+        f"final=${histC.last}%.4e ($secs%.0f s)")
+      import org.apache.spark.sql.expressions.Window
+      val blocks = fC.select(col("id"),
+        graft.bigclam.SparseF.argmaxIndex(col("fi"), col("fv")).as("blk"))
+      // per-block top-32 conductance candidates: the window partitions by
+      // blk (cardinality kC, each partition's rows bounded by the block's
+      // seedRank winners) — bounded model-state-sized collect downstream
+      val w = Window.partitionBy("blk").orderBy(col("phi").asc, col("seed").asc)
+      val cands = ranked.join(blocks, col("seed") === col("id"))
+        .select(col("seed"), col("phi"), col("blk"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 32)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val candRows = cands.orderBy("blk", "rn")
+        .select(col("seed"), col("blk")).collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      val candSet = candRows.map(_._1).toSet
+      import spark.implicits._
+      val candDf = candSet.toSeq.toDF("pid")
+      val induced = edges
+        .join(broadcast(candDf.select(col("pid").as("src"))), Seq("src"), "left_semi")
+        .join(broadcast(candDf.select(col("pid").as("dst"))), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).collect()
+      val adj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashSet[Long]]()
+      induced.foreach { r =>
+        adj.getOrElseUpdate(r.getLong(0), scala.collection.mutable.HashSet.empty) += r.getLong(1) }
+      // greedy: per block in candidate order, up to m seeds, non-adjacent
+      // to every seed chosen so far (globally); fill shortfall from the
+      // remaining candidates in order, relaxing adjacency last
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val chosenSet = scala.collection.mutable.HashSet.empty[Long]
+      val perBlock = scala.collection.mutable.HashMap.empty[Int, Int]
+      candRows.foreach { case (seed, blk) =>
+        if (chosen.length < kStar && perBlock.getOrElse(blk, 0) < m &&
+            adj.get(seed).forall(ns => !ns.exists(chosenSet))) {
+          chosen += seed; chosenSet += seed
+          perBlock(blk) = perBlock.getOrElse(blk, 0) + 1
+        }
+      }
+      candRows.foreach { case (seed, _) =>
+        if (chosen.length < kStar && !chosenSet(seed) &&
+            adj.get(seed).forall(ns => !ns.exists(chosenSet))) {
+          chosen += seed; chosenSet += seed } }
+      candRows.foreach { case (seed, _) =>
+        if (chosen.length < kStar && !chosenSet(seed)) {
+          chosen += seed; chosenSet += seed } }
+      val seedsDf = chosen.toSeq.zipWithIndex.toDF("seed", "c")
+      val stagedCov = seedsDf.join(truth, col("seed") === col("node"))
+        .agg(countDistinct(col("community")).as("cov")).collect()(0).getLong(0)
+      println(f"[selectk*] STAGED seeding: ${chosen.length} per-block seeds " +
+        f"touch $stagedCov/$kStar planted communities ($secs%.0f s)")
+      val initStaged = BigClam.initSparseFromSeeds(edges,
+        BigClam.Params(k = kStar), seedsDf)
+      val (fStg, histStg) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
+        iterations = iters, supportCap = Some(cap), llhTol = llhTol,
+        warmStart = Some(initStaged))
+      println(f"[selectk*] staged split-seeded fit (llhTol-stop): " +
+        f"${histStg.length} LLH points, ${histStg.head}%.4e -> ${histStg.last}%.4e")
+      scoreFit(fStg, kStar, "staged split-seeded fit")
+      cands.unpersist(); ranked.unpersist()
+    }
 
     // 4. held-out selection — the capacity-honest criterion
-    if (heldFrac > 0) {
+    if (arm("heldout") && heldFrac > 0) {
       val (hk, hf, hcurve) = BigClam.selectKSparseHeldOut(edges,
         BigClam.Params(k = minK), minK = minK, maxK = maxK, steps = steps,
         heldFrac = heldFrac, fitIterations = iters, llhTol = llhTol,
