@@ -47,7 +47,9 @@ object RunSelectKPlanted {
       System.err.println("usage: RunSelectKPlanted <nNodes> <kStar> " +
         "<pSingle> <interEdges> <minK> <maxK> <steps> <fitIters> " +
         "[supportCap=16] [llhTol=1e-4 — 0 disables] [hotDegCap=200] " +
-        "[heldFrac=0.1 — 0 skips held-out walk]")
+        "[heldFrac=0.1 — 0 skips held-out walk] " +
+        "[arms=all — comma list of grid,bar,warm,random,spread,staged," +
+        "egosplit,restart,heldout]")
       sys.exit(2)
     }
     val nNodes = args(0).toLong
@@ -124,8 +126,14 @@ object RunSelectKPlanted {
     // 1. full-grid walk, every K converged to the same relative-LLH rule:
     //    kTol=0 never satisfies |1 - llh/prev| < kTol, so every grid point
     //    is evaluated and the curve comes back whole
+    // bestK is only meaningful once the grid arm has run; the bar arm's
+    // skip-when-grid-chose-K* shortcut must not fire when the grid was
+    // skipped (invoking arms=bar alone used to silently no-op because
+    // bestK initialized to kStar)
     var bestK = kStar
+    var gridRan = false
     if (arm("grid")) {
+      gridRan = true
       val (bk, bestF, grid) = BigClam.selectKSparse(edges,
         BigClam.Params(k = minK), minK = minK, maxK = maxK, steps = steps,
         kTol = 0.0, fitIterations = iters, supportCap = Some(cap),
@@ -154,7 +162,7 @@ object RunSelectKPlanted {
     //        planted F itself. If (b) holds recovery while (a) does not,
     //        the landscape near truth is fine and conductance seeding is
     //        what fails on this cover shape.
-    if (arm("bar") && bestK != kStar) {
+    if (arm("bar") && (!gridRan || bestK != kStar)) {
       val ranked = GraphOps.seedRank(edges, hotCap).persist(StorageLevel.MEMORY_AND_DISK)
       val (fStar, histStar) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
         iterations = iters, ranked = Some(ranked), supportCap = Some(cap),
@@ -299,6 +307,77 @@ object RunSelectKPlanted {
         f"${histStg.length} LLH points, ${histStg.head}%.4e -> ${histStg.last}%.4e")
       scoreFit(fStg, kStar, "staged split-seeded fit")
       cands.unpersist(); ranked.unpersist()
+    }
+
+    // DIAGNOSTIC 6 — EGO-SPLITTING init (round 13; round 12's named
+    // candidate fix). The proven blocker is ego BLENDING: each seed's ego
+    // folds the seed's 1-3 true communities into ONE init column.
+    // egoSplitCover partitions every spread seed's ego into triangle-
+    // support components (communities overlapping only at the seed share
+    // no triangle through it) and allocates the K columns greedy-max-
+    // coverage over persona member sets — so a multi-community seed's
+    // second persona can claim a column for a community no seed reached.
+    // Printed: column count, majority-community coverage (the planted
+    // communities that hold the plurality of at least one init column) and
+    // mean column purity (plurality mass / column truth rows) — the
+    // coverage number to beat is staged's 82/100, the F1 bar is 0.44.
+    if (arm("egosplit")) {
+      val spread = GraphOps.rankTopSeedsSpread(
+        GraphOps.seedRank(edges, hotCap), edges, kStar)
+      val cover = GraphOps.egoSplitCover(edges, spread, kStar)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val colStats = cover.join(truth, col("member") === col("node"))
+        .groupBy("c", "community").agg(count(lit(1)).as("n"))
+        .groupBy("c").agg(max(struct(col("n"), col("community"))).as("m"),
+          sum(col("n")).as("tot"))
+      val cs = colStats.agg(countDistinct(col("m.community")).as("cov"),
+        (sum(col("m.n")).cast("double") / sum(col("tot"))).as("purity"),
+        count(lit(1)).as("ncols")).collect()(0)
+      println(f"[selectk*] EGO-SPLIT allocation: ${cs.getLong(2)} columns, " +
+        f"majority-community coverage ${cs.getLong(0)}/$kStar, mean purity " +
+        f"${cs.getDouble(1)}%.3f ($secs%.0f s)")
+      val initEs = BigClam.initSparseFromCover(edges,
+        BigClam.Params(k = kStar), cover)
+      val (fEs, histEs) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
+        iterations = iters, supportCap = Some(cap), llhTol = llhTol,
+        warmStart = Some(initEs))
+      println(f"[selectk*] ego-split cold fit (llhTol-stop): " +
+        f"${histEs.length} LLH points, ${histEs.head}%.4e -> ${histEs.last}%.4e")
+      scoreFit(fEs, kStar, "ego-split cold fit")
+      cover.unpersist()
+    }
+
+    // DIAGNOSTIC 7 — seeded MULTI-RESTART (the cheap complement: R spread
+    // selections over deterministically-perturbed candidate pools — each
+    // restart knocks out a different hash-chosen 25% of the conductance
+    // pool before the non-adjacent greedy — keep the best final LLH).
+    // Budget per restart is capped at min(150, fitIters): a restart in a
+    // materially better basin shows it well before full convergence (the
+    // warm fit needed 14 iterations), and three full 400-iteration walks
+    // would triple the battery cost for a hypothesis round 12 already
+    // priced as likely-negative.
+    if (arm("restart")) {
+      val rankedAll = GraphOps.seedRank(edges, hotCap)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val rIters = math.min(150, iters)
+      val results = (1 to 3).map { r =>
+        val sub = rankedAll.filter(
+          pmod(xxhash64(col("seed"), lit(r)), lit(4)) =!= 0)
+        val spreadR = GraphOps.rankTopSeedsSpread(sub, edges, kStar)
+        val initR = BigClam.initSparseFromSeeds(edges,
+          BigClam.Params(k = kStar),
+          spreadR.select(col("seed"), (col("rank") - 1).as("c")))
+        val (fR, histR) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
+          iterations = rIters, supportCap = Some(cap), llhTol = llhTol,
+          warmStart = Some(initR))
+        println(f"[selectk*] restart $r/3 (knockout-25%%, cap $rIters): " +
+          f"${histR.length} LLH points, final=${histR.last}%.4e ($secs%.0f s)")
+        (r, fR, histR.last)
+      }
+      val best = results.maxBy(_._3)
+      println(f"[selectk*] restart best: r=${best._1} llh=${best._3}%.4e")
+      scoreFit(best._2, kStar, s"multi-restart best (r=${best._1})")
+      rankedAll.unpersist()
     }
 
     // 4. held-out selection — the capacity-honest criterion

@@ -136,7 +136,18 @@ object BigClam {
       .select(col("c"), col("dst").as("member"))
       .union(seeds.select(col("c"), col("seed").as("member")))
       .distinct()
-    val memberships = ego.groupBy("member")
+    initSparseFromCover(edges, p, ego)
+  }
+
+  /** [[initSparse]] from an explicit (c, member) COVER — the most general
+    * init seam: any community proposal (ego-split personas via
+    * GraphOps.egoSplitCover, an external clustering, a checkpointed
+    * argmax cover) becomes the warm columns, and nodes the cover misses
+    * get the identical xxhash64 padding every other init path uses.
+    * [[initSparseFromSeeds]] is exactly this applied to whole-ego covers
+    * (bit-identity preserved — the membership agg below is unchanged). */
+  def initSparseFromCover(edges: DataFrame, p: Params, cover: DataFrame): DataFrame = {
+    val memberships = cover.select(col("c"), col("member")).groupBy("member")
       .agg(sort_array(collect_set(col("c"))).as("cs"))
     GraphOps.degrees(edges).select(col("node").as("id"))
       .join(memberships, col("id") === col("member"), "left")
@@ -771,6 +782,7 @@ object BigClam {
     * collected. */
   def sampleNonEdgePairs(edges: DataFrame, n: Long, seed: Long = 42L,
       oversample: Double = 1.3): DataFrame = {
+    require(n <= Int.MaxValue, s"n=$n exceeds limit()'s Int range")
     val spark = edges.sparkSession
     val nodes = edges.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -779,13 +791,19 @@ object BigClam {
     val draws = spark.range(math.max((n * oversample).toLong, n + 16))
       .select(least(h(41), h(42)).as("u"), greatest(h(41), h(42)).as("v"))
       .filter(col("u") < col("v")).distinct()
-    draws
+    val out = draws
       .join(nodes.select(col("node").as("u")), Seq("u"), "left_semi")
       .join(nodes.select(col("node").as("v")), Seq("v"), "left_semi")
       .join(edges.select(col("src").as("u"), col("dst").as("v")),
         Seq("u", "v"), "left_anti")
       .orderBy("u", "v").limit(n.toInt)
       .select(col("u"), col("v"))
+      // the two semi-joins are the only readers of `nodes`; materialize
+      // them now so the cached frame can be dropped instead of leaking one
+      // pinned persist per call (callers invoke this once per grid walk)
+      .localCheckpoint(true)
+    nodes.unpersist()
+    out
   }
 
   /** Held-out Bernoulli log-likelihood of a fitted sparse F on a labeled

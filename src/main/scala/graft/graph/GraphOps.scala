@@ -327,6 +327,165 @@ object GraphOps {
     }
   }
 
+  /** Ego-splitting personas (the local-clustering step of Epasto et al.,
+    * "Ego-splitting framework", KDD 2017 — here used as a cold-start INIT
+    * device, not a full persona-graph pipeline): for each seed, partition
+    * the seed's ego-minus-seed vertex set into connected components of the
+    * TRIANGLE-support graph — u,v in the same component iff a path of pairs
+    * connects them where each pair (x,y) has x,y ∈ N(seed) AND (x,y) ∈ E,
+    * i.e. {seed,x,y} is a triangle. Motivation (round-12 planted-cover
+    * diagnosis): a seed belonging to 2-3 overlapping communities BLENDS
+    * them into one ego init column and every cold fit collapses (staged
+    * best F1 0.44 vs warm-start 1.0); the communities are near-disconnected
+    * from each other INSIDE the ego (two communities sharing only the seed
+    * contribute no triangle through it), so triangle-support components
+    * recover single-community subsets before the fit ever starts.
+    *
+    * Returns (seed, u, comp): one row per ego member, comp = min member id
+    * of its component (members in no triangle with any co-member are
+    * singleton components). Scale shape: ego membership is one |E|-row join
+    * against the broadcast seed list; the support-edge build is the
+    * standard triangle join (edge ⋈ ego ⋈ ego keyed on endpoints — linear
+    * in triangles through seeds, never degree² per ego); the component loop
+    * is the connectedComponents hash-min + pointer-jump idiom keyed by
+    * (seed, node), lineage-cut per round with the Σlabel fixpoint witness.
+    * Ego diameters are tiny (dense communities), so rounds ≈ 3-4. */
+  private[graft] def egoSplitPersonas(edges: DataFrame, seedIds: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val nbr = cutLineage(
+      edges.join(broadcast(seedIds.select(col("seed"))), col("src") === col("seed"))
+        .select(col("seed"), col("dst").as("u")))
+    val support = cutLineage(
+      edges.select(col("src").as("u"), col("dst").as("v"))
+        .join(nbr, Seq("u"))
+        .join(nbr.select(col("seed"), col("u").as("v")), Seq("seed", "v"))
+        .select(col("seed"), col("u"), col("v")))
+    var labels = cutLineage(nbr.select(col("seed"), col("u"), col("u").as("comp")))
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum(col("comp"))).collect()(0)
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var prevSum = labelSum(labels)
+    var changed = true
+    var it = 0
+    while (changed && it < maxIter) {
+      val neighborMin = support
+        .join(labels.select(col("seed"), col("u").as("v"), col("comp")),
+          Seq("seed", "v"))
+        .select(col("seed"), col("u"), col("comp"))
+      val folded = neighborMin.union(labels.select(col("seed"), col("u"), col("comp")))
+        .groupBy("seed", "u").agg(min(col("comp")).as("comp"))
+      // pointer jump through the CHECKPOINTED labels (see
+      // connectedComponents for why not through folded itself)
+      val jumped = folded
+        .join(labels.select(col("seed"), col("u").as("comp"), col("comp").as("jump")),
+          Seq("seed", "comp"))
+        .select(col("seed"), col("u"), col("jump").as("comp"))
+      val next = cutLineage(jumped)
+      val s = labelSum(next)
+      changed = s != prevSum
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"egoSplitPersonas did not converge within $maxIter rounds")
+    labels
+  }
+
+  /** Allocate `k` init columns over ego-split personas: a (c, member) cover
+    * frame for [[graft.bigclam.BigClam.initSparseFromCover]], c ∈ 0..k-1.
+    * Candidate personas come from `rankedSeeds` (seed, phi, rank — e.g.
+    * [[rankTopSeedsSpread]] output): each seed's ego splits into triangle-
+    * support components ([[egoSplitPersonas]]); components of size <
+    * `minCompSize` are dropped UNLESS the seed has no qualifying component
+    * at all, in which case its whole ego is one fallback persona (a
+    * triangle-free ego gives only singletons — a blended whole-ego column
+    * beats a 2-node one there). The seed itself joins every one of its
+    * personas (it genuinely belongs to each of the communities its ego
+    * touches — the ego-splitting "persona copies").
+    *
+    * Column assignment is GREEDY MAX-COVERAGE over persona member sets:
+    * pick the persona adding the most not-yet-covered members, tie-broken
+    * by (per-seed size rank, phi, seed, comp) — so every spread seed's
+    * dominant persona ranks early, and a multi-community seed's SECOND
+    * persona can win a column for a community no other seed reached (the
+    * +18/100 coverage gap the round-12 arms could not close). The greedy
+    * runs driver-side over one bounded collect: persona membership rows are
+    * COUNTED first and past `maxCollectRows` the allocation falls back to
+    * the distributed rank order (rn, phi, seed) — same guarded-collect
+    * contract as [[rankTopSeedsSpread]]. */
+  private[graft] def egoSplitCover(edges: DataFrame, rankedSeeds: DataFrame,
+      k: Int, minCompSize: Int = 2,
+      maxCollectRows: Long = 8000000L): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val personas0 = egoSplitPersonas(edges, rankedSeeds.select(col("seed")))
+    val sized = personas0.groupBy("seed", "comp").agg(count(lit(1)).as("sz"))
+    val seedMax = sized.groupBy("seed").agg(max(col("sz")).as("mx"))
+    val qualifying = sized.join(seedMax, Seq("seed"))
+      .filter(col("sz") >= minCompSize)
+    val noBig = seedMax.filter(col("mx") < minCompSize).select("seed")
+    // fallback personas: the whole ego as one component labeled -1
+    val kept = personas0
+      .join(qualifying.select(col("seed"), col("comp")), Seq("seed", "comp"),
+        "left_semi")
+      .unionByName(personas0.join(noBig, Seq("seed"), "left_semi")
+        .select(col("seed"), col("u"), lit(-1L).as("comp")))
+    // the seed belongs to each of its personas. Note the explicit column
+    // order: the semi-join above moved its keys first, and the collect
+    // below reads positionally.
+    val members = cutLineage(kept.unionByName(
+      kept.select(col("seed"), col("comp")).distinct()
+        .select(col("seed"), col("seed").as("u"), col("comp")))
+      .select(col("seed"), col("u"), col("comp")))
+    val keys = members.groupBy("seed", "comp").agg(count(lit(1)).as("sz"))
+      .join(rankedSeeds.select(col("seed"), col("phi")), Seq("seed"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("seed")
+          .orderBy(col("sz").desc, col("comp").asc)))
+    val chosen: DataFrame =
+      if (members.count() > maxCollectRows) {
+        System.err.println(s"[egoSplitCover] WARN: persona membership " +
+          s"exceeds $maxCollectRows rows; falling back to rank-order allocation")
+        keys.orderBy(col("rn"), col("phi"), col("seed"), col("comp")).limit(k)
+          .select(col("seed"), col("comp"))
+          .collect().zipWithIndex
+          .map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
+          .toSeq.toDF("seed", "comp", "c")
+      } else {
+        val memRows = members.collect()
+          .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1)))
+          .groupBy(_._1).map { case (key, rows) => key -> rows.map(_._2).toSet }
+        val order = keys
+          .orderBy(col("rn"), col("phi"), col("seed"), col("comp"))
+          .select(col("seed"), col("comp")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val covered = scala.collection.mutable.HashSet.empty[Long]
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        val remaining = scala.collection.mutable.LinkedHashSet(order.toIndexedSeq: _*)
+        while (picked.length < k && remaining.nonEmpty) {
+          // argmax marginal coverage; ties fall to the earliest in rank
+          // order because LinkedHashSet iterates insertion order and > is
+          // strict
+          var best: (Long, Long) = null
+          var bestGain = -1
+          remaining.foreach { key =>
+            val gain = memRows.get(key).map(_.count(m => !covered(m))).getOrElse(0)
+            if (gain > bestGain) { bestGain = gain; best = key }
+          }
+          remaining.remove(best)
+          picked += ((best._1, best._2, picked.length))
+          memRows.get(best).foreach(_.foreach(covered += _))
+        }
+        picked.toSeq.toDF("seed", "comp", "c")
+      }
+    members.join(broadcast(chosen), Seq("seed", "comp"))
+      .select(col("c").cast("int").as("c"), col("u").as("member"))
+      .distinct()
+  }
+
   def q_graph_seed_rank(s: SparkSession, d: String): DataFrame =
     rankTopSeeds(
       seedRank(cutLineage(symEdges(rawEdges(s, d, 2000))))

@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
   *
   * Per batch: in-batch exact dedup (keep min doc_id per md5) → exact check
   * against the index hash set (one semi-join — linear, the batch side tiny)
-  * → near-dup check against the index via the SAME rare-shingle blocking as
-  * the oracle-checked queries (df ∈ [2, 10] computed over index+batch
-  * postings TOGETHER, so boilerplate frequent in the corpus stays excluded
-  * no matter how a new batch shifts df) → exact Jaccard ≥ 0.5 verification
-  * over full posting lists → survivors appended to the index.
+  * → near-dup check against the index AND against lower-doc_id batchmates
+  * via the SAME rare-shingle blocking as the oracle-checked queries (df ∈
+  * [2, 10] computed over index+batch postings TOGETHER, so boilerplate
+  * frequent in the corpus stays excluded no matter how a new batch shifts
+  * df) → exact Jaccard ≥ 0.5 verification over full posting lists →
+  * survivors appended to the index. In-batch near semantics are pairwise
+  * min-id-keeper (the higher doc_id of every verified near pair is
+  * dropped), so an A<B<C chain with A~B, B~C, A̸~C drops BOTH B and C —
+  * the same greedy chain rule q_dedup_cluster uses, chosen over
+  * accepted-only comparison because it is order-free and one-pass.
   *
   * Scale stance (100 TB corpus, daily batches): state is linear in the
   * ACCEPTED corpus (hash set + shingle postings — the inverted index every
@@ -53,11 +58,17 @@ object IncrementalDedup {
   }
 
   /** Load the index from `dir`, empty frames when a component is absent
-    * (first batch). */
+    * (first batch). Existence goes through the Hadoop FileSystem API — the
+    * same abstraction the reads/writes use — so `dir` may be any filesystem
+    * Spark can reach (HDFS/S3/local); a java.io.File probe would return
+    * false for every remote URI and silently run each batch against an
+    * empty index. */
   def loadState(s: SparkSession, dir: String): State = {
+    val conf = s.sessionState.newHadoopConf()
     def read(sub: String, fallback: DataFrame): DataFrame = {
-      val p = new java.io.File(s"$dir/$sub")
-      if (p.exists()) s.read.parquet(p.getPath) else fallback
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (p.getFileSystem(conf).exists(p)) s.read.parquet(p.toString)
+      else fallback
     }
     val e = emptyState(s)
     State(read("hashes", e.hashes), read("postings", e.postings))
@@ -86,7 +97,15 @@ object IncrementalDedup {
   /** Process one batch of (doc_id, text) against the index. Pure plan
     * construction — nothing here runs a job; the caller materializes (and
     * at scale should localCheckpoint/persist `decisions` before writing the
-    * three outputs, which share it). */
+    * three outputs, which share it).
+    *
+    * PRECONDITION: doc_ids are globally unique across every batch ever
+    * processed against this state — the Jaccard melt fetches posting lists
+    * by doc_id, so a batch doc_id colliding with an indexed one would merge
+    * two documents' shingle sets (the combined frame is defensively
+    * deduplicated on (shingle, doc_id), which caps the damage at a merged
+    * posting list rather than a double-counted one, but the Jaccard for
+    * that id is still computed over the merged set). */
   def processBatch(batch: DataFrame, state: State): BatchResult = {
     val withH = batch.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
     // in-batch exact dedup: the min doc_id of each hash group represents it
@@ -100,19 +119,36 @@ object IncrementalDedup {
     val exactSurvivors = batch.join(exactDup, Seq("doc_id"), "left_anti")
 
     // near-dup: rare-shingle blocking over index+batch postings together,
-    // cross (batch survivor × indexed doc) pairs only, exact Jaccard ≥ 0.5
+    // candidate pairs = (batch survivor × indexed doc) PLUS batch-internal
+    // (b, c) with c < b — two near-dup variants arriving in the SAME batch
+    // collapse to the lower doc_id, mirroring the exact-dedup min-id keeper
+    // rule (before round 13 only cross pairs were generated, so a batch
+    // carrying internal near-families accepted them all — the 24×-
+    // replication run's batch 0 accepted 19,968 docs with 0 near-hits).
+    // Exact Jaccard ≥ 0.5 verifies every proposed pair.
     val batchPost = TextOps.docShinglesOf(exactSurvivors)
       .select(col("shingle"), col("doc_id"))
     // BY NAME: state.postings comes back from parquet in storage order —
-    // a positional union would zip shingles into doc_ids
+    // a positional union would zip shingles into doc_ids. The distinct is
+    // defensive (see the doc_id precondition above): postings are already
+    // distinct per doc on both sides.
     val combined = state.postings.unionByName(batchPost)
+      .distinct()
     val rare = combined.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 10)).select("shingle")
-    val crossPairs = batchPost.join(rare, Seq("shingle"))
+    val batchRare = batchPost.join(rare, Seq("shingle"))
+    val indexPairs = batchRare
       .select(col("shingle"), col("doc_id").as("b"))
       .join(state.postings.join(rare, Seq("shingle"))
         .select(col("shingle"), col("doc_id").as("c")), Seq("shingle"))
-      .select(col("b"), col("c")).distinct()
+      .select(col("b"), col("c"))
+    val inBatchPairs = batchRare
+      .select(col("shingle"), col("doc_id").as("b"))
+      .join(batchRare.select(col("shingle"), col("doc_id").as("c")),
+        Seq("shingle"))
+      .filter(col("c") < col("b"))
+      .select(col("b"), col("c"))
+    val crossPairs = indexPairs.unionAll(inBatchPairs).distinct()
     // exact Jaccard via the melt pattern (TextOps.jaccardPairs): one join
     // fetches both sides' postings; per pair, probe-row total = |A|+|B| and
     // distinct-shingle count = |A∪B|

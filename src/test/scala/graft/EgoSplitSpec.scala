@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.GraphOps
+import graft.bigclam.BigClam
+
+/** Ego-splitting cold-start init: triangle-support persona components,
+  * greedy max-coverage column allocation, and the cover-based init seam. */
+class EgoSplitSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def sym(rows: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    GraphOps.symEdges(rows.toDF("src", "dst"))
+  }
+
+  // seed 0's ego = {1,2,3,4}; internal edges (1,2) and (3,4) only, so the
+  // ego splits into two triangle-support components {1,2} and {3,4}
+  private val twoBlockEdges = sym(Seq(
+    0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L,
+    1L -> 2L, 3L -> 4L))
+
+  test("egoSplitPersonas separates triangle-disjoint ego blocks") {
+    import spark.implicits._
+    val seeds = Seq(0L).toDF("seed")
+    val got = GraphOps.egoSplitPersonas(twoBlockEdges, seeds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (0L, 3L) -> 3L, (0L, 4L) -> 3L), s"got $got")
+  }
+
+  test("egoSplitPersonas labels a chain component via pointer jumping") {
+    import spark.implicits._
+    // seed 100 adjacent to a 6-node path 1-2-3-4-5-6: one component, and
+    // min-label must traverse the whole chain (exercises the jump rounds)
+    val chain = sym(Seq(100L -> 1L, 100L -> 2L, 100L -> 3L, 100L -> 4L,
+      100L -> 5L, 100L -> 6L,
+      1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L))
+    val got = GraphOps.egoSplitPersonas(chain, Seq(100L).toDF("seed"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == (1L to 6L).map(_ -> 1L).toMap, s"got $got")
+  }
+
+  test("egoSplitPersonas leaves triangle-free members as singletons") {
+    import spark.implicits._
+    val star = sym(Seq(50L -> 51L, 50L -> 52L, 50L -> 53L))
+    val got = GraphOps.egoSplitPersonas(star, Seq(50L).toDF("seed"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(51L -> 51L, 52L -> 52L, 53L -> 53L), s"got $got")
+  }
+
+  test("egoSplitCover allocates split personas and whole-ego fallbacks") {
+    import spark.implicits._
+    // seed 0: two personas {1,2} and {3,4}; seed 20: triangle-free ego
+    // {21,22} -> whole-ego fallback. A bridge 4-21 keeps the graph honest
+    // (no effect on the split: 21 is not in seed 0's ego).
+    val edges = sym(Seq(
+      0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L, 1L -> 2L, 3L -> 4L,
+      20L -> 21L, 20L -> 22L, 4L -> 21L))
+    val ranked = Seq((0L, 0.1, 1), (20L, 0.2, 2)).toDF("seed", "phi", "rank")
+    val cover = GraphOps.egoSplitCover(edges, ranked, k = 3)
+    val byCol = cover.collect().groupBy(_.getInt(0))
+      .map { case (c, rows) => c -> rows.map(_.getLong(1)).toSet }
+    // three columns, each a single-community subset + its seed
+    assert(byCol.keySet == Set(0, 1, 2), s"got $byCol")
+    val sets = byCol.values.toSet
+    assert(sets == Set(Set(0L, 1L, 2L), Set(0L, 3L, 4L), Set(20L, 21L, 22L)),
+      s"got $sets")
+    // greedy max-coverage order: seed 0's first persona (rn=1, lower phi)
+    // then seed 20's fallback (rn=1) then seed 0's second persona (rn=2)
+    assert(byCol(0) == Set(0L, 1L, 2L) && byCol(1) == Set(20L, 21L, 22L) &&
+      byCol(2) == Set(0L, 3L, 4L), s"got $byCol")
+  }
+
+  test("egoSplitCover caps at k columns, preferring coverage") {
+    import spark.implicits._
+    val edges = sym(Seq(
+      0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L, 1L -> 2L, 3L -> 4L,
+      20L -> 21L, 20L -> 22L, 21L -> 22L))
+    val ranked = Seq((0L, 0.1, 1), (20L, 0.2, 2)).toDF("seed", "phi", "rank")
+    val cover = GraphOps.egoSplitCover(edges, ranked, k = 2)
+    val byCol = cover.collect().groupBy(_.getInt(0))
+      .map { case (c, rows) => c -> rows.map(_.getLong(1)).toSet }
+    // k=2: the two best-coverage personas win — one from each seed (seed
+    // 0's second persona only adds 2 new members vs seed 20's 3)
+    assert(byCol.values.toSet == Set(Set(0L, 1L, 2L), Set(20L, 21L, 22L)),
+      s"got $byCol")
+  }
+
+  test("initSparseFromCover warms covered rows and pads the rest") {
+    import spark.implicits._
+    val cover = Seq((0, 1L), (0, 2L), (1, 3L), (1, 4L), (0, 3L))
+      .toDF("c", "member")
+    val f = BigClam.initSparseFromCover(twoBlockEdges,
+      BigClam.Params(k = 2), cover)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getSeq[Double](2))).toMap
+    assert(f(1L) == (Seq(0), Seq(1.0)))
+    assert(f(2L) == (Seq(0), Seq(1.0)))
+    assert(f(3L) == (Seq(0, 1), Seq(1.0, 1.0)), "multi-persona row keeps both")
+    assert(f(4L) == (Seq(1), Seq(1.0)))
+    // node 0 is uncovered: its fi is the deterministic xxhash64 padding
+    val expect0 = (0 until 2).filter { i =>
+      // same predicate as the init: pmod(xxhash64(id, i), 16) === 0 — read
+      // the value back from Spark itself to avoid re-implementing the hash
+      spark.range(1).select(
+        pmod(xxhash64(lit(0L), lit(i)), lit(16)) === 0).collect()(0).getBoolean(0)
+    }
+    assert(f(0L)._1 == expect0, s"padding mismatch: ${f(0L)} vs $expect0")
+  }
+
+  test("initSparseFromSeeds is unchanged by the cover refactor") {
+    import spark.implicits._
+    val seeds = Seq((0L, 0), (3L, 1)).toDF("seed", "c")
+    val viaSeeds = BigClam.initSparseFromSeeds(twoBlockEdges,
+      BigClam.Params(k = 2), seeds)
+    val ego = twoBlockEdges.join(seeds, col("src") === col("seed"))
+      .select(col("c"), col("dst").as("member"))
+      .union(seeds.select(col("c"), col("seed").as("member")))
+      .distinct()
+    val viaCover = BigClam.initSparseFromCover(twoBlockEdges,
+      BigClam.Params(k = 2), ego)
+    val a = viaSeeds.orderBy("id").collect().map(_.toString).toSeq
+    val b = viaCover.orderBy("id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+}

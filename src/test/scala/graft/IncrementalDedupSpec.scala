@@ -11,20 +11,27 @@ class IncrementalDedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   // two "arrival batches": batch 1 carries an exact copy of doc 1, a
-  // near-dup of doc 2 (>=0.5 shingle Jaccard), and a fresh doc
+  // near-dup of doc 2 (>=0.5 shingle Jaccard), and a fresh doc. Each batch
+  // is internally near-free (docs 1/2/3 pairwise share no shingles) so the
+  // cross-batch state semantics are what these tests isolate; the in-batch
+  // near rule has its own test below.
   private def mkDocs(rows: Seq[(Long, String)]) = {
     import spark.implicits._
     rows.toDF("doc_id", "text")
   }
   private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
     "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val fox = "the quick brown fox jumps over a lazy dog while rain " +
+    "falls on the quiet village square and church bells ring"
+  // last word changed: 5 of fox's 16 shingles differ -> Jaccard 11/21 = 0.52
+  private val foxNear = fox.stripSuffix("ring") + "chime"
   private val batch0 = Seq(
     1L -> base,
-    2L -> (base + " phi chi psi omega one two three four"),
+    2L -> fox,
     3L -> "completely different words with no overlap at all here today ok")
   private val batch1 = Seq(
     11L -> base, // exact copy of doc 1
-    12L -> (base + " phi chi psi omega one two three nine"), // near-dup of 2
+    12L -> foxNear, // near-dup of 2
     13L -> "another unrelated document nothing shared with any other text")
 
   test("batch 1 dedups against batch 0's accumulated state") {
@@ -57,6 +64,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(d(4L) == (0L, 1L), "min-id copy must be the keeper")
     assert(d(5L) == (1L, 0L), "higher-id copy must be exact-flagged")
     assert(d(6L) == (0L, 1L))
+  }
+
+  test("in-batch near-dups collapse to the min doc_id") {
+    // 21 and 22 are near-dups (Jaccard 0.52) arriving in the SAME batch on
+    // an empty index — before round 13 both were accepted (only batch ×
+    // index pairs were generated); the min-id keeper rule drops 22
+    val b = mkDocs(Seq(21L -> fox, 22L -> foxNear,
+      23L -> "fresh standalone content sharing nothing with the fox sentence x y"))
+    val r = IncrementalDedup.processBatch(b, IncrementalDedup.emptyState(spark))
+    val d = r.decisions.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d(21L) == (0L, 0L, 1L), s"min-id near variant must be kept: $d")
+    assert(d(22L)._2 >= 1L && d(22L)._3 == 0L,
+      s"higher-id in-batch near-dup must be dropped: $d")
+    assert(d(23L) == (0L, 0L, 1L), s"unrelated doc must be kept: $d")
+    assert(r.acceptedPostings.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(21L, 23L))
+
+    // idempotency: replaying the same docs (fresh ids) against the updated
+    // state drops everything — 21/23 exact, 22 near vs the indexed 21
+    val st = IncrementalDedup.State(
+      r.acceptedHashes.localCheckpoint(true),
+      r.acceptedPostings.localCheckpoint(true))
+    val replay = IncrementalDedup.processBatch(
+      mkDocs(Seq(31L -> fox, 32L -> foxNear,
+        33L -> "fresh standalone content sharing nothing with the fox sentence x y")),
+      st)
+    val d2 = replay.decisions.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d2(31L)._1 == 1L && d2(31L)._3 == 0L, s"replayed exact copy kept: $d2")
+    assert(d2(32L)._2 >= 1L && d2(32L)._3 == 0L, s"replayed near-dup kept: $d2")
+    assert(d2(33L)._1 == 1L && d2(33L)._3 == 0L, s"replayed exact copy kept: $d2")
   }
 
   test("foreachBatch streaming flow produces the same labels as batch runs") {
