@@ -49,7 +49,7 @@ object RunSelectKPlanted {
         "[supportCap=16] [llhTol=1e-4 — 0 disables] [hotDegCap=200] " +
         "[heldFrac=0.1 — 0 skips held-out walk] " +
         "[arms=all — comma list of grid,bar,warm,random,spread,staged," +
-        "egosplit,restart,heldout]")
+        "egosplit,egosplitlpa,restart,heldout]")
       sys.exit(2)
     }
     val nNodes = args(0).toLong
@@ -321,10 +321,10 @@ object RunSelectKPlanted {
     // communities that hold the plurality of at least one init column) and
     // mean column purity (plurality mass / column truth rows) — the
     // coverage number to beat is staged's 82/100, the F1 bar is 0.44.
-    if (arm("egosplit")) {
+    def egoSplitArm(method: String): Unit = {
       val spread = GraphOps.rankTopSeedsSpread(
         GraphOps.seedRank(edges, hotCap), edges, kStar)
-      val cover = GraphOps.egoSplitCover(edges, spread, kStar)
+      val cover = GraphOps.egoSplitCover(edges, spread, kStar, method = method)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val colStats = cover.join(truth, col("member") === col("node"))
         .groupBy("c", "community").agg(count(lit(1)).as("n"))
@@ -333,19 +333,21 @@ object RunSelectKPlanted {
       val cs = colStats.agg(countDistinct(col("m.community")).as("cov"),
         (sum(col("m.n")).cast("double") / sum(col("tot"))).as("purity"),
         count(lit(1)).as("ncols")).collect()(0)
-      println(f"[selectk*] EGO-SPLIT allocation: ${cs.getLong(2)} columns, " +
-        f"majority-community coverage ${cs.getLong(0)}/$kStar, mean purity " +
-        f"${cs.getDouble(1)}%.3f ($secs%.0f s)")
+      println(f"[selectk*] EGO-SPLIT($method) allocation: ${cs.getLong(2)} " +
+        f"columns, majority-community coverage ${cs.getLong(0)}/$kStar, " +
+        f"mean purity ${cs.getDouble(1)}%.3f ($secs%.0f s)")
       val initEs = BigClam.initSparseFromCover(edges,
         BigClam.Params(k = kStar), cover)
       val (fEs, histEs) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
         iterations = iters, supportCap = Some(cap), llhTol = llhTol,
         warmStart = Some(initEs))
-      println(f"[selectk*] ego-split cold fit (llhTol-stop): " +
+      println(f"[selectk*] ego-split($method) cold fit (llhTol-stop): " +
         f"${histEs.length} LLH points, ${histEs.head}%.4e -> ${histEs.last}%.4e")
-      scoreFit(fEs, kStar, "ego-split cold fit")
+      scoreFit(fEs, kStar, s"ego-split($method) cold fit")
       cover.unpersist()
     }
+    if (arm("egosplit")) egoSplitArm("cc")
+    if (arm("egosplitlpa")) egoSplitArm("lpa")
 
     // DIAGNOSTIC 7 — seeded MULTI-RESTART (the cheap complement: R spread
     // selections over deterministically-perturbed candidate pools — each

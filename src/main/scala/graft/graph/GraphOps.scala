@@ -350,8 +350,14 @@ object GraphOps {
     * is the connectedComponents hash-min + pointer-jump idiom keyed by
     * (seed, node), lineage-cut per round with the Σlabel fixpoint witness.
     * Ego diameters are tiny (dense communities), so rounds ≈ 3-4. */
-  private[graft] def egoSplitPersonas(edges: DataFrame, seedIds: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+  /** Shared ego machinery for the persona splitters: `nbr` = (seed, u) ego
+    * membership (one |E|-row join against the broadcast seed list) and
+    * `support` = (seed, u, v) triangle-support edges (u,v ∈ N(seed) and
+    * (u,v) ∈ E — the standard triangle join, linear in triangles through
+    * seeds, never degree² per ego). Both lineage-cut: every splitter
+    * iterates over them. */
+  private def egoSupport(edges: DataFrame, seedIds: DataFrame)
+      : (DataFrame, DataFrame) = {
     val nbr = cutLineage(
       edges.join(broadcast(seedIds.select(col("seed"))), col("src") === col("seed"))
         .select(col("seed"), col("dst").as("u")))
@@ -360,6 +366,12 @@ object GraphOps {
         .join(nbr, Seq("u"))
         .join(nbr.select(col("seed"), col("u").as("v")), Seq("seed", "v"))
         .select(col("seed"), col("u"), col("v")))
+    (nbr, support)
+  }
+
+  private[graft] def egoSplitPersonas(edges: DataFrame, seedIds: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val (nbr, support) = egoSupport(edges, seedIds)
     var labels = cutLineage(nbr.select(col("seed"), col("u"), col("u").as("comp")))
     def labelSum(df: DataFrame): Long = {
       val row = df.agg(sum(col("comp"))).collect()(0)
@@ -394,6 +406,48 @@ object GraphOps {
     labels
   }
 
+  /** LPA persona splitter — the overlap-robust variant of
+    * [[egoSplitPersonas]]. Connected components under-split dense
+    * overlapping covers: a single node in A∩B (any co-member of both
+    * communities inside the ego) bridges A's and B's triangle-support
+    * components into one, and the measured result is blended init columns
+    * (round-13 10k/100 run: mean column purity 0.396 under CC). Label
+    * propagation on the SAME support graph resists node bridges: each
+    * round every member adopts the plurality label of its support
+    * neighbors plus itself, so a bridge node falls to its denser side
+    * while both sides keep their own labels (this is the partition
+    * algorithm Epasto et al. recommend over components for noisy egos).
+    *
+    * Deterministic by construction: synchronous rounds, plurality broken
+    * by (count desc, label asc) via one min(struct) agg, self-vote breaks
+    * the classic 2-cycle oscillation, and the round count is FIXED (LPA
+    * has no monotone witness, so a fixpoint loop could cycle; bounded
+    * rounds keep the output a pure function of the graph). Round 1 from
+    * singleton labels is exactly one hash-min step; plurality takes over
+    * once labels coalesce. Returns (seed, u, comp) like the CC splitter —
+    * comp values are label ids, with no connectivity guarantee (harmless
+    * for init-column use). */
+  private[graft] def egoSplitPersonasLPA(edges: DataFrame, seedIds: DataFrame,
+      rounds: Int = 8): DataFrame = {
+    val (nbr, support) = egoSupport(edges, seedIds)
+    var labels = cutLineage(nbr.select(col("seed"), col("u"), col("u").as("comp")))
+    var it = 0
+    while (it < rounds) {
+      val votes = support
+        .join(labels.select(col("seed"), col("u").as("v"), col("comp")),
+          Seq("seed", "v"))
+        .select(col("seed"), col("u"), col("comp"))
+        .union(labels.select(col("seed"), col("u"), col("comp")))
+      val next = votes.groupBy("seed", "u", "comp").agg(count(lit(1)).as("n"))
+        .groupBy("seed", "u")
+        .agg(min(struct((-col("n")).as("negN"), col("comp"))).as("best"))
+        .select(col("seed"), col("u"), col("best.comp").as("comp"))
+      labels = cutLineage(next)
+      it += 1
+    }
+    labels
+  }
+
   /** Allocate `k` init columns over ego-split personas: a (c, member) cover
     * frame for [[graft.bigclam.BigClam.initSparseFromCover]], c ∈ 0..k-1.
     * Candidate personas come from `rankedSeeds` (seed, phi, rank — e.g.
@@ -418,10 +472,15 @@ object GraphOps {
     * contract as [[rankTopSeedsSpread]]. */
   private[graft] def egoSplitCover(edges: DataFrame, rankedSeeds: DataFrame,
       k: Int, minCompSize: Int = 2,
-      maxCollectRows: Long = 8000000L): DataFrame = {
+      maxCollectRows: Long = 8000000L, method: String = "cc"): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val personas0 = egoSplitPersonas(edges, rankedSeeds.select(col("seed")))
+    val personas0 = method match {
+      case "cc"  => egoSplitPersonas(edges, rankedSeeds.select(col("seed")))
+      case "lpa" => egoSplitPersonasLPA(edges, rankedSeeds.select(col("seed")))
+      case other => throw new IllegalArgumentException(
+        s"egoSplitCover method must be cc or lpa, got $other")
+    }
     val sized = personas0.groupBy("seed", "comp").agg(count(lit(1)).as("sz"))
     val seedMax = sized.groupBy("seed").agg(max(col("sz")).as("mx"))
     val qualifying = sized.join(seedMax, Seq("seed"))

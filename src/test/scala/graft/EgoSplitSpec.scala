@@ -50,6 +50,36 @@ class EgoSplitSpec extends AnyFunSuite {
     assert(got == Map(51L -> 51L, 52L -> 52L, 53L -> 53L), s"got $got")
   }
 
+  test("egoSplitPersonasLPA splits communities a bridge node merges") {
+    import spark.implicits._
+    // seed 0's ego: clique A={1,2,3}, clique B={5,6,7}, bridge node 4 with
+    // one support edge into each side (4-1, 4-5). CC returns ONE component
+    // (the dense-cover under-split failure); LPA keeps two labels — the
+    // bridge falls to one side, the cliques keep their own plurality.
+    val edges = sym(Seq(
+      0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L, 0L -> 5L, 0L -> 6L, 0L -> 7L,
+      1L -> 2L, 1L -> 3L, 2L -> 3L,
+      5L -> 6L, 5L -> 7L, 6L -> 7L,
+      4L -> 1L, 4L -> 5L))
+    val cc = GraphOps.egoSplitPersonas(edges, Seq(0L).toDF("seed"))
+      .select("comp").distinct().count()
+    assert(cc == 1L, "CC must merge through the bridge (the failure mode)")
+    val lpa = GraphOps.egoSplitPersonasLPA(edges, Seq(0L).toDF("seed"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val groups = lpa.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(groups == Set(Set(1L, 2L, 3L, 4L), Set(5L, 6L, 7L)), s"got $groups")
+  }
+
+  test("egoSplitPersonasLPA self-vote settles the two-node pair") {
+    import spark.implicits._
+    // classic LPA 2-cycle: without a self-vote, a lone support pair swaps
+    // labels every round and lands on round-count parity
+    val edges = sym(Seq(50L -> 51L, 50L -> 52L, 51L -> 52L))
+    val got = GraphOps.egoSplitPersonasLPA(edges, Seq(50L).toDF("seed"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(51L -> 51L, 52L -> 51L), s"got $got")
+  }
+
   test("egoSplitCover allocates split personas and whole-ego fallbacks") {
     import spark.implicits._
     // seed 0: two personas {1,2} and {3,4}; seed 20: triangle-free ego
