@@ -49,7 +49,7 @@ object RunSelectKPlanted {
         "[supportCap=16] [llhTol=1e-4 — 0 disables] [hotDegCap=200] " +
         "[heldFrac=0.1 — 0 skips held-out walk] " +
         "[arms=all — comma list of grid,bar,warm,random,spread,staged," +
-        "egosplit,egosplitlpa,restart,heldout]")
+        "egosplit,egosplitlpa,egosplitlpa2x,egosplitlpa4x,oraclepartial,restart,heldout]")
       sys.exit(2)
     }
     val nNodes = args(0).toLong
@@ -321,9 +321,12 @@ object RunSelectKPlanted {
     // communities that hold the plurality of at least one init column) and
     // mean column purity (plurality mass / column truth rows) — the
     // coverage number to beat is staged's 82/100, the F1 bar is 0.44.
-    def egoSplitArm(method: String): Unit = {
+    // poolMult > 1 feeds the allocator MORE candidate seeds than columns
+    // (spread top poolMult·K): coverage of seedless communities can only
+    // come from extra personas, and greedy max-coverage dedups the surplus
+    def egoSplitArm(method: String, poolMult: Int = 1): Unit = {
       val spread = GraphOps.rankTopSeedsSpread(
-        GraphOps.seedRank(edges, hotCap), edges, kStar)
+        GraphOps.seedRank(edges, hotCap), edges, kStar * poolMult)
       val cover = GraphOps.egoSplitCover(edges, spread, kStar, method = method)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val colStats = cover.join(truth, col("member") === col("node"))
@@ -333,7 +336,8 @@ object RunSelectKPlanted {
       val cs = colStats.agg(countDistinct(col("m.community")).as("cov"),
         (sum(col("m.n")).cast("double") / sum(col("tot"))).as("purity"),
         count(lit(1)).as("ncols")).collect()(0)
-      println(f"[selectk*] EGO-SPLIT($method) allocation: ${cs.getLong(2)} " +
+      val tag = if (poolMult == 1) method else s"$method,pool=${poolMult}x"
+      println(f"[selectk*] EGO-SPLIT($tag) allocation: ${cs.getLong(2)} " +
         f"columns, majority-community coverage ${cs.getLong(0)}/$kStar, " +
         f"mean purity ${cs.getDouble(1)}%.3f ($secs%.0f s)")
       val initEs = BigClam.initSparseFromCover(edges,
@@ -341,13 +345,52 @@ object RunSelectKPlanted {
       val (fEs, histEs) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
         iterations = iters, supportCap = Some(cap), llhTol = llhTol,
         warmStart = Some(initEs))
-      println(f"[selectk*] ego-split($method) cold fit (llhTol-stop): " +
+      println(f"[selectk*] ego-split($tag) cold fit (llhTol-stop): " +
         f"${histEs.length} LLH points, ${histEs.head}%.4e -> ${histEs.last}%.4e")
-      scoreFit(fEs, kStar, s"ego-split($method) cold fit")
+      scoreFit(fEs, kStar, s"ego-split($tag) cold fit")
       cover.unpersist()
     }
     if (arm("egosplit")) egoSplitArm("cc")
     if (arm("egosplitlpa")) egoSplitArm("lpa")
+    if (arm("egosplitlpa2x")) egoSplitArm("lpa", poolMult = 2)
+    if (arm("egosplitlpa4x")) egoSplitArm("lpa", poolMult = 4)
+
+    // DIAGNOSTIC 8 — ORACLE-PARTIAL warm start: the BEST init any
+    // ego-local method could ever produce — each column is one planted
+    // community restricted to its min-id member's closed neighborhood
+    // (100% pure, one column per true community, ego-sized) with init
+    // value 1.0. This bounds the whole ego-splitting program from above:
+    // if the fit cannot reach the warm basin from perfectly pure ego-sized
+    // fragments, no seed-local splitting refinement can close the gap and
+    // the honest conclusion is that cold-start init needs more than
+    // one-hop purity (e.g. a growth phase or truth-scale values); if it
+    // recovers, the gap to egosplitlpa is purity/coverage left on the
+    // table, and splitting refinements are worth pursuing.
+    if (arm("oraclepartial")) {
+      val anchor = truth.groupBy("community").agg(min(col("node")).as("a"))
+      val egoA = edges.join(anchor, col("src") === col("a"))
+        .select(col("community"), col("dst").as("member"))
+        .unionByName(anchor.select(col("community"), col("a").as("member")))
+      val coverP = egoA
+        .join(truth.select(col("community"), col("node").as("member")),
+          Seq("community", "member"), "left_semi")
+        .select(col("community").cast("int").as("c"), col("member"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val frag = coverP.groupBy("c").agg(count(lit(1)).as("sz"))
+        .agg(avg(col("sz")), min(col("sz")), count(lit(1))).collect()(0)
+      println(f"[selectk*] ORACLE-PARTIAL cover: ${frag.getLong(2)} columns, " +
+        f"avg fragment ${frag.getDouble(0)}%.1f members (min ${frag.getLong(1)}) " +
+        f"of ~${nNodes * 16 / kStar / 10} per community ($secs%.0f s)")
+      val initP = BigClam.initSparseFromCover(edges,
+        BigClam.Params(k = kStar), coverP)
+      val (fP, histP) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
+        iterations = iters, supportCap = Some(cap), llhTol = llhTol,
+        warmStart = Some(initP))
+      println(f"[selectk*] oracle-partial warm fit (llhTol-stop): " +
+        f"${histP.length} LLH points, ${histP.head}%.4e -> ${histP.last}%.4e")
+      scoreFit(fP, kStar, "oracle-partial warm fit")
+      coverP.unpersist()
+    }
 
     // DIAGNOSTIC 7 — seeded MULTI-RESTART (the cheap complement: R spread
     // selections over deterministically-perturbed candidate pools — each
