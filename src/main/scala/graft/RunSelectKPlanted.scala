@@ -49,7 +49,9 @@ object RunSelectKPlanted {
         "[supportCap=16] [llhTol=1e-4 — 0 disables] [hotDegCap=200] " +
         "[heldFrac=0.1 — 0 skips held-out walk] " +
         "[arms=all — comma list of grid,bar,warm,random,spread,staged," +
-        "egosplit,egosplitlpa,egosplitlpa2x,egosplitlpa4x,oraclepartial,restart,heldout]")
+        "gridsplit,egosplit,egosplitlpa,egosplitlpa2x,egosplitlpa4x," +
+        "egosplitlpanp,egosplitlpa2xnp,oraclepartial,oraclepartialnp," +
+        "restart,heldout,heldoutsplit]")
       sys.exit(2)
     }
     val nNodes = args(0).toLong
@@ -153,6 +155,28 @@ object RunSelectKPlanted {
         s"reference-rule(1e-3) K=$refChoice" +
         (if (stopIdx.isDefined) "" else " (never stopped — grid boundary)"))
       scoreFit(bestF, bestK, "argmax-K fit")
+    }
+
+    // 1b. the same full-grid walk under the PRODUCTION egosplit init
+    //     (spread seeds + LPA persona columns + no hash padding): the
+    //     round-13 "done" criterion is an INTERIOR LLH peak at/near K* —
+    //     the padded walk always picked the grid floor because every
+    //     large-K fit collapsed.
+    if (arm("gridsplit")) {
+      val (bk, bestF, grid) = BigClam.selectKSparse(edges,
+        BigClam.Params(k = minK), minK = minK, maxK = maxK, steps = steps,
+        kTol = 0.0, fitIterations = iters, supportCap = Some(cap),
+        stableTol = None, hotDegCap = hotCap, llhTol = llhTol,
+        initMode = "egosplit")
+      println(f"[selectk*] egosplit grid walked in $secs%.0f s:")
+      grid.foreach { case (k, llh) => println(f"[selectk*]   K=$k%-6d llh=$llh%.4e") }
+      val stopIdx = grid.indices.drop(1)
+        .find(i => 1.0 - grid(i)._2 / grid(i - 1)._2 < 1e-3)
+      val refChoice = stopIdx.map(i => grid(i)._1).getOrElse(grid.last._1)
+      println(s"[selectk*] egosplit walk: planted K*=$kStar  argmax-LLH K=$bk  " +
+        s"reference-rule(1e-3) K=$refChoice" +
+        (if (stopIdx.isDefined) "" else " (never stopped — grid boundary)"))
+      scoreFit(bestF, bk, "egosplit argmax-K fit")
     }
 
     // 3. two K* bars:
@@ -324,7 +348,12 @@ object RunSelectKPlanted {
     // poolMult > 1 feeds the allocator MORE candidate seeds than columns
     // (spread top poolMult·K): coverage of seedless communities can only
     // come from extra personas, and greedy max-coverage dedups the surplus
-    def egoSplitArm(method: String, poolMult: Int = 1): Unit = {
+    // pad = false drops initSparseFromCover's hash padding — uncovered
+    // nodes start EMPTY instead of holding ~K/16 random columns at 1.0
+    // (~300 spurious members per column at 10k/K=100 — more than the true
+    // fragment mass), and acquire support through neighbor dims instead.
+    def egoSplitArm(method: String, poolMult: Int = 1,
+        pad: Boolean = true): Unit = {
       val spread = GraphOps.rankTopSeedsSpread(
         GraphOps.seedRank(edges, hotCap), edges, kStar * poolMult)
       val cover = GraphOps.egoSplitCover(edges, spread, kStar, method = method)
@@ -336,12 +365,13 @@ object RunSelectKPlanted {
       val cs = colStats.agg(countDistinct(col("m.community")).as("cov"),
         (sum(col("m.n")).cast("double") / sum(col("tot"))).as("purity"),
         count(lit(1)).as("ncols")).collect()(0)
-      val tag = if (poolMult == 1) method else s"$method,pool=${poolMult}x"
+      val tag = (if (poolMult == 1) method else s"$method,pool=${poolMult}x") +
+        (if (pad) "" else ",nopad")
       println(f"[selectk*] EGO-SPLIT($tag) allocation: ${cs.getLong(2)} " +
         f"columns, majority-community coverage ${cs.getLong(0)}/$kStar, " +
         f"mean purity ${cs.getDouble(1)}%.3f ($secs%.0f s)")
       val initEs = BigClam.initSparseFromCover(edges,
-        BigClam.Params(k = kStar), cover)
+        BigClam.Params(k = kStar), cover, pad = pad)
       val (fEs, histEs) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
         iterations = iters, supportCap = Some(cap), llhTol = llhTol,
         warmStart = Some(initEs))
@@ -354,6 +384,8 @@ object RunSelectKPlanted {
     if (arm("egosplitlpa")) egoSplitArm("lpa")
     if (arm("egosplitlpa2x")) egoSplitArm("lpa", poolMult = 2)
     if (arm("egosplitlpa4x")) egoSplitArm("lpa", poolMult = 4)
+    if (arm("egosplitlpanp")) egoSplitArm("lpa", pad = false)
+    if (arm("egosplitlpa2xnp")) egoSplitArm("lpa", poolMult = 2, pad = false)
 
     // DIAGNOSTIC 8 — ORACLE-PARTIAL warm start: the BEST init any
     // ego-local method could ever produce — each column is one planted
@@ -366,7 +398,7 @@ object RunSelectKPlanted {
     // one-hop purity (e.g. a growth phase or truth-scale values); if it
     // recovers, the gap to egosplitlpa is purity/coverage left on the
     // table, and splitting refinements are worth pursuing.
-    if (arm("oraclepartial")) {
+    def oraclePartialArm(pad: Boolean): Unit = {
       val anchor = truth.groupBy("community").agg(min(col("node")).as("a"))
       val egoA = edges.join(anchor, col("src") === col("a"))
         .select(col("community"), col("dst").as("member"))
@@ -382,15 +414,18 @@ object RunSelectKPlanted {
         f"avg fragment ${frag.getDouble(0)}%.1f members (min ${frag.getLong(1)}) " +
         f"of ~${nNodes * 16 / kStar / 10} per community ($secs%.0f s)")
       val initP = BigClam.initSparseFromCover(edges,
-        BigClam.Params(k = kStar), coverP)
+        BigClam.Params(k = kStar), coverP, pad = pad)
+      val ptag = if (pad) "oracle-partial" else "oracle-partial,nopad"
       val (fP, histP) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
         iterations = iters, supportCap = Some(cap), llhTol = llhTol,
         warmStart = Some(initP))
-      println(f"[selectk*] oracle-partial warm fit (llhTol-stop): " +
+      println(f"[selectk*] $ptag warm fit (llhTol-stop): " +
         f"${histP.length} LLH points, ${histP.head}%.4e -> ${histP.last}%.4e")
-      scoreFit(fP, kStar, "oracle-partial warm fit")
+      scoreFit(fP, kStar, s"$ptag warm fit")
       coverP.unpersist()
     }
+    if (arm("oraclepartial")) oraclePartialArm(pad = true)
+    if (arm("oraclepartialnp")) oraclePartialArm(pad = false)
 
     // DIAGNOSTIC 7 — seeded MULTI-RESTART (the cheap complement: R spread
     // selections over deterministically-perturbed candidate pools — each
@@ -426,17 +461,19 @@ object RunSelectKPlanted {
     }
 
     // 4. held-out selection — the capacity-honest criterion
-    if (arm("heldout") && heldFrac > 0) {
+    def heldOutArm(im: String): Unit = {
       val (hk, hf, hcurve) = BigClam.selectKSparseHeldOut(edges,
         BigClam.Params(k = minK), minK = minK, maxK = maxK, steps = steps,
         heldFrac = heldFrac, fitIterations = iters, llhTol = llhTol,
-        supportCap = Some(cap), hotDegCap = hotCap)
-      println(f"[selectk*] held-out walk (frac=$heldFrac) in $secs%.0f s:")
+        supportCap = Some(cap), hotDegCap = hotCap, initMode = im)
+      println(f"[selectk*] held-out walk (frac=$heldFrac, init=$im) in $secs%.0f s:")
       hcurve.foreach { case (k, tr, ho) =>
         println(f"[selectk*]   K=$k%-6d train_llh=$tr%.4e held_llh=$ho%.4e") }
-      println(s"[selectk*] held-out choice K=$hk (planted K*=$kStar)")
-      scoreFit(hf, hk, "held-out-K fit")
+      println(s"[selectk*] held-out choice K=$hk (planted K*=$kStar, init=$im)")
+      scoreFit(hf, hk, s"held-out-K fit ($im)")
     }
+    if (arm("heldout") && heldFrac > 0) heldOutArm("ego")
+    if (arm("heldoutsplit") && heldFrac > 0) heldOutArm("egosplit")
     println(f"[selectk*] TOTAL $secs%.1f s")
     spark.stop()
   }

@@ -145,18 +145,61 @@ object BigClam {
     * argmax cover) becomes the warm columns, and nodes the cover misses
     * get the identical xxhash64 padding every other init path uses.
     * [[initSparseFromSeeds]] is exactly this applied to whole-ego covers
-    * (bit-identity preserved — the membership agg below is unchanged). */
-  def initSparseFromCover(edges: DataFrame, p: Params, cover: DataFrame): DataFrame = {
+    * (bit-identity preserved — the membership agg below is unchanged).
+    *
+    * `pad = false` drops the hash padding: nodes the cover misses start
+    * with EMPTY support instead of ~K/16 random columns at 1.0. The
+    * padding is load-bearing noise on dense overlapping covers — with
+    * K=100 and half the nodes uncovered it seats ~6 random full-strength
+    * memberships per uncovered node (~300 spurious members per column vs
+    * ~54 true fragment members in the oracle-partial diagnostic), and the
+    * sparse kernels grow empty rows fine (gradient support is
+    * support(fu) ∪ neighbor dims, so an uncovered node adjacent to a
+    * fragment acquires the fragment's column on its first step). */
+  def initSparseFromCover(edges: DataFrame, p: Params, cover: DataFrame,
+      pad: Boolean = true): DataFrame = {
     val memberships = cover.select(col("c"), col("member")).groupBy("member")
       .agg(sort_array(collect_set(col("c"))).as("cs"))
+    val padded = if (pad)
+      filter(sequence(lit(0), lit(p.k - 1)),
+        i => pmod(xxhash64(col("id"), i), lit(16)) === 0)
+    else array().cast("array<int>")
     GraphOps.degrees(edges).select(col("node").as("id"))
       .join(memberships, col("id") === col("member"), "left")
       .select(col("id"),
-        coalesce(col("cs"),
-          filter(sequence(lit(0), lit(p.k - 1)),
-            i => pmod(xxhash64(col("id"), i), lit(16)) === 0))
-          .cast("array<int>").as("fi"))
+        coalesce(col("cs"), padded).cast("array<int>").as("fi"))
       .withColumn("fv", transform(col("fi"), _ => lit(1.0)))
+  }
+
+  /** Init dispatch for the sparse fit/selection entry points.
+    *
+    *  - `"ego"` (default): conductance top-K whole-ego init + hash padding —
+    *    the historical path, bit-identical to every recorded run.
+    *  - `"egosplit"`: the round-13 dense-cover cold-start fix, the three
+    *    measured pieces composed: spread (pairwise non-adjacent) seed
+    *    selection over the conductance pool, LPA persona splitting of each
+    *    seed's ego into single-community subsets, and NO hash padding —
+    *    uncovered nodes start empty and acquire support through neighbor
+    *    dims on their first gradient step. The allocator draws from a 2K
+    *    spread-seed pool (surplus personas are the only way communities no
+    *    top-K seed touches gain a column; greedy max-coverage dedups the
+    *    rest — measured coverage 79/100 at a 1K pool vs 95/100 at 2K). On
+    *    the 10k/K*=100 planted fixture where every padded cold init
+    *    collapsed to F1 ≤ 0.44, this init converges (27 iters at 1e-4) to
+    *    F1 = 0.97; the padding was measured as the blocker (oracle-partial
+    *    fragments: padded F1 0.30, unpadded 0.998).
+    */
+  private[bigclam] def initSparseByMode(edges: DataFrame, p: Params,
+      ranked: Option[DataFrame], initMode: String): DataFrame = initMode match {
+    case "ego" => initSparse(edges, p, ranked)
+    case "egosplit" =>
+      val spread = GraphOps.rankTopSeedsSpread(
+        ranked.getOrElse(GraphOps.seedRank(edges)), edges, 2 * p.k)
+      initSparseFromCover(edges, p,
+        GraphOps.egoSplitCover(edges, spread, p.k, method = "lpa"),
+        pad = false)
+    case other => throw new IllegalArgumentException(
+      s"initMode must be ego or egosplit, got $other")
   }
 
   /** One gradient+LLH pass: per node (llh at F, gradient array, ‖∇‖²).
@@ -512,13 +555,14 @@ object BigClam {
       supportCap: Option[Int] = None,
       stableTol: Option[Double] = None,
       llhTol: Option[Double] = None,
-      warmStart: Option[DataFrame] = None): (DataFrame, Seq[Double]) = {
+      warmStart: Option[DataFrame] = None,
+      initMode: String = "ego"): (DataFrame, Seq[Double]) = {
     requireEdges(edges)
     // cap >= K can't prune anything: use the uncapped path so "no-op cap"
     // means bit-identical, not merely value-close (float op order matters)
     val cap = supportCap.filter(_ < p.k)
     var f = checkpointF(capF(
-      warmStart.getOrElse(initSparse(edges, p, ranked)), cap))
+      warmStart.getOrElse(initSparseByMode(edges, p, ranked, initMode)), cap))
     // membership-stability stop rule (the 100k planted-recovery lesson:
     // recovery converges later than LLH, so the stop observable is argmax
     // membership churn, not the LLH delta): halt once the fraction of nodes
@@ -729,7 +773,8 @@ object BigClam {
       supportCap: Option[Int] = None, stableTol: Option[Double] = None,
       hotDegCap: Option[Long] = None,
       retainedProbe: Int => Unit = _ => (),
-      llhTol: Option[Double] = None): (Int, DataFrame, Seq[(Int, Double)]) = {
+      llhTol: Option[Double] = None,
+      initMode: String = "ego"): (Int, DataFrame, Seq[(Int, Double)]) = {
     requireEdges(edges)
     val grid = logSpacedK(minK, maxK, steps)
     val ranked = GraphOps.seedRank(edges, hotDegCap).persist(StorageLevel.MEMORY_AND_DISK)
@@ -740,7 +785,7 @@ object BigClam {
     for (k <- grid if !stop) {
       val (fs, hist) = fitSparse(edges, base.copy(k = k), fitIterations,
         ranked = Some(ranked), supportCap = supportCap, stableTol = stableTol,
-        llhTol = llhTol)
+        llhTol = llhTol, initMode = initMode)
       val llh = hist.last
       retainedProbe(1 + best.size)
       prevLlh.foreach(pl => if (math.abs(1.0 - llh / pl) < kTol) stop = true)
@@ -847,7 +892,8 @@ object BigClam {
       maxK: Int, steps: Int, heldFrac: Double = 0.1,
       fitIterations: Int = 50, llhTol: Option[Double] = Some(1e-4),
       supportCap: Option[Int] = None, hotDegCap: Option[Long] = None,
-      seed: Long = 42L): (Int, DataFrame, Seq[(Int, Double, Double)]) = {
+      seed: Long = 42L,
+      initMode: String = "ego"): (Int, DataFrame, Seq[(Int, Double, Double)]) = {
     requireEdges(edges)
     val (train, held) = splitEdgesHoldOut(edges, heldFrac, seed)
     val trainP = train.persist(StorageLevel.MEMORY_AND_DISK)
@@ -860,7 +906,8 @@ object BigClam {
     var best: Option[(Int, Double, DataFrame)] = None
     for (k <- logSpacedK(minK, maxK, steps)) {
       val (fs, hist) = fitSparse(trainP, base.copy(k = k), fitIterations,
-        ranked = Some(ranked), supportCap = supportCap, llhTol = llhTol)
+        ranked = Some(ranked), supportCap = supportCap, llhTol = llhTol,
+        initMode = initMode)
       val ho = heldOutLlhSparse(fs, heldP, nonEdges, base.copy(k = k))
       if (best.forall(_._2 < ho)) best = Some((k, ho, fs))
       evals = (k, hist.last, ho) :: evals

@@ -140,6 +140,37 @@ class EgoSplitSpec extends AnyFunSuite {
     assert(f(0L)._1 == expect0, s"padding mismatch: ${f(0L)} vs $expect0")
   }
 
+  test("initSparseFromCover pad=false leaves uncovered rows empty") {
+    import spark.implicits._
+    val cover = Seq((0, 1L), (0, 2L), (1, 3L), (1, 4L)).toDF("c", "member")
+    val f = BigClam.initSparseFromCover(twoBlockEdges,
+      BigClam.Params(k = 2), cover, pad = false)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getSeq[Double](2))).toMap
+    assert(f(1L) == (Seq(0), Seq(1.0)) && f(3L) == (Seq(1), Seq(1.0)))
+    // node 0 is uncovered: EMPTY support, not hash padding — the round-13
+    // measured fix (padded uncovered rows hold ~K/16 random columns at 1.0
+    // and blend every dense-cover cold fit into the F1<=0.44 basin)
+    assert(f(0L) == (Seq.empty[Int], Seq.empty[Double]), s"got ${f(0L)}")
+  }
+
+  test("fitSparse initMode=egosplit runs end-to-end and grows empty rows") {
+    // two 4-cliques sharing node 0: the egosplit init (spread seeds + LPA
+    // personas + no padding) must produce a fit where each clique's nodes
+    // argmax into a common column, and uncovered/empty rows acquire
+    // support through neighbor dims (gradient support = fu ∪ neighbors)
+    val cliques = sym(Seq(
+      1L -> 2L, 1L -> 3L, 2L -> 3L, 0L -> 1L, 0L -> 2L, 0L -> 3L,
+      5L -> 6L, 5L -> 7L, 6L -> 7L, 0L -> 5L, 0L -> 6L, 0L -> 7L))
+    val (fs, hist) = BigClam.fitSparse(cliques, BigClam.Params(k = 2),
+      iterations = 30, llhTol = Some(1e-4), initMode = "egosplit")
+    assert(hist.nonEmpty && hist.last >= hist.head, "LLH must not regress")
+    val rows = fs.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows.size == 7, s"every node needs a row, got ${rows.size}")
+    // every node ends with non-empty support (empty rows grew)
+    assert(rows.values.forall(_.nonEmpty), s"empty support rows: $rows")
+  }
+
   test("initSparseFromSeeds is unchanged by the cover refactor") {
     import spark.implicits._
     val seeds = Seq((0L, 0), (3L, 1)).toDF("seed", "c")
