@@ -9,7 +9,7 @@ import graft.bigclam.BigClam
   * gradient ascent with Armijo line search → threshold/argmax communities)
   * as one command:
   *
-  *   runMain graft.RunBigClam <edgeListPath> <K> <iterations> <outDir> [dense|sparse|sparse:<m>] [stableTol]
+  *   runMain graft.RunBigClam <edgeListPath> <K> <iterations> <outDir> [dense|sparse|sparse:<m>] [stableTol] [llhTol] [ego|egosplit]
   *
   * e.g. the graph bundled with the reference:
   *   runMain graft.RunBigClam /root/reference/data/facebook_combined.txt 8 3 /tmp/fb_out
@@ -18,6 +18,10 @@ import graft.bigclam.BigClam
   * the bounded-cost configuration for K in the thousands.
   * `stableTol` (sparse modes only) stops early once the per-iteration argmax
   * membership churn drops below the tolerance, making `iterations` a cap.
+  * `llhTol` (sparse modes only; 0 disables) stops at the reference's relative
+  * LLH rule. `initMode` (sparse modes only) picks the cold-start init:
+  * `ego` (default, conductance whole-ego + padding) or `egosplit` (spread
+  * seeds + LPA personas + no padding — the dense-cover fix).
   */
 object RunBigClam {
   def main(args: Array[String]): Unit = {
@@ -39,7 +43,10 @@ object RunBigClam {
     val (f, history) =
       if (sparse) {
         val (fs, h) = BigClam.fitSparse(edges, p, iterations = itStr.toInt,
-          supportCap = supportCap, stableTol = args.lift(5).map(_.toDouble))
+          supportCap = supportCap,
+          stableTol = args.lift(5).map(_.toDouble).filter(_ > 0),
+          llhTol = args.lift(6).map(_.toDouble).filter(_ > 0),
+          initMode = args.lift(7).getOrElse("ego"))
         (BigClam.toDenseF(fs, p.k), h)
       } else BigClam.fit(edges, p, iterations = itStr.toInt)
     val com = BigClam.communities(f, edges, p)
