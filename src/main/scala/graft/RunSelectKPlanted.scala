@@ -50,7 +50,8 @@ object RunSelectKPlanted {
         "[heldFrac=0.1 — 0 skips held-out walk] " +
         "[arms=all — comma list of grid,bar,warm,random,spread,staged," +
         "gridsplit,egosplit,egosplitlpa,egosplitlpa2x,egosplitlpa4x," +
-        "egosplitlpanp,egosplitlpa2xnp,oraclepartial,oraclepartialnp," +
+        "egosplitlpanp,egosplitlpa2xnp,egosplitlpa4xnp,oraclepartial," +
+        "oraclepartialnp," +
         "restart,heldout,heldoutsplit]")
       sys.exit(2)
     }
@@ -386,6 +387,7 @@ object RunSelectKPlanted {
     if (arm("egosplitlpa4x")) egoSplitArm("lpa", poolMult = 4)
     if (arm("egosplitlpanp")) egoSplitArm("lpa", pad = false)
     if (arm("egosplitlpa2xnp")) egoSplitArm("lpa", poolMult = 2, pad = false)
+    if (arm("egosplitlpa4xnp")) egoSplitArm("lpa", poolMult = 4, pad = false)
 
     // DIAGNOSTIC 8 — ORACLE-PARTIAL warm start: the BEST init any
     // ego-local method could ever produce — each column is one planted
