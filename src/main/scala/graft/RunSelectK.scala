@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.graph.GraphOps
 import graft.bigclam.BigClam
 
@@ -24,7 +25,9 @@ object RunSelectK {
       System.err.println("usage: runMain graft.RunSelectK <edgeListPath> " +
         "<minK> <maxK> <steps> <fitIters> [dense|sparse:<m>] [stableTol] " +
         "[hotDegCap=200] [llhTol=0 — 0 disables] " +
-        "[heldFrac=0 — >0 runs the HELD-OUT sparse walk instead]")
+        "[heldFrac=0 — >0 runs the HELD-OUT sparse walk instead] " +
+        "[modwalk=0 — 1 walks the grid printing fitted-argmax MODULARITY " +
+        "per K instead of selecting] [initMode=ego|egosplit|auto]")
       sys.exit(2)
     }
     val Array(path, minK, maxK, steps, iters) = args.take(5)
@@ -32,8 +35,14 @@ object RunSelectK {
     val supportCap = if (mode.startsWith("sparse:")) Some(mode.drop(7).toInt) else None
     val stableTol = args.lift(6).map(_.toDouble)
     val hotDegCap = Some(args.lift(7).map(_.toLong).getOrElse(200L)).filter(_ > 0)
-    val llhTol = args.lift(8).map(_.toDouble).filter(_ > 0)
+    // distinguish "not provided" (held-out walk defaults to the reference's
+    // 1e-4 rule) from an EXPLICIT 0 (the usage string promises it disables
+    // the LLH stop — it must not be silently replaced by the default)
+    val llhTolArg = args.lift(8).map(_.toDouble)
+    val llhTol = llhTolArg.filter(_ > 0)
     val heldFrac = args.lift(9).map(_.toDouble).getOrElse(0.0)
+    val modwalk = args.lift(10).contains("1")
+    val initMode = args.lift(11).getOrElse("ego")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -44,7 +53,39 @@ object RunSelectK {
     val t0 = System.nanoTime()
     val edges = GraphOps.symEdges(GraphOps.loadEdgeList(spark, path)).cache()
     val nEdges = edges.count()
-    if (heldFrac > 0) {
+    if (modwalk) {
+      // MODULARITY walk (round-14 #4): the practitioner's K signal on
+      // ORGANIC graphs, where round 13 established that both raw and
+      // HELD-OUT likelihood rise monotonically in K (capacity always helps
+      // when no planted K exists — held-out selection is a structured-cover
+      // instrument). Newman modularity of the fitted argmax partition is
+      // capacity-PENALIZED by construction — ΣD_c² shrinks as parts
+      // multiply but the intra-edge mass W drops once real structure is
+      // fragmented — so IF organic graphs have a natural scale, q(K) peaks
+      // where LLH cannot. Every K fits to the same convergence rule; F is
+      // discarded after scoring (nothing retained across grid points).
+      val lt = if (llhTolArg.isDefined) llhTol else Some(1e-4)
+      val ranked = graft.graph.GraphOps.seedRank(edges, hotDegCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(f"[selectk] $path: $nEdges directed edges, MODULARITY walk " +
+        s"(initMode=$initMode)")
+      BigClam.logSpacedK(minK.toInt, maxK.toInt, steps.toInt).foreach { k =>
+        val (fs, hist) = BigClam.fitSparse(edges, BigClam.Params(k = k),
+          iterations = iters.toInt, ranked = Some(ranked),
+          supportCap = supportCap, llhTol = lt, initMode = initMode,
+          initProbe = d => println(s"[selectk]   K=$k init: " +
+            s"requested=${d.requested} chosen=${d.chosen}" +
+            d.cover.fold("")(c => s" $c")))
+        val labels = fs.select(col("id").as("node"),
+          graft.bigclam.SparseF.argmaxIndex(col("fi"), col("fv")).as("lab"))
+        val row = GraphOps.modularity(edges, labels, s"k$k").collect()(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[selectk]   K=$k%-6d llh=${hist.last}%.4e " +
+          f"parts=${row.getLong(1)}%-6d q=${row.getDouble(3)}%.4f " +
+          f"(${hist.length} LLH points, $secs%.0f s)")
+      }
+      ranked.unpersist()
+    } else if (heldFrac > 0) {
       // held-out walk (VERDICT r12 #5): the capacity-honest criterion on an
       // ORGANIC graph, where raw training LLH rises monotonically in K and
       // the reference's relative-gain stop never fires. Every grid K fits
@@ -53,7 +94,8 @@ object RunSelectK {
       val (hk, _, hcurve) = BigClam.selectKSparseHeldOut(edges,
         BigClam.Params(k = minK.toInt), minK = minK.toInt, maxK = maxK.toInt,
         steps = steps.toInt, heldFrac = heldFrac,
-        fitIterations = iters.toInt, llhTol = llhTol.orElse(Some(1e-4)),
+        fitIterations = iters.toInt,
+        llhTol = if (llhTolArg.isDefined) llhTol else Some(1e-4),
         supportCap = supportCap, hotDegCap = hotDegCap)
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[selectk] $path: $nEdges directed edges, HELD-OUT walk " +

@@ -51,7 +51,7 @@ object RunSelectKPlanted {
         "[arms=all — comma list of grid,bar,warm,random,spread,staged," +
         "gridsplit,egosplit,egosplitlpa,egosplitlpa2x,egosplitlpa4x," +
         "egosplitlpanp,egosplitlpa2xnp,egosplitlpa4xnp,oraclepartial," +
-        "oraclepartialnp," +
+        "oraclepartialnp,alloconly,auto," +
         "restart,heldout,heldoutsplit]")
       sys.exit(2)
     }
@@ -112,17 +112,19 @@ object RunSelectKPlanted {
     val truthLlh = BigClam.llhSparse(edges, truthF, BigClam.Params(k = kStar))
     println(f"[selectk*] ORACLE bar: planted-F llh=$truthLlh%.4e ($secs%.0f s)")
 
-    // score any fitted sparse F against the planted truth
+    // score any fitted sparse F against the planted truth — via the sparse
+    // scorer (BigClamSpec pins pair-equality with the dense rule): at the
+    // v3 scale shape (K=8000 × 1M nodes) the dense path would materialize
+    // 64 GB of factor rows and posexplode 8G dims just to threshold them
     def scoreFit(fs: org.apache.spark.sql.DataFrame, k: Int, tag: String): Double = {
-      val f = BigClam.toDenseF(fs, k).persist(StorageLevel.MEMORY_AND_DISK)
-      val fitted = BigClam.communities(f, edges, BigClam.Params(k = k))
+      val fitted = BigClam.communitiesSparse(fs, edges, BigClam.Params(k = k))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val score = BigClam.scoreCommunities(fitted, truth).collect()(0)
       val omega = BigClam.scoreCommunitiesOmega(fitted, truth)
         .collect()(0).getAs[Double]("omega")
       println(f"[selectk*] $tag (K=$k) vs planted truth: " +
         f"F1=${score.getDouble(0)}%.4f omega=$omega%.4f ($secs%.0f s)")
-      fitted.unpersist(); f.unpersist()
+      fitted.unpersist()
       score.getDouble(0)
     }
 
@@ -357,8 +359,10 @@ object RunSelectKPlanted {
         pad: Boolean = true): Unit = {
       val spread = GraphOps.rankTopSeedsSpread(
         GraphOps.seedRank(edges, hotCap), edges, kStar * poolMult)
-      val cover = GraphOps.egoSplitCover(edges, spread, kStar, method = method)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (cover0, diag) = GraphOps.egoSplitCover(edges, spread, kStar,
+        method = method)
+      println(s"[selectk*] EGO-SPLIT diag: $diag")
+      val cover = cover0.persist(StorageLevel.MEMORY_AND_DISK)
       val colStats = cover.join(truth, col("member") === col("node"))
         .groupBy("c", "community").agg(count(lit(1)).as("n"))
         .groupBy("c").agg(max(struct(col("n"), col("community"))).as("m"),
@@ -428,6 +432,55 @@ object RunSelectKPlanted {
     }
     if (arm("oraclepartial")) oraclePartialArm(pad = true)
     if (arm("oraclepartialnp")) oraclePartialArm(pad = false)
+
+    // DIAGNOSTIC 9 — ALLOCATION-ONLY probe (round 14, the v3-scale-shape
+    // question): run the production egosplit pre-fit pass exactly as
+    // initMode="egosplit"/"auto" would (2K spread pool, LPA split, greedy
+    // max-coverage allocator) and print the CoverDiag — allocator path
+    // (greedy vs rank-fallback under the 8M-row collect guard), column
+    // count, covered nodes, and the auto-regime signal (multi-persona
+    // fraction) — plus truth-labeled coverage/purity, WITHOUT paying for a
+    // fit. This is what answers "does the allocator survive 1M nodes /
+    // K=8000 / a 16k-seed pool" inside a bounded wall-clock budget.
+    if (arm("alloconly")) {
+      val spread = GraphOps.rankTopSeedsSpread(
+        GraphOps.seedRank(edges, hotCap), edges, 2 * kStar)
+      val (cover0, diag) = GraphOps.egoSplitCover(edges, spread, kStar,
+        method = "lpa")
+      println(f"[selectk*] ALLOC-ONLY diag: $diag ($secs%.0f s)")
+      val cover = cover0.persist(StorageLevel.MEMORY_AND_DISK)
+      val colStats = cover.join(truth, col("member") === col("node"))
+        .groupBy("c", "community").agg(count(lit(1)).as("n"))
+        .groupBy("c").agg(max(struct(col("n"), col("community"))).as("m"),
+          sum(col("n")).as("tot"))
+      val cs = colStats.agg(countDistinct(col("m.community")).as("cov"),
+        (sum(col("m.n")).cast("double") / sum(col("tot"))).as("purity"),
+        count(lit(1)).as("ncols")).collect()(0)
+      println(f"[selectk*] ALLOC-ONLY truth: ${cs.getLong(2)} columns, " +
+        f"majority-community coverage ${cs.getLong(0)}/$kStar, " +
+        f"mean purity ${cs.getDouble(1)}%.3f ($secs%.0f s)")
+      cover.unpersist()
+    }
+
+    // DIAGNOSTIC 10 — initMode="auto" end-to-end (round 14 #1): the fit
+    // must pick the measured-best init for THIS fixture's regime on its
+    // own (dense overlapping 10k/100 -> egosplit; sparse 4k/40 -> padded
+    // ego) and record the choice. Compare its F1 against the best manual
+    // arm on the same fixture.
+    if (arm("auto")) {
+      var picked = "?"
+      val (fA, histA) = BigClam.fitSparse(edges, BigClam.Params(k = kStar),
+        iterations = iters, supportCap = Some(cap), llhTol = llhTol,
+        ranked = Some(GraphOps.seedRank(edges, hotCap)), initMode = "auto",
+        initProbe = d => {
+          picked = d.chosen
+          println(s"[selectk*] AUTO init decision: requested=${d.requested} " +
+            s"chosen=${d.chosen} ${d.cover.fold("")(_.toString)}")
+        })
+      println(f"[selectk*] auto-init cold fit (chose $picked, llhTol-stop): " +
+        f"${histA.length} LLH points, ${histA.head}%.4e -> ${histA.last}%.4e")
+      scoreFit(fA, kStar, s"auto-init ($picked) cold fit")
+    }
 
     // DIAGNOSTIC 7 — seeded MULTI-RESTART (the cheap complement: R spread
     // selections over deterministically-perturbed candidate pools — each

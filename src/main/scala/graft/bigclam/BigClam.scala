@@ -171,6 +171,33 @@ object BigClam {
       .withColumn("fv", transform(col("fi"), _ => lit(1.0)))
   }
 
+  /** What the init dispatch actually did — returned to `initProbe` callers
+    * and stderr-logged on every fit (the round-13 "nothing records which
+    * path a fit took" fix): `requested` is the caller's initMode, `chosen`
+    * the mode that ran ("ego" or "egosplit" — differs from requested only
+    * under "auto"), `cover` the allocator/split diagnostics when an
+    * egosplit cover was computed (also present when auto raced the split
+    * init but chose "ego"), `egoLlh`/`splitLlh` the race evidence (the two
+    * probe fits' LLH after [[AutoRaceIters]] iterations) when "auto" ran. */
+  case class InitDiag(requested: String, chosen: String,
+      cover: Option[GraphOps.CoverDiag],
+      egoLlh: Option[Double] = None, splitLlh: Option[Double] = None)
+
+  /** `initMode="auto"` probe budget: each candidate init gets this many
+    * fixed fit iterations before the LLH comparison. Structural split
+    * signals do NOT discriminate the regimes — measured round 14: the
+    * sparse 4k/40 control (padded ego wins) shows a HIGHER multi-persona
+    * fraction (0.788) than the dense 10k/K*=100 fixture (0.430), because
+    * LPA fragments sparse triangle-support egos too — so auto decides on
+    * the objective itself, raced from both inits. The padded init's
+    * iteration-0 LLH is inflated by its own noise (~K/16 full-strength
+    * random memberships per uncovered node "explain" edges the model
+    * hasn't earned), so the race needs enough steps for the nopad init's
+    * fast early ascent (it converges 10-40× sooner on dense covers) to
+    * show through; the winner's probe F is REUSED as the fit's starting
+    * point, so the net overhead is one losing probe, not two. */
+  private[graft] val AutoRaceIters = 5
+
   /** Init dispatch for the sparse fit/selection entry points.
     *
     *  - `"ego"` (default): conductance top-K whole-ego init + hash padding —
@@ -188,18 +215,57 @@ object BigClam {
     *    collapsed to F1 ≤ 0.44, this init converges (27 iters at 1e-4) to
     *    F1 = 0.97; the padding was measured as the blocker (oracle-partial
     *    fragments: padded F1 0.30, unpadded 0.998).
+    *  - `"auto"`: decide by a RACE on the objective itself — build both
+    *    inits, advance each by [[AutoRaceIters]] fixed fit iterations
+    *    (same supportCap as the caller's fit), and hand back the probe F
+    *    with the better LLH as the fit's warm start, recording both LLHs
+    *    and the split diagnostics in [[InitDiag]]. Structural regime
+    *    signals were measured NON-discriminating (see [[AutoRaceIters]]),
+    *    so unattended selection compares the only number that is the
+    *    point: the likelihood each basin actually reaches. The winner's
+    *    probe iterations are kept, not replayed — the net cost over a
+    *    committed manual choice is the losing probe.
     */
-  private[bigclam] def initSparseByMode(edges: DataFrame, p: Params,
-      ranked: Option[DataFrame], initMode: String): DataFrame = initMode match {
-    case "ego" => initSparse(edges, p, ranked)
-    case "egosplit" =>
+  private[graft] def initSparseByMode(edges: DataFrame, p: Params,
+      ranked: Option[DataFrame], initMode: String,
+      supportCap: Option[Int] = None): (DataFrame, InitDiag) = {
+    def splitCover() = {
       val spread = GraphOps.rankTopSeedsSpread(
         ranked.getOrElse(GraphOps.seedRank(edges)), edges, 2 * p.k)
-      initSparseFromCover(edges, p,
-        GraphOps.egoSplitCover(edges, spread, p.k, method = "lpa"),
-        pad = false)
-    case other => throw new IllegalArgumentException(
-      s"initMode must be ego or egosplit, got $other")
+      GraphOps.egoSplitCover(edges, spread, p.k, method = "lpa")
+    }
+    val out = initMode match {
+      case "ego" => (initSparse(edges, p, ranked), InitDiag("ego", "ego", None))
+      case "egosplit" =>
+        val (cover, diag) = splitCover()
+        (initSparseFromCover(edges, p, cover, pad = false),
+          InitDiag("egosplit", "egosplit", Some(diag)))
+      case "auto" =>
+        val (cover, diag) = splitCover()
+        val fSplit = initSparseFromCover(edges, p, cover, pad = false)
+        val fEgo = initSparse(edges, p, ranked)
+        def probe(f0: DataFrame) = fitSparse(edges, p, AutoRaceIters,
+          trackHistory = true, supportCap = supportCap,
+          warmStart = Some(f0))
+        val (pSplit, hSplit) = probe(fSplit)
+        val (pEgo, hEgo) = probe(fEgo)
+        if (hSplit.last >= hEgo.last)
+          (pSplit, InitDiag("auto", "egosplit", Some(diag),
+            egoLlh = Some(hEgo.last), splitLlh = Some(hSplit.last)))
+        else
+          (pEgo, InitDiag("auto", "ego", Some(diag),
+            egoLlh = Some(hEgo.last), splitLlh = Some(hSplit.last)))
+      case other => throw new IllegalArgumentException(
+        s"initMode must be ego, egosplit or auto, got $other")
+    }
+    val race = (out._2.egoLlh, out._2.splitLlh) match {
+      case (Some(e), Some(sp)) =>
+        f" race(${AutoRaceIters}it): egoLlh=$e%.6e splitLlh=$sp%.6e"
+      case _ => ""
+    }
+    System.err.println(s"[bigclam] init: requested=${out._2.requested} " +
+      s"chosen=${out._2.chosen}" + out._2.cover.fold("")(d => s" $d") + race)
+    out
   }
 
   /** One gradient+LLH pass: per node (llh at F, gradient array, ‖∇‖²).
@@ -556,13 +622,18 @@ object BigClam {
       stableTol: Option[Double] = None,
       llhTol: Option[Double] = None,
       warmStart: Option[DataFrame] = None,
-      initMode: String = "ego"): (DataFrame, Seq[Double]) = {
+      initMode: String = "ego",
+      initProbe: InitDiag => Unit = _ => ()): (DataFrame, Seq[Double]) = {
     requireEdges(edges)
     // cap >= K can't prune anything: use the uncapped path so "no-op cap"
     // means bit-identical, not merely value-close (float op order matters)
     val cap = supportCap.filter(_ < p.k)
     var f = checkpointF(capF(
-      warmStart.getOrElse(initSparseByMode(edges, p, ranked, initMode)), cap))
+      warmStart.getOrElse {
+        val (fInit, diag) = initSparseByMode(edges, p, ranked, initMode, cap)
+        initProbe(diag)
+        fInit
+      }, cap))
     // membership-stability stop rule (the 100k planted-recovery lesson:
     // recovery converges later than LLH, so the stop observable is argmax
     // membership churn, not the LLH delta): halt once the fraction of nodes
@@ -668,9 +739,24 @@ object BigClam {
     * final full gradient pass (one distributed job per iteration plus one
     * at the end) for callers that only need F. */
   def fit(edges: DataFrame, p: Params, iterations: Int,
-      trackHistory: Boolean = true, ranked: Option[DataFrame] = None): (DataFrame, Seq[Double]) = {
+      trackHistory: Boolean = true, ranked: Option[DataFrame] = None,
+      initMode: String = "ego",
+      initProbe: InitDiag => Unit = _ => ()): (DataFrame, Seq[Double]) = {
     requireEdges(edges)
-    var f = checkpointF(init(edges, p, ranked))
+    // initMode parity with the sparse path (round-14 #5): "ego" keeps the
+    // dense init bit-identical to every recorded run; any other mode goes
+    // through the SAME sparse dispatch (one semantics, two layouts) and is
+    // densified — the dense path only runs at small-K smokes, so the
+    // densify is k doubles per node
+    var f = checkpointF(initMode match {
+      case "ego" =>
+        initProbe(InitDiag("ego", "ego", None))
+        init(edges, p, ranked)
+      case other =>
+        val (fs, diag) = initSparseByMode(edges, p, ranked, other)
+        initProbe(diag)
+        toDenseF(fs, p.k)
+    })
     val history = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to iterations) {
       val sf = sumF(f, p)
@@ -774,7 +860,8 @@ object BigClam {
       hotDegCap: Option[Long] = None,
       retainedProbe: Int => Unit = _ => (),
       llhTol: Option[Double] = None,
-      initMode: String = "ego"): (Int, DataFrame, Seq[(Int, Double)]) = {
+      initMode: String = "ego",
+      initProbe: InitDiag => Unit = _ => ()): (Int, DataFrame, Seq[(Int, Double)]) = {
     requireEdges(edges)
     val grid = logSpacedK(minK, maxK, steps)
     val ranked = GraphOps.seedRank(edges, hotDegCap).persist(StorageLevel.MEMORY_AND_DISK)
@@ -785,7 +872,7 @@ object BigClam {
     for (k <- grid if !stop) {
       val (fs, hist) = fitSparse(edges, base.copy(k = k), fitIterations,
         ranked = Some(ranked), supportCap = supportCap, stableTol = stableTol,
-        llhTol = llhTol, initMode = initMode)
+        llhTol = llhTol, initMode = initMode, initProbe = initProbe)
       val llh = hist.last
       retainedProbe(1 + best.size)
       prevLlh.foreach(pl => if (math.abs(1.0 - llh / pl) < kTol) stop = true)
@@ -893,7 +980,8 @@ object BigClam {
       fitIterations: Int = 50, llhTol: Option[Double] = Some(1e-4),
       supportCap: Option[Int] = None, hotDegCap: Option[Long] = None,
       seed: Long = 42L,
-      initMode: String = "ego"): (Int, DataFrame, Seq[(Int, Double, Double)]) = {
+      initMode: String = "ego",
+      initProbe: InitDiag => Unit = _ => ()): (Int, DataFrame, Seq[(Int, Double, Double)]) = {
     requireEdges(edges)
     val (train, held) = splitEdgesHoldOut(edges, heldFrac, seed)
     val trainP = train.persist(StorageLevel.MEMORY_AND_DISK)
@@ -907,7 +995,7 @@ object BigClam {
     for (k <- logSpacedK(minK, maxK, steps)) {
       val (fs, hist) = fitSparse(trainP, base.copy(k = k), fitIterations,
         ranked = Some(ranked), supportCap = supportCap, llhTol = llhTol,
-        initMode = initMode)
+        initMode = initMode, initProbe = initProbe)
       val ho = heldOutLlhSparse(fs, heldP, nonEdges, base.copy(k = k))
       if (best.forall(_._2 < ho)) best = Some((k, ho, fs))
       evals = (k, hist.last, ho) :: evals
@@ -938,6 +1026,32 @@ object BigClam {
       .select(col("node"), col("argmax"), col("mx"), posexplode(col("f")).as(Seq("c", "v")))
       .filter((col("v") >= delta) || (col("mx") < delta && col("c") === col("argmax")))
       .select(col("node"), col("c").cast("int").as("community"))
+      .orderBy("node", "community")
+  }
+
+  /** [[communities]] over a SPARSE factor frame (id, fi, fv) — the same
+    * threshold-δ + argmax rule without ever densifying: the explode is
+    * over nnz entries (O(supportCap) per node), not K dims, so scoring a
+    * v3-scale model (1M nodes × K=8000 → 64 GB dense, 8G posexplode rows)
+    * costs the same as the fit's own row payload. Two deliberate
+    * divergences from the dense twin, both confined to degenerate rows:
+    * a node with EMPTY support emits no row (the dense path would assign
+    * it community 0 — an artifact of argmax over an all-zero row), and an
+    * all-zero-valued support row assigns its lowest stored dim rather
+    * than dim 0. Fitted models have neither (BigClamSpec pins pair
+    * equality with the dense path on a real fit). */
+  def communitiesSparse(fs: DataFrame, edges: DataFrame, p: Params): DataFrame = {
+    val nNodes = edges.select(col("src")).distinct().count()
+    val nUndirected = edges.count() / 2
+    val eps = 2.0 * nUndirected / (nNodes.toDouble * (nNodes - 1.0))
+    val delta = math.sqrt(-math.log(1.0 - eps))
+    fs.select(col("id").as("node"),
+        SparseF.argmaxIndex(col("fi"), col("fv")).as("argmax"),
+        coalesce(array_max(col("fv")), lit(0.0)).as("mx"),
+        explode(arrays_zip(col("fi"), col("fv"))).as("e"))
+      .filter((col("e.fv") >= delta) ||
+        (col("mx") < delta && col("e.fi") === col("argmax")))
+      .select(col("node"), col("e.fi").cast("int").as("community"))
       .orderBy("node", "community")
   }
 

@@ -448,8 +448,32 @@ object GraphOps {
     labels
   }
 
+  /** Allocation + split diagnostics returned alongside every
+    * [[egoSplitCover]] frame (the round-13 "nothing records which path a
+    * fit took" sharp edge): `allocator` is "greedy" or "rank-fallback"
+    * (the >maxCollectRows guard path, which silently forfeits the greedy
+    * coverage property — now recorded instead of only WARNed); `picked`/`k`
+    * is how many columns were actually allocated; `coveredNodes` the union
+    * of allocated persona members; `seeds`/`personas`/`multiPersonaSeeds`
+    * describe the split itself — multiPersonaSeeds (seeds whose ego split
+    * into ≥2 qualifying personas) over seeds is the regime signal
+    * `initMode="auto"` thresholds on (dense overlapping covers split;
+    * sparse covers don't); `memberRows` is what the collect guard saw. */
+  case class CoverDiag(allocator: String, picked: Int, k: Int,
+      coveredNodes: Long, seeds: Long, personas: Long,
+      multiPersonaSeeds: Long, memberRows: Long) {
+    def multiPersonaFrac: Double =
+      if (seeds == 0L) 0.0 else multiPersonaSeeds.toDouble / seeds
+    override def toString: String =
+      f"CoverDiag(allocator=$allocator, picked=$picked/$k, " +
+        f"coveredNodes=$coveredNodes, seeds=$seeds, personas=$personas, " +
+        f"multiPersonaSeeds=$multiPersonaSeeds (frac=$multiPersonaFrac%.3f), " +
+        f"memberRows=$memberRows)"
+  }
+
   /** Allocate `k` init columns over ego-split personas: a (c, member) cover
-    * frame for [[graft.bigclam.BigClam.initSparseFromCover]], c ∈ 0..k-1.
+    * frame for [[graft.bigclam.BigClam.initSparseFromCover]], c ∈ 0..k-1,
+    * plus a [[CoverDiag]] recording which allocator ran and what it covered.
     * Candidate personas come from `rankedSeeds` (seed, phi, rank — e.g.
     * [[rankTopSeedsSpread]] output): each seed's ego splits into triangle-
     * support components ([[egoSplitPersonas]]); components of size <
@@ -469,10 +493,21 @@ object GraphOps {
     * runs driver-side over one bounded collect: persona membership rows are
     * COUNTED first and past `maxCollectRows` the allocation falls back to
     * the distributed rank order (rn, phi, seed) — same guarded-collect
-    * contract as [[rankTopSeedsSpread]]. */
+    * contract as [[rankTopSeedsSpread]].
+    *
+    * The greedy is LAZY (max-heap of stale gains): coverage gain is
+    * submodular — once `covered` only grows, every persona's marginal gain
+    * is non-increasing — so a popped candidate whose recomputed gain equals
+    * its stored key is still the true argmax, and any candidate tied with
+    * it at a smaller rank index would have popped first (heap order is
+    * gain desc, rank-index asc — the exact eager tie order). Re-evaluating
+    * only popped candidates replaces the eager scan's O(k · personas ·
+    * set size) probes (billions at K in the thousands over a 2K-seed pool)
+    * with near-linear work, picking the IDENTICAL sequence. */
   private[graft] def egoSplitCover(edges: DataFrame, rankedSeeds: DataFrame,
       k: Int, minCompSize: Int = 2,
-      maxCollectRows: Long = 8000000L, method: String = "cc"): DataFrame = {
+      maxCollectRows: Long = 8000000L,
+      method: String = "cc"): (DataFrame, CoverDiag) = {
     val s = edges.sparkSession
     import s.implicits._
     val personas0 = method match {
@@ -504,15 +539,27 @@ object GraphOps {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("seed")
           .orderBy(col("sz").desc, col("comp").asc)))
-    val chosen: DataFrame =
-      if (members.count() > maxCollectRows) {
+    // split diagnostics (one small agg over the persona keys): the auto-init
+    // regime signal plus the numbers CoverDiag records for the fit history
+    val splitStats = keys.groupBy("seed").agg(count(lit(1)).as("np"))
+      .agg(count(lit(1)).as("seeds"), sum(col("np")).as("personas"),
+        sum(when(col("np") >= 2, 1L).otherwise(0L)).as("multi"))
+      .collect()(0)
+    val (nSeeds, nPersonas, nMulti) =
+      (splitStats.getLong(0), splitStats.getLong(1), splitStats.getLong(2))
+    val memberRows = members.count()
+    val (chosen: DataFrame, allocator: String, coveredGreedy: Option[Long]) =
+      if (memberRows > maxCollectRows) {
         System.err.println(s"[egoSplitCover] WARN: persona membership " +
-          s"exceeds $maxCollectRows rows; falling back to rank-order allocation")
-        keys.orderBy(col("rn"), col("phi"), col("seed"), col("comp")).limit(k)
+          s"($memberRows rows) exceeds $maxCollectRows; falling back to " +
+          s"rank-order allocation (greedy coverage property forfeited)")
+        val c = keys.orderBy(col("rn"), col("phi"), col("seed"), col("comp"))
+          .limit(k)
           .select(col("seed"), col("comp"))
           .collect().zipWithIndex
           .map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
           .toSeq.toDF("seed", "comp", "c")
+        (c, "rank-fallback", None)
       } else {
         val memRows = members.collect()
           .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1)))
@@ -523,26 +570,33 @@ object GraphOps {
           .map(r => (r.getLong(0), r.getLong(1)))
         val covered = scala.collection.mutable.HashSet.empty[Long]
         val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-        val remaining = scala.collection.mutable.LinkedHashSet(order.toIndexedSeq: _*)
-        while (picked.length < k && remaining.nonEmpty) {
-          // argmax marginal coverage; ties fall to the earliest in rank
-          // order because LinkedHashSet iterates insertion order and > is
-          // strict
-          var best: (Long, Long) = null
-          var bestGain = -1
-          remaining.foreach { key =>
-            val gain = memRows.get(key).map(_.count(m => !covered(m))).getOrElse(0)
-            if (gain > bestGain) { bestGain = gain; best = key }
-          }
-          remaining.remove(best)
-          picked += ((best._1, best._2, picked.length))
-          memRows.get(best).foreach(_.foreach(covered += _))
+        // lazy greedy: (staleGain, rankIdx) max-heap, gain desc then rank
+        // idx asc — see the Scaladoc for why accept-if-unchanged reproduces
+        // the eager scan's picks exactly
+        val ord = Ordering.by[(Int, Int), (Int, Int)] { case (g, i) => (g, -i) }
+        val pq = scala.collection.mutable.PriorityQueue.empty[(Int, Int)](ord)
+        order.indices.foreach { i =>
+          pq.enqueue((memRows.get(order(i)).map(_.size).getOrElse(0), i))
         }
-        picked.toSeq.toDF("seed", "comp", "c")
+        while (picked.length < k && pq.nonEmpty) {
+          val (staleGain, idx) = pq.dequeue()
+          val key = order(idx)
+          val gain = memRows.get(key).map(_.count(m => !covered(m))).getOrElse(0)
+          if (gain == staleGain) {
+            picked += ((key._1, key._2, picked.length))
+            memRows.get(key).foreach(_.foreach(covered += _))
+          } else pq.enqueue((gain, idx))
+        }
+        (picked.toSeq.toDF("seed", "comp", "c"), "greedy", Some(covered.size.toLong))
       }
-    members.join(broadcast(chosen), Seq("seed", "comp"))
+    val nPicked = chosen.count()
+    val out = cutLineage(members.join(broadcast(chosen), Seq("seed", "comp"))
       .select(col("c").cast("int").as("c"), col("u").as("member"))
-      .distinct()
+      .distinct())
+    val coveredNodes = coveredGreedy.getOrElse(
+      out.agg(countDistinct(col("member"))).collect()(0).getLong(0))
+    (out, CoverDiag(allocator, nPicked.toInt, k, coveredNodes,
+      nSeeds, nPersonas, nMulti, memberRows))
   }
 
   def q_graph_seed_rank(s: SparkSession, d: String): DataFrame =

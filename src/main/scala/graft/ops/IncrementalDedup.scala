@@ -17,16 +17,21 @@ import org.apache.spark.sql.functions._
   *
   * Per batch: in-batch exact dedup (keep min doc_id per md5) → exact check
   * against the index hash set (one semi-join — linear, the batch side tiny)
-  * → near-dup check against the index AND against lower-doc_id batchmates
-  * via the SAME rare-shingle blocking as the oracle-checked queries (df ∈
-  * [2, 10] computed over index+batch postings TOGETHER, so boilerplate
-  * frequent in the corpus stays excluded no matter how a new batch shifts
-  * df) → exact Jaccard ≥ 0.5 verification over full posting lists →
-  * survivors appended to the index. In-batch near semantics are pairwise
-  * min-id-keeper (the higher doc_id of every verified near pair is
-  * dropped), so an A<B<C chain with A~B, B~C, A̸~C drops BOTH B and C —
-  * the same greedy chain rule q_dedup_cluster uses, chosen over
-  * accepted-only comparison because it is order-free and one-pass.
+  * → near-dup check against the index (rare-shingle blocking with the band
+  * on INDEX df ∈ [1, 10] — boilerplate is a corpus statistic, so a batch's
+  * own replication can never mask a family's shingles out of the cross
+  * band) AND against lower-doc_id batchmates (df ∈ [2, 10] over index+batch
+  * postings together, the same band the oracle-checked queries use),
+  * plus a batch-internal MIN-ANCHOR generator for near-families too
+  * large for the rare band (a shingle in 11+ batch docs pairs each holder
+  * with the shingle's min batch doc_id — linear in postings; see the
+  * generator-2 comment) → exact Jaccard ≥ 0.5 verification over full
+  * posting lists → survivors appended to the index. In-batch near
+  * semantics are pairwise min-id-keeper (the higher doc_id of every
+  * verified near pair is dropped), so an A<B<C chain with A~B, B~C, A̸~C
+  * drops BOTH B and C — the same greedy chain rule q_dedup_cluster uses,
+  * chosen over accepted-only comparison because it is order-free and
+  * one-pass.
   *
   * Scale stance (100 TB corpus, daily batches): state is linear in the
   * ACCEPTED corpus (hash set + shingle postings — the inverted index every
@@ -119,36 +124,87 @@ object IncrementalDedup {
     val exactSurvivors = batch.join(exactDup, Seq("doc_id"), "left_anti")
 
     // near-dup: rare-shingle blocking over index+batch postings together,
-    // candidate pairs = (batch survivor × indexed doc) PLUS batch-internal
-    // (b, c) with c < b — two near-dup variants arriving in the SAME batch
-    // collapse to the lower doc_id, mirroring the exact-dedup min-id keeper
-    // rule (before round 13 only cross pairs were generated, so a batch
-    // carrying internal near-families accepted them all — the 24×-
+    // candidate pairs = (batch survivor × indexed doc) PLUS two batch-
+    // internal generators — two near-dup variants arriving in the SAME
+    // batch collapse to the lower doc_id, mirroring the exact-dedup min-id
+    // keeper rule (before round 13 only cross pairs were generated, so a
+    // batch carrying internal near-families accepted them all — the 24×-
     // replication run's batch 0 accepted 19,968 docs with 0 near-hits).
     // Exact Jaccard ≥ 0.5 verifies every proposed pair.
     val batchPost = TextOps.docShinglesOf(exactSurvivors)
       .select(col("shingle"), col("doc_id"))
     // BY NAME: state.postings comes back from parquet in storage order —
-    // a positional union would zip shingles into doc_ids. The distinct is
-    // defensive (see the doc_id precondition above): postings are already
-    // distinct per doc on both sides.
+    // a positional union would zip shingles into doc_ids. No distinct:
+    // postings are distinct per doc on both sides by construction
+    // (docShinglesOf dedups, and the index only ever receives batchPost
+    // rows), and cross-batch doc_id uniqueness is the documented
+    // precondition above — a defensive full shuffle of the ENTIRE
+    // accepted-corpus postings per batch would double the heaviest
+    // per-batch exchange for a case the contract excludes.
     val combined = state.postings.unionByName(batchPost)
-      .distinct()
+    // cross (batch × index) band: INDEX-side rarity only. Boilerplate is a
+    // property of the accepted corpus; computing the band over index+batch
+    // let a batch's own replication mask a family out of it — 12 variants
+    // of an INDEXED doc arriving together push their shared shingles to
+    // combined df 13 > 10 and the whole family sailed past the index
+    // check (caught by the >10-member regression test's replay leg). With
+    // df_index <= 10 the pair fan-out per shingle is still bounded at 10
+    // index docs per batch holder — linear in batch postings.
+    val rareIdx = state.postings.groupBy("shingle")
+      .agg(count(lit(1)).as("dfi"))
+      .filter(col("dfi").between(1, 10)).select("shingle")
+    val indexPairs = batchPost
+      .select(col("shingle"), col("doc_id").as("b"))
+      .join(state.postings.join(rareIdx, Seq("shingle"))
+        .select(col("shingle"), col("doc_id").as("c")), Seq("shingle"))
+      .select(col("b"), col("c"))
+    // in-batch band: combined df — known (indexed) boilerplate stays
+    // excluded from the small-family all-pairs generator
     val rare = combined.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 10)).select("shingle")
     val batchRare = batchPost.join(rare, Seq("shingle"))
-    val indexPairs = batchRare
-      .select(col("shingle"), col("doc_id").as("b"))
-      .join(state.postings.join(rare, Seq("shingle"))
-        .select(col("shingle"), col("doc_id").as("c")), Seq("shingle"))
-      .select(col("b"), col("c"))
+    // batch-internal generator 1: all pairs inside the SAME rare band —
+    // catches small families whose shingles stay under df <= 10
     val inBatchPairs = batchRare
       .select(col("shingle"), col("doc_id").as("b"))
       .join(batchRare.select(col("shingle"), col("doc_id").as("c")),
         Seq("shingle"))
       .filter(col("c") < col("b"))
       .select(col("b"), col("c"))
-    val crossPairs = indexPairs.unionAll(inBatchPairs).distinct()
+    // batch-internal generator 2: MIN-ANCHOR pairing over BATCH-frequency
+    // shingles. A near-family of >10 variants in one batch defeats the
+    // rare band entirely — its shared core shingles sit at df > 10 and its
+    // variant-unique shingles at df = 1, so generator 1 proposes nothing
+    // and the family would be accepted wholesale (the round-13 gap's
+    // big-family twin). For every shingle whose BATCH df is in [2, max(10,
+    // half the batch's surviving docs)], pair each holder with the
+    // shingle's MINIMUM batch doc_id: a family's core shingles all anchor
+    // to the family minimum, so every member is tested against the doc
+    // that would keep it out — df·(df−1)/2 all-pairs become df−1 rows,
+    // LINEAR in postings no matter how large the family. The 50%-of-batch
+    // ceiling keeps true batch-wide boilerplate from anchoring the whole
+    // batch to one doc (those pairs would all fail Jaccard verification —
+    // correct but a wasted posting-list melt per pair); the residual blind
+    // spot is a single near-family spanning MORE than half the batch's
+    // exact survivors, which this layer cannot distinguish from
+    // boilerplate (the motivating 24×-replication scenario sits at
+    // df≈24 in 40k-doc batches, far under the ceiling). Computed as a
+    // 1-row broadcast join so processBatch stays pure plan construction.
+    val nSurv = exactSurvivors.agg(
+      count(lit(1)).cast("double").as("n_surv"))
+    val anchors = batchPost
+      .groupBy("shingle")
+      .agg(min(col("doc_id")).as("c"), count(lit(1)).as("bdf"))
+      .join(broadcast(nSurv))
+      .filter(col("bdf") >= 2 &&
+        col("bdf") <= greatest(lit(10.0), col("n_surv") * 0.5))
+      .select(col("shingle"), col("c"))
+    val anchorPairs = batchPost
+      .join(anchors, Seq("shingle"))
+      .filter(col("doc_id") > col("c"))
+      .select(col("doc_id").as("b"), col("c"))
+    val crossPairs = indexPairs.unionAll(inBatchPairs).unionAll(anchorPairs)
+      .distinct()
     // exact Jaccard via the melt pattern (TextOps.jaccardPairs): one join
     // fetches both sides' postings; per pair, probe-row total = |A|+|B| and
     // distinct-shingle count = |A∪B|

@@ -45,6 +45,20 @@ class BigClamSpec extends AnyFunSuite {
       byNode(0L) != byNode(4L))
   }
 
+  test("communitiesSparse matches dense communities pair-for-pair on a fitted model") {
+    // the sparse scorer is the scale path (K=8000 × 1M nodes never
+    // densifies); its contract is exact agreement with the dense rule on
+    // any fitted model (no empty-support rows there)
+    val p = BigClam.Params(k = 3)
+    val (fs, _) = BigClam.fitSparse(edges, p, iterations = 5)
+    val sparse = BigClam.communitiesSparse(fs, edges, p)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val dense = BigClam.communities(BigClam.toDenseF(fs, p.k), edges, p)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sparse == dense, s"sparse $sparse vs dense $dense")
+    assert(sparse.nonEmpty)
+  }
+
   test("communityMembers inverts communities: every node listed once per membership, csv sorted") {
     val (f, _) = BigClam.fit(edges, BigClam.Params(k = 2), iterations = 5)
     val p = BigClam.Params(k = 2)

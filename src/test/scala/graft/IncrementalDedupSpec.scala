@@ -98,6 +98,55 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(d2(33L)._1 == 1L && d2(33L)._3 == 0L, s"replayed exact copy kept: $d2")
   }
 
+  test("a >10-member in-batch near-family collapses to its min doc_id") {
+    // 12 variants of the fox sentence (last word swapped) in ONE batch: the
+    // family's 11 shared core shingles sit at batch df=12 — PAST the
+    // rare band's df<=10 ceiling — and each variant's 5 unique shingles at
+    // df=1, so the all-pairs generator proposes NOTHING for this family
+    // (the round-13 fix only covered families small enough for the band;
+    // this is the ADVICE r13 gap). The min-anchor generator pairs every
+    // member with the family minimum through the core shingles; pairwise
+    // Jaccard vs the min is 11/21 = 0.52 >= 0.5, so all 11 higher ids drop.
+    // 14 unrelated docs keep the family under the 50%-of-survivors
+    // boilerplate ceiling, as any real crawl batch would.
+    val variants = Seq("ring", "chime", "toll", "peal", "sound", "echo",
+      "hum", "clang", "boom", "knell", "din", "song")
+    val family = variants.zipWithIndex.map { case (w, i) =>
+      (100L + i) -> (fox.stripSuffix("ring") + w)
+    }
+    val fillers = (0 until 14).map { i =>
+      (200L + i) -> (s"filler document number$i with entirely distinct tokens " +
+        s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i")
+    }
+    val r = IncrementalDedup.processBatch(mkDocs(family ++ fillers),
+      IncrementalDedup.emptyState(spark))
+    val d = r.decisions.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d(100L) == (0L, 0L, 1L), s"family min must be kept: $d")
+    (101L to 111L).foreach { id =>
+      assert(d(id)._2 >= 1L && d(id)._3 == 0L,
+        s"family member $id must be near-dropped: ${d(id)} in $d")
+    }
+    fillers.foreach { case (id, _) =>
+      assert(d(id) == (0L, 0L, 1L), s"filler $id must be kept: ${d(id)}")
+    }
+    // accepted delta = min member + all fillers
+    assert(r.acceptedPostings.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == (Set(100L) ++ fillers.map(_._1)))
+
+    // idempotency: the same family replayed (fresh ids) against the updated
+    // index drops EVERY member — 100's twin exact-drops, the rest near-drop
+    // against the indexed 100 through the cross generator
+    val st = IncrementalDedup.State(
+      r.acceptedHashes.localCheckpoint(true),
+      r.acceptedPostings.localCheckpoint(true))
+    val replay = IncrementalDedup.processBatch(
+      mkDocs(family.map { case (id, t) => (id + 300L) -> t }), st)
+    val d2 = replay.decisions.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d2.values.forall(_._3 == 0L), s"replayed family must all drop: $d2")
+  }
+
   test("foreachBatch streaming flow produces the same labels as batch runs") {
     import spark.implicits._
     // batch-sequential reference
