@@ -52,7 +52,8 @@ object RunSelectKPlanted {
         "gridsplit,egosplit,egosplitlpa,egosplitlpa2x,egosplitlpa4x," +
         "egosplitlpanp,egosplitlpa2xnp,egosplitlpa4xnp,oraclepartial," +
         "oraclepartialnp,alloconly,auto," +
-        "restart,heldout,heldoutsplit]")
+        "restart,heldout,heldoutsplit; add nodiag to skip the seed-coverage " +
+        "and oracle-bar preambles]")
       sys.exit(2)
     }
     val nNodes = args(0).toLong
@@ -90,15 +91,23 @@ object RunSelectKPlanted {
     println(f"[selectk*] $nNodes nodes, K*=$kStar planted, ${edges.count()} " +
       f"directed edge rows, pSingle=$pSingle ($secs%.0f s to generate)")
 
+    // `nodiag` in the arm list skips the two unconditional preambles below
+    // (top-K* seed coverage and the oracle LLH bar) — at the v3 scale shape
+    // (115M edge rows) they are the two biggest shuffle/spill sources of
+    // the whole battery and the alloconly arm doesn't read either
+    val noDiag = arms("nodiag")
+
     // DIAGNOSTIC 1 — seeding degeneracy check: do the top-K* conductance
     // seeds actually spread over the planted communities, or do they pile
     // into a few dense blocks? (A degenerate seed cover explains a large-K
     // fit that converges into a poor optimum.)
-    val seedCov = GraphOps.rankTopSeeds(GraphOps.seedRank(edges, hotCap), kStar)
-      .join(truth, col("seed") === col("node"))
-      .agg(countDistinct(col("community")).as("cov")).collect()(0).getLong(0)
-    println(f"[selectk*] seeding: top-$kStar conductance seeds touch " +
-      f"$seedCov/$kStar planted communities ($secs%.0f s)")
+    if (!noDiag) {
+      val seedCov = GraphOps.rankTopSeeds(GraphOps.seedRank(edges, hotCap), kStar)
+        .join(truth, col("seed") === col("node"))
+        .agg(countDistinct(col("community")).as("cov")).collect()(0).getLong(0)
+      println(f"[selectk*] seeding: top-$kStar conductance seeds touch " +
+        f"$seedCov/$kStar planted communities ($secs%.0f s)")
+    }
 
     // DIAGNOSTIC 2 — the ORACLE LLH bar: score the planted F itself
     // (F[u][c] = s for every true membership, s² = −ln(1−pSingle) — the
@@ -109,8 +118,10 @@ object RunSelectKPlanted {
     val truthF = truth.groupBy(col("node").as("id"))
       .agg(sort_array(collect_set(col("community").cast("int"))).as("fi"))
       .withColumn("fv", transform(col("fi"), _ => lit(sLit)))
-    val truthLlh = BigClam.llhSparse(edges, truthF, BigClam.Params(k = kStar))
-    println(f"[selectk*] ORACLE bar: planted-F llh=$truthLlh%.4e ($secs%.0f s)")
+    if (!noDiag) {
+      val truthLlh = BigClam.llhSparse(edges, truthF, BigClam.Params(k = kStar))
+      println(f"[selectk*] ORACLE bar: planted-F llh=$truthLlh%.4e ($secs%.0f s)")
+    }
 
     // score any fitted sparse F against the planted truth — via the sparse
     // scorer (BigClamSpec pins pair-equality with the dense rule): at the

@@ -183,20 +183,33 @@ object BigClam {
       cover: Option[GraphOps.CoverDiag],
       egoLlh: Option[Double] = None, splitLlh: Option[Double] = None)
 
-  /** `initMode="auto"` probe budget: each candidate init gets this many
-    * fixed fit iterations before the LLH comparison. Structural split
-    * signals do NOT discriminate the regimes — measured round 14: the
-    * sparse 4k/40 control (padded ego wins) shows a HIGHER multi-persona
-    * fraction (0.788) than the dense 10k/K*=100 fixture (0.430), because
-    * LPA fragments sparse triangle-support egos too — so auto decides on
-    * the objective itself, raced from both inits. The padded init's
-    * iteration-0 LLH is inflated by its own noise (~K/16 full-strength
-    * random memberships per uncovered node "explain" edges the model
-    * hasn't earned), so the race needs enough steps for the nopad init's
-    * fast early ascent (it converges 10-40× sooner on dense covers) to
-    * show through; the winner's probe F is REUSED as the fit's starting
-    * point, so the net overhead is one losing probe, not two. */
-  private[graft] val AutoRaceIters = 5
+  /** `initMode="auto"` probe cap: each candidate init runs a full
+    * candidate fit — same convergence rule (llhTol, default 1e-4) and
+    * supportCap as the caller's fit — bounded by min(caller iterations,
+    * this cap), and the FINAL LLHs are compared. Final LLH is the only
+    * criterion measured to pick the right init on both regime fixtures:
+    * structural split signals do NOT discriminate (round 14: the sparse
+    * 4k/40 control, where padded ego wins, shows a HIGHER multi-persona
+    * fraction, 0.788 vs the dense fixture's 0.430 — LPA fragments sparse
+    * triangle-support egos too), and a short race is fooled by the nopad
+    * init's fast early ascent (measured: at 5 iterations egosplit leads
+    * 2× on the control yet settles 0.7% BELOW the padded init's converged
+    * LLH). The cap exists because the losing init may neither converge
+    * nor stall inside a large caller budget (the padded init on dense
+    * covers improves >tol/iter for hundreds of iterations while far from
+    * the winner); 120 covers every measured convergence of a WINNING arm
+    * (27-113 iterations across the three graph families). The winner's
+    * probe F — typically already converged — is REUSED as the fit's
+    * starting point, so auto costs the two candidate fits, not two probes
+    * plus a refit. */
+  private[graft] val AutoRaceCap = 120
+
+  /** Stall window for the llhTol stop rule — see the fitSparse loop
+    * comment: consecutive-delta convergence cannot see a prune-fixpoint
+    * OSCILLATION (every delta above tol, no net gain); after this many
+    * measures without the BEST LLH improving by tol·|best| the fit stops
+    * at the best iterate. */
+  private[graft] val LlhStallWindow = 20
 
   /** Init dispatch for the sparse fit/selection entry points.
     *
@@ -215,20 +228,22 @@ object BigClam {
     *    collapsed to F1 ≤ 0.44, this init converges (27 iters at 1e-4) to
     *    F1 = 0.97; the padding was measured as the blocker (oracle-partial
     *    fragments: padded F1 0.30, unpadded 0.998).
-    *  - `"auto"`: decide by a RACE on the objective itself — build both
-    *    inits, advance each by [[AutoRaceIters]] fixed fit iterations
-    *    (same supportCap as the caller's fit), and hand back the probe F
-    *    with the better LLH as the fit's warm start, recording both LLHs
-    *    and the split diagnostics in [[InitDiag]]. Structural regime
-    *    signals were measured NON-discriminating (see [[AutoRaceIters]]),
-    *    so unattended selection compares the only number that is the
-    *    point: the likelihood each basin actually reaches. The winner's
-    *    probe iterations are kept, not replayed — the net cost over a
-    *    committed manual choice is the losing probe.
+    *  - `"auto"`: decide by a RACE on the objective itself — run BOTH
+    *    inits as full candidate fits (caller's supportCap, the caller's
+    *    llhTol or the reference's 1e-4 default, budget = min(caller
+    *    iterations, [[AutoRaceCap]])) and hand back the candidate with the
+    *    better FINAL LLH as the fit's warm start, recording both LLHs and
+    *    the split diagnostics in [[InitDiag]]. See [[AutoRaceCap]] for why
+    *    nothing cheaper is honest: structural split signals and short
+    *    races were both measured to pick the WRONG init on one of the two
+    *    regime fixtures. The winner's candidate F is reused, so auto
+    *    costs the two candidate fits, not two probes plus a refit.
     */
   private[graft] def initSparseByMode(edges: DataFrame, p: Params,
       ranked: Option[DataFrame], initMode: String,
-      supportCap: Option[Int] = None): (DataFrame, InitDiag) = {
+      supportCap: Option[Int] = None,
+      raceBudget: Int = AutoRaceCap,
+      raceTol: Option[Double] = Some(1e-4)): (DataFrame, InitDiag) = {
     def splitCover() = {
       val spread = GraphOps.rankTopSeedsSpread(
         ranked.getOrElse(GraphOps.seedRank(edges)), edges, 2 * p.k)
@@ -244,11 +259,12 @@ object BigClam {
         val (cover, diag) = splitCover()
         val fSplit = initSparseFromCover(edges, p, cover, pad = false)
         val fEgo = initSparse(edges, p, ranked)
-        def probe(f0: DataFrame) = fitSparse(edges, p, AutoRaceIters,
-          trackHistory = true, supportCap = supportCap,
+        def candidate(f0: DataFrame) = fitSparse(edges, p,
+          math.min(raceBudget, AutoRaceCap), trackHistory = true,
+          supportCap = supportCap, llhTol = raceTol.orElse(Some(1e-4)),
           warmStart = Some(f0))
-        val (pSplit, hSplit) = probe(fSplit)
-        val (pEgo, hEgo) = probe(fEgo)
+        val (pSplit, hSplit) = candidate(fSplit)
+        val (pEgo, hEgo) = candidate(fEgo)
         if (hSplit.last >= hEgo.last)
           (pSplit, InitDiag("auto", "egosplit", Some(diag),
             egoLlh = Some(hEgo.last), splitLlh = Some(hSplit.last)))
@@ -260,7 +276,7 @@ object BigClam {
     }
     val race = (out._2.egoLlh, out._2.splitLlh) match {
       case (Some(e), Some(sp)) =>
-        f" race(${AutoRaceIters}it): egoLlh=$e%.6e splitLlh=$sp%.6e"
+        f" race(final-llh): egoLlh=$e%.6e splitLlh=$sp%.6e"
       case _ => ""
     }
     System.err.println(s"[bigclam] init: requested=${out._2.requested} " +
@@ -630,7 +646,8 @@ object BigClam {
     val cap = supportCap.filter(_ < p.k)
     var f = checkpointF(capF(
       warmStart.getOrElse {
-        val (fInit, diag) = initSparseByMode(edges, p, ranked, initMode, cap)
+        val (fInit, diag) = initSparseByMode(edges, p, ranked, initMode, cap,
+          raceBudget = iterations, raceTol = llhTol)
         initProbe(diag)
         fInit
       }, cap))
@@ -653,6 +670,21 @@ object BigClam {
     var convergedAtMeasure = false
     var it = 0
     var stop = false
+    // STALL backstop for the llhTol rule (round 14): the consecutive test
+    // |1 − cur/prev| < tol cannot fire on a fit OSCILLATING around a
+    // prune fixpoint — the supportCap prune after each accepted Armijo
+    // step can cost LLH, and on the 4k/40 control the egosplit-init fit
+    // was measured cycling in a ±0.3% band for 190+ iterations, every
+    // consecutive delta ABOVE tol, burning straight toward the budget
+    // cap. Track the best measured (LLH, F); if the best hasn't improved
+    // by tol·|best| in LlhStallWindow consecutive measures, stop and
+    // return the BEST F (the oscillating tail is never better). Monotone
+    // fits are unaffected: any sub-tol gain fires the consecutive rule
+    // first, and any gain ≥ tol resets the stall counter.
+    var bestLlh = Double.NegativeInfinity
+    var bestF = f
+    var stall = 0
+    var stalled = false
     while (!stop && it < iterations) {
       it += 1
       val t0 = System.nanoTime()
@@ -671,7 +703,29 @@ object BigClam {
         case _ => false
       })
       llhPrev = llh
-      if (converged) {
+      if (llhTol.isDefined) llh.foreach { v =>
+        if (v > bestLlh + llhTol.get * math.abs(bestLlh)) {
+          bestLlh = v; bestF = f; stall = 0
+        } else {
+          if (v > bestLlh) { bestLlh = v; bestF = f } // track, sub-tol gain
+          stall += 1
+          if (stall >= LlhStallWindow && !converged) {
+            stalled = true
+            System.err.println(f"[bigclam] sparse iter $it: best LLH " +
+              f"stalled $stall measures (best=$bestLlh%.2f) — stopping " +
+              "at the best iterate")
+          }
+        }
+      }
+      if (stalled) {
+        state.unpersist()
+        stop = true
+        convergedAtMeasure = true
+        f = bestF
+        // make history.last the LLH of the returned F (documented: on a
+        // stall stop the last entry repeats the best measure)
+        if (trackHistory) history += bestLlh
+      } else if (converged) {
         // the LLH just measured IS the final F's LLH: stop without another
         // update, and without the trailing re-measure below (history.last
         // already holds it when tracking)
@@ -753,7 +807,8 @@ object BigClam {
         initProbe(InitDiag("ego", "ego", None))
         init(edges, p, ranked)
       case other =>
-        val (fs, diag) = initSparseByMode(edges, p, ranked, other)
+        val (fs, diag) = initSparseByMode(edges, p, ranked, other,
+          raceBudget = iterations)
         initProbe(diag)
         toDenseF(fs, p.k)
     })

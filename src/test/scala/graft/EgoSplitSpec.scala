@@ -176,10 +176,11 @@ class EgoSplitSpec extends AnyFunSuite {
   }
 
   test("initMode=auto race is deterministic and returns the winning probe F") {
-    // the race advances both inits AutoRaceIters fixed steps and hands back
-    // the WINNER'S probe F (race work is reused, not replayed): the auto
-    // init must therefore equal a manual warm-started probe fit of the
-    // chosen mode, and a second auto call must reproduce it exactly
+    // the race runs both inits as full candidate fits (1e-4 rule, cap
+    // AutoRaceCap) and hands back the WINNER'S candidate F (race work is
+    // reused, not replayed): the auto init must therefore equal a manual
+    // warm-started candidate fit of the chosen mode, and a second auto
+    // call must reproduce it exactly
     val block = sym(Seq(
       0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 2L, 2L -> 3L, 1L -> 3L))
     val p = BigClam.Params(k = 2)
@@ -196,8 +197,8 @@ class EgoSplitSpec extends AnyFunSuite {
     // (dispatching the chosen mode through initSparseByMode returns the
     // raw, unprobed init frame for both "ego" and "egosplit")
     val (raw, _) = BigClam.initSparseByMode(block, p, None, dAuto.chosen)
-    val (fProbe, _) = BigClam.fitSparse(block, p, BigClam.AutoRaceIters,
-      warmStart = Some(raw))
+    val (fProbe, _) = BigClam.fitSparse(block, p, BigClam.AutoRaceCap,
+      llhTol = Some(1e-4), warmStart = Some(raw))
     val c = fProbe.orderBy("id").collect().map(_.toString).toSeq
     assert(a == c, "auto must hand back the winning probe F")
   }
