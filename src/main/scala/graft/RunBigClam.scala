@@ -9,7 +9,7 @@ import graft.bigclam.BigClam
   * gradient ascent with Armijo line search → threshold/argmax communities)
   * as one command:
   *
-  *   runMain graft.RunBigClam <edgeListPath> <K> <iterations> <outDir> [dense|sparse|sparse:<m>] [stableTol] [llhTol] [ego|egosplit]
+  *   runMain graft.RunBigClam <edgeListPath> <K> <iterations> <outDir> [dense|sparse|sparse:<m>] [stableTol] [llhTol] [ego|egosplit|auto]
   *
   * e.g. the graph bundled with the reference:
   *   runMain graft.RunBigClam /root/reference/data/facebook_combined.txt 8 3 /tmp/fb_out
@@ -40,16 +40,22 @@ object RunBigClam {
     val edges = GraphOps.symEdges(GraphOps.loadEdgeList(spark, path)).cache()
     val nEdges = edges.count()
     val p = BigClam.Params(k = kStr.toInt)
-    val (f, history) =
+    // sparse mode scores through communitiesSparse (pair-identical to the
+    // dense rule on fitted models, BigClamSpec) — at the v3 magnitude
+    // (K=8000 × 1M nodes) the old toDenseF here materialized 64 GB of
+    // factor rows just to threshold them
+    val (com, history) =
       if (sparse) {
         val (fs, h) = BigClam.fitSparse(edges, p, iterations = itStr.toInt,
           supportCap = supportCap,
           stableTol = args.lift(5).map(_.toDouble).filter(_ > 0),
           llhTol = args.lift(6).map(_.toDouble).filter(_ > 0),
           initMode = args.lift(7).getOrElse("ego"))
-        (BigClam.toDenseF(fs, p.k), h)
-      } else BigClam.fit(edges, p, iterations = itStr.toInt)
-    val com = BigClam.communities(f, edges, p)
+        (BigClam.communitiesSparse(fs, edges, p), h)
+      } else {
+        val (f, h) = BigClam.fit(edges, p, iterations = itStr.toInt)
+        (BigClam.communities(f, edges, p), h)
+      }
     com.write.mode("overwrite").parquet(outDir)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[bigclam] $path: ${nEdges} directed edges, K=${p.k} " +
