@@ -834,7 +834,13 @@ object BigClam {
   /** Convergence-driven fit: iterate full passes until the relative LLH
     * change drops below tol — the reference's MBSGD loop
     * (Bigclamv2.scala:203-219, |1 − LLHnew/LLHold| < 1e-4) — with a hard
-    * iteration cap as a distributed-job budget. Returns (F, LLH history). */
+    * iteration cap as a distributed-job budget. Returns (F, LLH history).
+    *
+    * No initMode seam here, deliberately: this entry exists as the
+    * reference-literal dense loop (invariant-pinned in RealGraphSpec /
+    * ModelSelectionSpec) and has no production callers — alternative inits
+    * on the dense path go through [[fit]], which dispatches the same
+    * sparse init machinery and densifies. */
   def fitConverged(edges: DataFrame, p: Params, maxIterations: Int = 50): (DataFrame, Seq[Double]) = {
     requireEdges(edges)
     var f = checkpointF(init(edges, p))

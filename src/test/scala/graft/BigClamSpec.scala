@@ -59,6 +59,18 @@ class BigClamSpec extends AnyFunSuite {
     assert(sparse.nonEmpty)
   }
 
+  test("communitiesSparse drops empty-support rows (documented divergence)") {
+    import s.implicits._
+    // an empty-support node is "unassigned" in the sparse rule (the dense
+    // twin's community-0 assignment there is an argmax-over-zeros artifact)
+    val fs = Seq(
+      (0L, Seq(0), Seq(1.0)),
+      (1L, Seq.empty[Int], Seq.empty[Double])).toDF("id", "fi", "fv")
+    val got = BigClam.communitiesSparse(fs, edges, BigClam.Params(k = 2))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.forall(_._1 == 0L), s"empty row must emit nothing: ${got.toSeq}")
+  }
+
   test("communityMembers inverts communities: every node listed once per membership, csv sorted") {
     val (f, _) = BigClam.fit(edges, BigClam.Params(k = 2), iterations = 5)
     val p = BigClam.Params(k = 2)

@@ -184,10 +184,15 @@ class EgoSplitSpec extends AnyFunSuite {
     val block = sym(Seq(
       0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 2L, 2L -> 3L, 1L -> 3L))
     val p = BigClam.Params(k = 2)
-    val (fAuto, dAuto) = BigClam.initSparseByMode(block, p, None, "auto")
+    // raceBudget=8 keeps the micro-graph candidates cheap: at llh ≈ −0.004
+    // the relative rules are jitter-dominated and a default-budget race
+    // burns 2×120 iterations learning nothing
+    val (fAuto, dAuto) = BigClam.initSparseByMode(block, p, None, "auto",
+      raceBudget = 8)
     assert(dAuto.requested == "auto", s"got $dAuto")
     assert(dAuto.egoLlh.isDefined && dAuto.splitLlh.isDefined, s"got $dAuto")
-    val (fAuto2, dAuto2) = BigClam.initSparseByMode(block, p, None, "auto")
+    val (fAuto2, dAuto2) = BigClam.initSparseByMode(block, p, None, "auto",
+      raceBudget = 8)
     assert(dAuto2.chosen == dAuto.chosen && dAuto2.egoLlh == dAuto.egoLlh &&
       dAuto2.splitLlh == dAuto.splitLlh, s"got $dAuto vs $dAuto2")
     val a = fAuto.orderBy("id").collect().map(_.toString).toSeq
@@ -197,7 +202,7 @@ class EgoSplitSpec extends AnyFunSuite {
     // (dispatching the chosen mode through initSparseByMode returns the
     // raw, unprobed init frame for both "ego" and "egosplit")
     val (raw, _) = BigClam.initSparseByMode(block, p, None, dAuto.chosen)
-    val (fProbe, _) = BigClam.fitSparse(block, p, BigClam.AutoRaceCap,
+    val (fProbe, _) = BigClam.fitSparse(block, p, 8,
       llhTol = Some(1e-4), warmStart = Some(raw))
     val c = fProbe.orderBy("id").collect().map(_.toString).toSeq
     assert(a == c, "auto must hand back the winning probe F")
