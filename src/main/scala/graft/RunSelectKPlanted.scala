@@ -51,7 +51,7 @@ object RunSelectKPlanted {
         "[arms=all — comma list of grid,bar,warm,random,spread,staged," +
         "gridsplit,egosplit,egosplitlpa,egosplitlpa2x,egosplitlpa4x," +
         "egosplitlpanp,egosplitlpa2xnp,egosplitlpa4xnp,oraclepartial," +
-        "oraclepartialnp,alloconly,auto," +
+        "oraclepartialnp,alloconly,auto,gridauto," +
         "restart,heldout,heldoutsplit; add nodiag to skip the seed-coverage " +
         "and oracle-bar preambles]")
       sys.exit(2)
@@ -176,22 +176,30 @@ object RunSelectKPlanted {
     //     round-13 "done" criterion is an INTERIOR LLH peak at/near K* —
     //     the padded walk always picked the grid floor because every
     //     large-K fit collapsed.
-    if (arm("gridsplit")) {
+    def gridArm(im: String): Unit = {
       val (bk, bestF, grid) = BigClam.selectKSparse(edges,
         BigClam.Params(k = minK), minK = minK, maxK = maxK, steps = steps,
         kTol = 0.0, fitIterations = iters, supportCap = Some(cap),
         stableTol = None, hotDegCap = hotCap, llhTol = llhTol,
-        initMode = "egosplit")
-      println(f"[selectk*] egosplit grid walked in $secs%.0f s:")
+        initMode = im,
+        initProbe = d => println(s"[selectk*]   grid($im) init: " +
+          s"chosen=${d.chosen}" +
+          d.egoLlh.fold("")(e => f" egoLlh=$e%.4e") +
+          d.splitLlh.fold("")(sp => f" splitLlh=$sp%.4e")))
+      println(f"[selectk*] $im grid walked in $secs%.0f s:")
       grid.foreach { case (k, llh) => println(f"[selectk*]   K=$k%-6d llh=$llh%.4e") }
       val stopIdx = grid.indices.drop(1)
         .find(i => 1.0 - grid(i)._2 / grid(i - 1)._2 < 1e-3)
       val refChoice = stopIdx.map(i => grid(i)._1).getOrElse(grid.last._1)
-      println(s"[selectk*] egosplit walk: planted K*=$kStar  argmax-LLH K=$bk  " +
+      println(s"[selectk*] $im walk: planted K*=$kStar  argmax-LLH K=$bk  " +
         s"reference-rule(1e-3) K=$refChoice" +
         (if (stopIdx.isDefined) "" else " (never stopped — grid boundary)"))
-      scoreFit(bestF, bk, "egosplit argmax-K fit")
+      scoreFit(bestF, bk, s"$im argmax-K fit")
     }
+    if (arm("gridsplit")) gridArm("egosplit")
+    // the fully-unattended v4 capability: K-grid walk where every grid
+    // point also selects its own init by the final-LLH race
+    if (arm("gridauto")) gridArm("auto")
 
     // 3. two K* bars:
     //    (a) the ACHIEVABLE bar — a K=K* fit under the membership-churn

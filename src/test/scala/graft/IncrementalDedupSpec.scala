@@ -147,6 +147,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(d2.values.forall(_._3 == 0L), s"replayed family must all drop: $d2")
   }
 
+  test("batch-wide boilerplate does not near-drop distinct documents") {
+    // 30 documents sharing one boilerplate sentence (its shingles sit in
+    // 100% of the batch — batch df 30 > max(10, half the 30 survivors),
+    // past BOTH the rare band and the min-anchor ceiling, so neither
+    // batch-internal generator proposes a single pair) but each with a
+    // distinct long body: none is a near-dup of any other (pairwise
+    // Jaccard 6/38 ≪ 0.5), so ALL must be kept. Pins the ceiling as a
+    // cost guard that can never cost correctness: exceeding it skips
+    // candidate GENERATION for pairs that verification would reject
+    // anyway; a regression that dropped on generation would fail here.
+    val boiler = "all rights reserved contact the site administrator for details today"
+    val docs = (0 until 30).map { i =>
+      (500L + i) -> (boiler + s" body$i " +
+        (0 until 15).map(j => s"tok${i}_$j").mkString(" "))
+    }
+    val r = IncrementalDedup.processBatch(mkDocs(docs),
+      IncrementalDedup.emptyState(spark))
+    val d = r.decisions.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    docs.foreach { case (id, _) =>
+      assert(d(id) == (0L, 0L, 1L), s"distinct doc $id wrongly dropped: ${d(id)}")
+    }
+  }
+
   test("foreachBatch streaming flow produces the same labels as batch runs") {
     import spark.implicits._
     // batch-sequential reference
