@@ -27,7 +27,8 @@ object RunSelectK {
         "[hotDegCap=200] [llhTol=0 — 0 disables] " +
         "[heldFrac=0 — >0 runs the HELD-OUT sparse walk instead] " +
         "[modwalk=0 — 1 walks the grid printing fitted-argmax MODULARITY " +
-        "per K instead of selecting] [initMode=ego|egosplit|auto]")
+        "per K instead of selecting] [initMode=ego|egosplit|auto] " +
+        "[criterion=llh|modularity|auto — sparse selection walk only]")
       sys.exit(2)
     }
     val Array(path, minK, maxK, steps, iters) = args.take(5)
@@ -43,6 +44,7 @@ object RunSelectK {
     val heldFrac = args.lift(9).map(_.toDouble).getOrElse(0.0)
     val modwalk = args.lift(10).contains("1")
     val initMode = args.lift(11).getOrElse("ego")
+    val criterion = args.lift(12).getOrElse("llh")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -51,7 +53,17 @@ object RunSelectK {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val edges = GraphOps.symEdges(GraphOps.loadEdgeList(spark, path)).cache()
+    // `synth:<nNodes>:<nEdges>[:beta]` regenerates the deterministic
+    // power-law synthetic in place of an edge-list file — the organic-graph
+    // walks (the 200k modularity fixture) are reproducible from the spec
+    // alone, no ad-hoc dump file to keep alive across rounds
+    val raw =
+      if (path.startsWith("synth:")) {
+        val ps = path.split(":")
+        graft.graph.GraphGen.powerLawEdges(spark, ps(1).toLong, ps(2).toLong,
+          beta = ps.lift(3).map(_.toDouble).getOrElse(0.5))
+      } else GraphOps.loadEdgeList(spark, path)
+    val edges = GraphOps.symEdges(raw).cache()
     val nEdges = edges.count()
     if (modwalk) {
       // MODULARITY walk (round-14 #4): the practitioner's K signal on
@@ -104,12 +116,20 @@ object RunSelectK {
         println(f"[selectk]   K=$k%-6d train_llh=$tr%.4e held_llh=$ho%.4e") }
       println(s"[selectk] held-out choice K=$hk")
     } else {
+      require(criterion == "llh" || mode.startsWith("sparse"),
+        "criterion=modularity|auto needs the sparse walk")
+      var decidedBy = criterion
       val (bestK, _, grid) =
         if (mode.startsWith("sparse"))
           BigClam.selectKSparse(edges, BigClam.Params(k = minK.toInt),
             minK = minK.toInt, maxK = maxK.toInt, steps = steps.toInt,
             fitIterations = iters.toInt, supportCap = supportCap,
-            stableTol = stableTol, hotDegCap = hotDegCap, llhTol = llhTol)
+            stableTol = stableTol, hotDegCap = hotDegCap, llhTol = llhTol,
+            initMode = initMode, criterion = criterion,
+            criterionProbe = (k, llh, q) => println(
+              f"[selectk]   K=$k%-6d llh=$llh%.4e" +
+                (if (q.isNaN) "" else f" q=$q%.4f")),
+            decisionProbe = d => decidedBy = d)
         else
           BigClam.selectK(edges, BigClam.Params(k = minK.toInt),
             minK = minK.toInt, maxK = maxK.toInt, steps = steps.toInt,
@@ -119,7 +139,8 @@ object RunSelectK {
         s"${grid.map(_._1).mkString("{", ",", "}")} ($iters iters each) " +
         f"in $secs%.1f s")
       grid.foreach { case (k, llh) => println(f"[selectk]   K=$k%-6d llh=$llh%.2f") }
-      println(s"[selectk] chosen K=$bestK")
+      println(s"[selectk] chosen K=$bestK" +
+        (if (criterion == "llh") "" else s" (criterion=$criterion decided-by=$decidedBy)"))
     }
     spark.stop()
   }

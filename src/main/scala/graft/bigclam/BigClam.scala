@@ -178,10 +178,15 @@ object BigClam {
     * under "auto"), `cover` the allocator/split diagnostics when an
     * egosplit cover was computed (also present when auto raced the split
     * init but chose "ego"), `egoLlh`/`splitLlh` the race evidence (the two
-    * probe fits' LLH after [[AutoRaceIters]] iterations) when "auto" ran. */
+    * probe fits' LLH after [[AutoRaceIters]] iterations) when "auto" ran,
+    * and `abandonedAtIter` the measure at which the trailing second
+    * candidate was early-abandoned by [[abandonWatcher]] (None = both
+    * candidates ran to their own convergence/cap; when set, that
+    * candidate's recorded race LLH is its best-so-far at the abandon). */
   case class InitDiag(requested: String, chosen: String,
       cover: Option[GraphOps.CoverDiag],
-      egoLlh: Option[Double] = None, splitLlh: Option[Double] = None)
+      egoLlh: Option[Double] = None, splitLlh: Option[Double] = None,
+      abandonedAtIter: Option[Int] = None)
 
   /** `initMode="auto"` probe cap: each candidate init runs a full
     * candidate fit — same convergence rule (llhTol, default 1e-4) and
@@ -203,6 +208,70 @@ object BigClam {
     * starting point, so auto costs the two candidate fits, not two probes
     * plus a refit. */
   private[graft] val AutoRaceCap = 120
+
+  /** Optimism multiplier on the trailing race candidate's recent ascent
+    * rate inside [[abandonWatcher]]'s catch-up projection. Armijo-ascent
+    * per-measure gains shrink as a fit approaches its basin (the projected
+    * line search accepts ever-smaller steps), so a linear extrapolation of
+    * the last window's rate is already generous; doubling it makes the
+    * projection an upper bound that survives rate wobble. Measured safety
+    * margin: the sparse-control winner trails 2× at measure 5 with an
+    * enormous early rate (it closes the whole gap by measure ~27), so its
+    * projection clears any leader long before the first verdict at measure
+    * [[LlhStallWindow]]+1; the dense-regime loser's rate from mid-race is
+    * ~tol·|LLH| per measure while its gap is 2.4–5.5×, so even the doubled
+    * projection falls short by orders of magnitude. */
+  private[graft] val AbandonSlack = 2.0
+
+  /** Close-race guard for [[abandonWatcher]], in units of tol·|leaderLLH|:
+    * abandonment additionally requires the projected shortfall to exceed
+    * this margin, so any race whose final margin is within ~10 convergence
+    * tolerances (the sparse control's recorded 0.45%, at tol 1e-4, is 45×
+    * — but its winner never projects short at all; this margin is belt for
+    * braces on graphs we have not measured) always runs to the finish. */
+  private[graft] val AbandonMargin = 10.0
+
+  /** Early-abandon monitor for the SECOND `initMode="auto"` race candidate
+    * (round-15 item 1: auto used to pay two full candidate fits even when
+    * the trailing one was measured-hopeless from mid-race). The first
+    * candidate has already finished at `leaderLlh`; this watcher sees every
+    * LLH measure `(it, v)` of the trailing fit and returns true — abandon,
+    * the fit stops at its best iterate — once even an optimistic projection
+    * of its remaining ascent cannot reach the leader:
+    *
+    *   best + [[AbandonSlack]]·rate·(budget − it)  <  leaderLlh − margin,
+    *   rate = (best − best_{[[LlhStallWindow]] measures ago}) / window,
+    *   margin = [[AbandonMargin]]·tol·|leaderLlh|.
+    *
+    * best-so-far is monotone so rate ≥ 0; a candidate whose best already
+    * reached leader − margin can never fire the rule. No verdict before a
+    * full window has elapsed — that is what protects slow-starting winners
+    * (the recorded sparse control: the padded init trails the egosplit
+    * candidate 2× at measure 5 yet settles 0.45% ABOVE it). `onAbandon`
+    * fires once with the abandoning measure index for [[InitDiag]]. */
+  private[graft] def abandonWatcher(leaderLlh: Double, budget: Int,
+      tol: Double, onAbandon: Int => Unit = _ => ()): (Int, Double) => Boolean = {
+    val bests = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (it: Int, v: Double) => {
+      val best = if (bests.isEmpty) v else math.max(bests.last, v)
+      bests += best
+      if (bests.length <= LlhStallWindow) false
+      else {
+        val rate =
+          (best - bests(bests.length - 1 - LlhStallWindow)) / LlhStallWindow
+        val margin = AbandonMargin * tol * math.abs(leaderLlh)
+        val hopeless = best + AbandonSlack * rate * math.max(budget - it, 0) <
+          leaderLlh - margin
+        if (hopeless) {
+          System.err.println(f"[bigclam] race: abandoning trailing candidate " +
+            f"at measure $it (best=$best%.6e rate=$rate%.3e " +
+            f"leader=$leaderLlh%.6e) — projection cannot close the gap")
+          onAbandon(it)
+        }
+        hopeless
+      }
+    }
+  }
 
   /** Stall window for the llhTol stop rule — see the fitSparse loop
     * comment: consecutive-delta convergence cannot see a prune-fixpoint
@@ -259,24 +328,40 @@ object BigClam {
         val (cover, diag) = splitCover()
         val fSplit = initSparseFromCover(edges, p, cover, pad = false)
         val fEgo = initSparse(edges, p, ranked)
-        def candidate(f0: DataFrame) = fitSparse(edges, p,
-          math.min(raceBudget, AutoRaceCap), trackHistory = true,
-          supportCap = supportCap, llhTol = raceTol.orElse(Some(1e-4)),
-          warmStart = Some(f0))
+        val budget = math.min(raceBudget, AutoRaceCap)
+        val tol = raceTol.getOrElse(1e-4)
+        def candidate(f0: DataFrame,
+            watch: Option[(Int, Double) => Boolean] = None) =
+          fitSparse(edges, p, budget, trackHistory = true,
+            supportCap = supportCap, llhTol = Some(tol),
+            warmStart = Some(f0), llhWatch = watch)
+        // the egosplit candidate keeps first position (unchanged order —
+        // decisions stay comparable with every recorded round-14 race); the
+        // second candidate then races a FINISHED leader and can be
+        // early-abandoned once its catch-up projection goes hopeless
+        // (see [[abandonWatcher]]) — on every recorded fixture where the
+        // race is one-sided the loser is the ego candidate, so the saving
+        // lands exactly where round 14 paid the 120-iteration cap
         val (pSplit, hSplit) = candidate(fSplit)
-        val (pEgo, hEgo) = candidate(fEgo)
+        var abandonedAt = Option.empty[Int]
+        val (pEgo, hEgo) = candidate(fEgo,
+          Some(abandonWatcher(hSplit.last, budget, tol,
+            at => abandonedAt = Some(at))))
         if (hSplit.last >= hEgo.last)
           (pSplit, InitDiag("auto", "egosplit", Some(diag),
-            egoLlh = Some(hEgo.last), splitLlh = Some(hSplit.last)))
+            egoLlh = Some(hEgo.last), splitLlh = Some(hSplit.last),
+            abandonedAtIter = abandonedAt))
         else
           (pEgo, InitDiag("auto", "ego", Some(diag),
-            egoLlh = Some(hEgo.last), splitLlh = Some(hSplit.last)))
+            egoLlh = Some(hEgo.last), splitLlh = Some(hSplit.last),
+            abandonedAtIter = abandonedAt))
       case other => throw new IllegalArgumentException(
         s"initMode must be ego, egosplit or auto, got $other")
     }
     val race = (out._2.egoLlh, out._2.splitLlh) match {
       case (Some(e), Some(sp)) =>
-        f" race(final-llh): egoLlh=$e%.6e splitLlh=$sp%.6e"
+        f" race(final-llh): egoLlh=$e%.6e splitLlh=$sp%.6e" +
+          out._2.abandonedAtIter.fold("")(at => s" abandonedAt=$at")
       case _ => ""
     }
     System.err.println(s"[bigclam] init: requested=${out._2.requested} " +
@@ -631,7 +716,14 @@ object BigClam {
     * checkpointed model against new data, or (the planted experiments)
     * start from an oracle F to separate landscape problems from init
     * problems. The warm rows pass through the same support cap as any
-    * other iterate. */
+    * other iterate.
+    *
+    * `llhWatch` is the race early-abandon hook (see [[abandonWatcher]]):
+    * called once per LLH measure with (iteration, llh); returning true
+    * stops the fit at its best iterate, exactly like a stall stop.
+    * `stallWindow` overrides [[LlhStallWindow]] for tests (Int.MaxValue
+    * disables the backstop; monotone fits are bit-identical either way —
+    * PropertySpec pins this). */
   def fitSparse(edges: DataFrame, p: Params, iterations: Int,
       trackHistory: Boolean = true, ranked: Option[DataFrame] = None,
       supportCap: Option[Int] = None,
@@ -639,7 +731,9 @@ object BigClam {
       llhTol: Option[Double] = None,
       warmStart: Option[DataFrame] = None,
       initMode: String = "ego",
-      initProbe: InitDiag => Unit = _ => ()): (DataFrame, Seq[Double]) = {
+      initProbe: InitDiag => Unit = _ => (),
+      llhWatch: Option[(Int, Double) => Boolean] = None,
+      stallWindow: Int = LlhStallWindow): (DataFrame, Seq[Double]) = {
     requireEdges(edges)
     // cap >= K can't prune anything: use the uncapped path so "no-op cap"
     // means bit-identical, not merely value-close (float op order matters)
@@ -703,21 +797,35 @@ object BigClam {
         case _ => false
       })
       llhPrev = llh
-      if (llhTol.isDefined) llh.foreach { v =>
-        if (v > bestLlh + llhTol.get * math.abs(bestLlh)) {
+      if (llhTol.isDefined || llhWatch.isDefined) llh.foreach { v =>
+        if (bestLlh.isNegInfinity) {
+          // seed the tracker from the first measure (round-14 advice): with
+          // bestLlh = −Inf the threshold arithmetic below is −Inf + Inf =
+          // NaN, the comparison is false, and the very first measure counted
+          // as a stall — shortening the documented 20-measure window to 19
+          bestLlh = v; bestF = f
+        } else if (llhTol.exists(tol => v > bestLlh + tol * math.abs(bestLlh))) {
           bestLlh = v; bestF = f; stall = 0
         } else {
           if (v > bestLlh) { bestLlh = v; bestF = f } // track, sub-tol gain
-          stall += 1
-          if (stall >= LlhStallWindow && !converged) {
-            stalled = true
-            System.err.println(f"[bigclam] sparse iter $it: best LLH " +
-              f"stalled $stall measures (best=$bestLlh%.2f) — stopping " +
-              "at the best iterate")
+          if (llhTol.isDefined) {
+            stall += 1
+            if (stall >= stallWindow && !converged) {
+              stalled = true
+              System.err.println(f"[bigclam] sparse iter $it: best LLH " +
+                f"stalled $stall measures (best=$bestLlh%.2f) — stopping " +
+                "at the best iterate")
+            }
           }
         }
       }
-      if (stalled) {
+      // race early-abandon hook (initSparseByMode "auto"): the watcher sees
+      // every measure and may declare this fit hopeless against an already-
+      // finished leader — treated exactly like a stall stop: the best
+      // iterate and its LLH are what the caller gets back
+      val abandoned = !stalled && !converged &&
+        llhWatch.exists(w => llh.exists(v => w(it, v)))
+      if (stalled || abandoned) {
         state.unpersist()
         stop = true
         convergedAtMeasure = true
@@ -914,7 +1022,32 @@ object BigClam {
     * stay shuffleable, while capped sparse rows keep per-row payload O(m)
     * regardless of the grid point. Same walk/early-stop/retention contract
     * as [[selectK]]; `stableTol` additionally bounds each grid point's
-    * iterations by membership stability, making `fitIterations` a cap. */
+    * iterations by membership stability, making `fitIterations` a cap.
+    *
+    * `criterion` (round-15 item 3 — the modwalk instrument promoted into
+    * the selection API) picks what "best K" means:
+    *  - `"llh"` (default): argmax final training LLH with the reference's
+    *    kTol relative-gain early stop — bit-identical to every recorded
+    *    walk. Right on PLANTED/structured graphs, where the LLH-vs-K curve
+    *    has an interior peak at K*.
+    *  - `"modularity"`: walk the FULL grid (no kTol stop — it is an LLH
+    *    statistic) and argmax the Newman modularity of each fitted argmax
+    *    partition. Right on ORGANIC graphs, where round 13/14 measured
+    *    both raw AND held-out LLH rising monotonically in K (capacity
+    *    always helps when no planted K exists) while q(K) peaks at the
+    *    natural scale (the 200k organic fixture: interior q peak at K=200
+    *    against monotone LLH).
+    *  - `"auto"`: walk with the kTol stop armed and score BOTH signals per
+    *    K; decide at the end — if the LLH curve elbowed (the kTol stop
+    *    fired) or its argmax is interior to the evaluated grid, LLH
+    *    discriminates and its argmax wins; otherwise the curve is
+    *    boundary-picking (the organic signature) and the modularity argmax
+    *    wins. `decisionProbe` receives "llh" or "modularity".
+    * `criterionProbe` fires per evaluated K with (k, llh, q) — q is NaN
+    * under `criterion="llh"`, which skips the per-K modularity pass.
+    * Retention: one current F plus one best-so-far per active criterion
+    * (≤ 3 alive under "auto"; `retainedProbe` reports the live count).
+    * The returned curve stays (k, final LLH) in every mode. */
   def selectKSparse(edges: DataFrame, base: Params, minK: Int, maxK: Int,
       steps: Int, kTol: Double = 1e-3, fitIterations: Int = 3,
       supportCap: Option[Int] = None, stableTol: Option[Double] = None,
@@ -922,27 +1055,66 @@ object BigClam {
       retainedProbe: Int => Unit = _ => (),
       llhTol: Option[Double] = None,
       initMode: String = "ego",
-      initProbe: InitDiag => Unit = _ => ()): (Int, DataFrame, Seq[(Int, Double)]) = {
+      initProbe: InitDiag => Unit = _ => (),
+      criterion: String = "llh",
+      criterionProbe: (Int, Double, Double) => Unit = (_, _, _) => (),
+      decisionProbe: String => Unit = _ => ()): (Int, DataFrame, Seq[(Int, Double)]) = {
     requireEdges(edges)
+    require(Set("llh", "modularity", "auto")(criterion),
+      s"criterion must be llh, modularity or auto, got $criterion")
     val grid = logSpacedK(minK, maxK, steps)
     val ranked = GraphOps.seedRank(edges, hotDegCap).persist(StorageLevel.MEMORY_AND_DISK)
+    val needQ = criterion != "llh"
+    val kTolArmed = criterion != "modularity"
     var evals = List.empty[(Int, Double)]
-    var best: Option[(Int, Double, DataFrame)] = None
+    var bestL: Option[(Int, Double, DataFrame)] = None
+    var bestQ: Option[(Int, Double, DataFrame)] = None
     var prevLlh = Option.empty[Double]
     var stop = false
+    var kTolFired = false
     for (k <- grid if !stop) {
       val (fs, hist) = fitSparse(edges, base.copy(k = k), fitIterations,
         ranked = Some(ranked), supportCap = supportCap, stableTol = stableTol,
         llhTol = llhTol, initMode = initMode, initProbe = initProbe)
       val llh = hist.last
-      retainedProbe(1 + best.size)
-      prevLlh.foreach(pl => if (math.abs(1.0 - llh / pl) < kTol) stop = true)
-      prevLlh = Some(llh)
-      if (best.forall(_._2 < llh)) best = Some((k, llh, fs))
+      val q = if (needQ) {
+        // one modularity pass over the fitted argmax partition: two label
+        // joins + a per-part rollup — cheap next to the fit it scores, and
+        // F is read straight off the checkpointed frame
+        val labels = fs.select(col("id").as("node"),
+          SparseF.argmaxIndex(col("fi"), col("fv")).as("lab"))
+        GraphOps.modularity(edges, labels, s"k$k").collect()(0).getDouble(3)
+      } else Double.NaN
+      criterionProbe(k, llh, q)
+      if (kTolArmed) {
+        prevLlh.foreach { pl =>
+          if (math.abs(1.0 - llh / pl) < kTol) { stop = true; kTolFired = true }
+        }
+        prevLlh = Some(llh)
+      }
+      if (bestL.forall(_._2 < llh)) bestL = Some((k, llh, fs))
+      if (needQ && bestQ.forall(_._2 < q)) bestQ = Some((k, q, fs))
+      retainedProbe(1 + Set(bestL.map(_._3), bestQ.map(_._3)).flatten.size)
       evals = (k, llh) :: evals
     }
     ranked.unpersist()
-    val (bk, _, bf) = best.get
+    val decidedBy = criterion match {
+      case "llh" => "llh"
+      case "modularity" => "modularity"
+      case "auto" =>
+        // elbow evidence: the reference's relative-gain stop fired, or the
+        // LLH argmax sits strictly inside the evaluated grid — either means
+        // raw LLH discriminates K and stays the selection signal (planted
+        // regime); a boundary-riding monotone curve is the organic
+        // signature, where modularity is the capacity-penalized instrument
+        val lastEvaluatedK = evals.head._1
+        if (kTolFired || bestL.exists(_._1 != lastEvaluatedK)) "llh"
+        else "modularity"
+    }
+    decisionProbe(decidedBy)
+    val (bk, score, bf) = (if (decidedBy == "llh") bestL else bestQ).get
+    System.err.println(f"[bigclam] selectKSparse criterion=$criterion " +
+      f"decided-by=$decidedBy chosen K=$bk (score=$score%.6e)")
     (bk, bf, evals.reverse)
   }
 

@@ -550,16 +550,16 @@ object GraphOps {
     val memberRows = members.count()
     val (chosen: DataFrame, allocator: String, coveredGreedy: Option[Long]) =
       if (memberRows > maxCollectRows) {
-        System.err.println(s"[egoSplitCover] WARN: persona membership " +
-          s"($memberRows rows) exceeds $maxCollectRows; falling back to " +
-          s"rank-order allocation (greedy coverage property forfeited)")
-        val c = keys.orderBy(col("rn"), col("phi"), col("seed"), col("comp"))
-          .limit(k)
-          .select(col("seed"), col("comp"))
-          .collect().zipWithIndex
-          .map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
-          .toSeq.toDF("seed", "comp", "c")
-        (c, "rank-fallback", None)
+        // round-15 item 2: past the guard the allocation used to degrade to
+        // rank order, forfeiting the greedy coverage property (measured
+        // 95-vs-79/100 on dense covers). The distributed greedy keeps it:
+        // same picks, bounded per-round collects, membership stays on the
+        // executors.
+        System.err.println(s"[egoSplitCover] persona membership " +
+          s"($memberRows rows) exceeds $maxCollectRows; running the " +
+          s"distributed greedy allocator")
+        val (picks, coveredCount) = greedyAllocDistributed(members, keys, k)
+        (picks, "greedy-dist", Some(coveredCount))
       } else {
         val memRows = members.collect()
           .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1)))
@@ -597,6 +597,122 @@ object GraphOps {
       out.agg(countDistinct(col("member"))).collect()(0).getLong(0))
     (out, CoverDiag(allocator, nPicked.toInt, k, coveredNodes,
       nSeeds, nPersonas, nMulti, memberRows))
+  }
+
+  /** Distributed greedy max-coverage allocation — the past-the-collect-guard
+    * twin of [[egoSplitCover]]'s driver lazy-greedy, picking the IDENTICAL
+    * sequence (EgoSplitSpec pins pick-for-pick parity) while persona
+    * membership never leaves the executors in bulk. `members` is the
+    * (seed, u, comp) persona membership frame; `keys` the per-persona
+    * (seed, comp, sz, phi, rn) keys.
+    *
+    * Shape: a BATCHED DISTRIBUTED LAZY GREEDY. Each round computes every
+    * remaining persona's marginal gain against the covered set with one
+    * anti-flag aggregation over `members`, sorts candidates by the eager
+    * tie order (gain desc, then the global (rn, phi, seed, comp) rank
+    * index ri), and collects only a bounded PREFIX of candidate member
+    * rows RESTRICTED to uncovered nodes (≤ `batchRowBudget`). The driver
+    * then runs the usual stale-gain lazy greedy inside the batch, but only
+    * accepts a pick while it provably beats every persona OUTSIDE the
+    * batch: outside gains are ≤ θ (the max excluded gain, measured once
+    * per round) at round start and marginal gains only shrink as coverage
+    * grows, so any in-batch pick with current gain > θ is the true global
+    * argmax; a pick AT θ is accepted only if its round-start gain already
+    * was θ — those candidates occupy the sort prefix among θ-gain
+    * personas, so their rank index precedes every excluded θ-gain persona,
+    * reproducing the eager tie order exactly. (A candidate that DROPPED to
+    * θ may rank after an excluded θ-gain persona, so it waits for the next
+    * round's fresh sort.) The first accepted pick of a fresh round is the
+    * global argmax by construction, so every round advances ≥ 1 pick —
+    * termination in ≤ k rounds, in practice a handful: a batch keeps
+    * accepting until picks stop clearing θ.
+    *
+    * Cost model at scale: per round, one |members|-row aggregation + one
+    * pool-sized sort window (persona KEYS, not members) + one ≤ budget
+    * collect — the same per-round shape as the iterative graph fixpoints,
+    * linear in postings. Driver state: the ≤ k picks and one batch of
+    * restricted member rows. */
+  private[graft] def greedyAllocDistributed(members: DataFrame,
+      keys: DataFrame, k: Int,
+      batchRowBudget: Long = 2000000L): (DataFrame, Long) = {
+    val s = members.sparkSession
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    // single-partition windows below run over persona KEYS — pool-sized
+    // (seeds × personas-per-seed), orders of magnitude under `members`
+    val rankedKeys = cutLineage(keys.select(col("seed"), col("comp"),
+      col("sz"),
+      row_number().over(W.orderBy(col("rn"), col("phi"), col("seed"),
+        col("comp"))).as("ri")))
+    val mem = cutLineage(members.select(col("seed"), col("comp"), col("u")))
+    var covered = cutLineage(Seq.empty[Long].toDF("u"))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    var exhausted = false
+    while (picked.length < k && !exhausted) {
+      val pickedDF = broadcast(
+        picked.map(p => (p._1, p._2)).toSeq.toDF("seed", "comp"))
+      // marginal gain of every unpicked persona vs the covered set; the
+      // left-join flag keeps fully-covered personas as gain-0 rows (the
+      // driver greedy allocates them too when k exceeds useful coverage)
+      val gains = mem.join(pickedDF, Seq("seed", "comp"), "left_anti")
+        .join(covered.withColumn("cov", lit(1)), Seq("u"), "left")
+        .groupBy("seed", "comp")
+        .agg(sum(when(col("cov").isNull, 1L).otherwise(0L)).as("gain"))
+        .join(rankedKeys, Seq("seed", "comp"))
+      val ordW = W.orderBy(col("gain").desc, col("ri"))
+      val cand = gains
+        .withColumn("ord", row_number().over(ordW))
+        .withColumn("cum", sum(col("sz")).over(ordW))
+        .filter(col("ord") === 1 || col("cum") <= batchRowBudget)
+        .select(col("seed"), col("comp"), col("gain"), col("ri"))
+        .localCheckpoint(true) // read three times below
+      val candKeys = cand.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .sortBy(_._4)
+      if (candKeys.isEmpty) exhausted = true
+      else {
+        val thetaRow = gains
+          .join(cand.select(col("seed"), col("comp")), Seq("seed", "comp"),
+            "left_anti")
+          .agg(max(col("gain"))).collect()(0)
+        val theta = if (thetaRow.isNullAt(0)) -1L else thetaRow.getLong(0)
+        val restricted = mem
+          .join(broadcast(cand.select(col("seed"), col("comp"))),
+            Seq("seed", "comp"), "left_semi")
+          .join(covered, Seq("u"), "left_anti")
+          .select(col("seed"), col("comp"), col("u"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+          .groupBy(_._1).map { case (key, rows) => key -> rows.map(_._2).toSet }
+        val ord = Ordering.by[(Long, Int), (Long, Int)] { case (g, i) => (g, -i) }
+        val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Int)](ord)
+        candKeys.zipWithIndex.foreach { case ((_, _, g, _), i) =>
+          pq.enqueue((g, i))
+        }
+        val roundCovered = scala.collection.mutable.HashSet.empty[Long]
+        var firstPick = true
+        var roundOver = false
+        while (picked.length < k && pq.nonEmpty && !roundOver) {
+          val (stale, idx) = pq.dequeue()
+          val (seed, comp, startGain, _) = candKeys(idx)
+          val set = restricted.getOrElse((seed, comp), Set.empty[Long])
+          val gain = set.count(m => !roundCovered(m)).toLong
+          if (gain == stale) {
+            if (firstPick || theta < 0L || gain > theta ||
+                (gain == theta && startGain == theta)) {
+              picked += ((seed, comp, picked.length))
+              set.foreach(roundCovered += _)
+              firstPick = false
+            } else roundOver = true
+          } else pq.enqueue((gain, idx))
+        }
+        if (roundCovered.nonEmpty)
+          covered = cutLineage(covered.unionByName(
+            roundCovered.toSeq.toDF("u")).distinct())
+      }
+    }
+    val coveredCount = covered.count()
+    (picked.toSeq.toDF("seed", "comp", "c"), coveredCount)
   }
 
   def q_graph_seed_rank(s: SparkSession, d: String): DataFrame =

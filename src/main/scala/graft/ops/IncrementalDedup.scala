@@ -106,12 +106,17 @@ object IncrementalDedup {
     *
     * PRECONDITION: doc_ids are globally unique across every batch ever
     * processed against this state — the Jaccard melt fetches posting lists
-    * by doc_id, so a batch doc_id colliding with an indexed one would merge
-    * two documents' shingle sets (the combined frame is defensively
-    * deduplicated on (shingle, doc_id), which caps the damage at a merged
-    * posting list rather than a double-counted one, but the Jaccard for
-    * that id is still computed over the merged set). */
-  def processBatch(batch: DataFrame, state: State): BatchResult = {
+    * by doc_id, so a batch doc_id colliding with an indexed one merges two
+    * documents' shingle sets. There is NO defensive dedup of the combined
+    * postings (round 14 removed the (shingle, doc_id) distinct — it cost a
+    * full shuffle of the accepted-corpus postings every batch for a case
+    * the contract excludes), so a colliding id now yields double-counted
+    * posting rows in the Jaccard melt: |A|+|B| and the per-shingle counts
+    * are both wrong for that id, not merely computed over a merged set. */
+  /** Exact-dedup phase shared by [[processBatch]] and [[ceilingDiag]]:
+    * (hashed batch, exact-dup doc ids, exact survivors). */
+  private def exactPhase(batch: DataFrame,
+      state: State): (DataFrame, DataFrame, DataFrame) = {
     val withH = batch.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
     // in-batch exact dedup: the min doc_id of each hash group represents it
     val keeper = withH.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
@@ -122,6 +127,11 @@ object IncrementalDedup {
       .filter(col("doc_id") =!= col("keep_id")).select(col("doc_id"))
       .unionAll(indexHit).distinct()
     val exactSurvivors = batch.join(exactDup, Seq("doc_id"), "left_anti")
+    (withH, exactDup, exactSurvivors)
+  }
+
+  def processBatch(batch: DataFrame, state: State): BatchResult = {
+    val (withH, exactDup, exactSurvivors) = exactPhase(batch, state)
 
     // near-dup: rare-shingle blocking over index+batch postings together,
     // candidate pairs = (batch survivor × indexed doc) PLUS two batch-
@@ -230,5 +240,77 @@ object IncrementalDedup {
       withH.join(kept, Seq("doc_id"), "left_semi").select(col("h")),
       batchPost.join(kept, Seq("doc_id"), "left_semi")
         .select(col("shingle"), col("doc_id")))
+  }
+
+  /** What [[ceilingDiag]] measured about a batch's over-ceiling shingles —
+    * the min-anchor generator's documented blind spot (a single near-family
+    * spanning more than half the batch's exact survivors has its core
+    * shingles ABOVE the 50%-of-batch ceiling and is indistinguishable from
+    * batch-wide boilerplate, so generator 2 proposes nothing for it).
+    * `overCeilingShingles`/`overCeilingPostings` are the count and posting
+    * mass of batch shingles past the ceiling; `sampledPairs` anchor pairs
+    * drawn from the highest-df over-ceiling shingles were Jaccard-verified
+    * and `sampledNearHits` of them passed ≥ 0.5 — TRUE boilerplate fails
+    * the whole-document Jaccard (shared headers over different bodies),
+    * a giant near-family passes it, so [[CeilingDiag.flagged]] separates
+    * exactly the case the keep decision cannot. */
+  case class CeilingDiag(nSurvivors: Long, overCeilingShingles: Long,
+      overCeilingPostings: Long, sampledPairs: Long, sampledNearHits: Long) {
+    /** An over-ceiling anchor pair verified at Jaccard ≥ 0.5: this batch
+      * likely contains a near-family too large for the min-anchor ceiling
+      * and its members were accepted wholesale — audit it. */
+    def flagged: Boolean = sampledNearHits > 0
+    override def toString: String =
+      s"CeilingDiag(nSurvivors=$nSurvivors, " +
+        s"overCeilingShingles=$overCeilingShingles, " +
+        s"overCeilingPostings=$overCeilingPostings, " +
+        s"sampledPairs=$sampledPairs, sampledNearHits=$sampledNearHits, " +
+        s"flagged=$flagged)"
+  }
+
+  /** Opt-in per-batch audit of the >50%-of-batch blind spot (round-15 item
+    * 5): measures the batch's over-ceiling shingle population and Jaccard-
+    * verifies a deterministic sample of anchor pairs drawn from the
+    * highest-df over-ceiling shingles (each shingle's min batch doc_id vs
+    * its max holder — the widest-separated members a family has). Zero
+    * effect on [[processBatch]]'s keep decisions: this is a separate,
+    * diagnostic-only pass the production loop runs after the decision when
+    * auditing is on. Cost: one shingle-df aggregation over the batch
+    * postings plus ≤ `samplePairs` posting-list melts. */
+  def ceilingDiag(batch: DataFrame, state: State,
+      samplePairs: Int = 8): CeilingDiag = {
+    val (_, _, exactSurvivors) = exactPhase(batch, state)
+    val batchPost = TextOps.docShinglesOf(exactSurvivors)
+      .select(col("shingle"), col("doc_id"))
+      .localCheckpoint(true) // read thrice below; one materialization
+    val nSurv = exactSurvivors.count()
+    val ceiling = math.max(10.0, nSurv * 0.5)
+    val over = batchPost.groupBy("shingle")
+      .agg(min(col("doc_id")).as("c"), count(lit(1)).as("bdf"))
+      .filter(col("bdf") > ceiling)
+    val stats = over.agg(count(lit(1)).as("n"), sum(col("bdf")).as("mass"))
+      .collect()(0)
+    val nOver = stats.getLong(0)
+    val mass = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (nOver == 0L) return CeilingDiag(nSurv, 0L, 0L, 0L, 0L)
+    val sampled = over.orderBy(col("bdf").desc, col("shingle"))
+      .limit(samplePairs)
+    // one probe pair per sampled shingle: anchor (min holder) vs max holder
+    val probe = batchPost
+      .join(broadcast(sampled.select(col("shingle"), col("c"))), Seq("shingle"))
+      .filter(col("doc_id") > col("c"))
+      .groupBy("shingle", "c").agg(max(col("doc_id")).as("b"))
+      .select(col("b"), col("c")).distinct()
+    // exact whole-document Jaccard over batch postings — the same melt
+    // identity processBatch verifies with: |A∩B| = (|A|+|B|) − |A∪B|
+    val melt = probe.select(col("b"), col("c"),
+      explode(array(col("b"), col("c"))).as("doc_id"))
+    val hits = melt.join(batchPost, Seq("doc_id"))
+      .groupBy("b", "c", "shingle").agg(count(lit(1)).as("cnt"))
+      .groupBy("b", "c")
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_union"))
+      .filter((col("tot") - col("n_union")).cast("double") / col("n_union") >= 0.5)
+      .count()
+    CeilingDiag(nSurv, nOver, mass, probe.count(), hits)
   }
 }

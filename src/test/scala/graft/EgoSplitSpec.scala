@@ -129,11 +129,12 @@ class EgoSplitSpec extends AnyFunSuite {
       diag.coveredNodes == 6L, s"got $diag")
   }
 
-  test("egoSplitCover rank-fallback records its allocation mode") {
+  test("egoSplitCover past the collect guard runs the distributed greedy") {
     import spark.implicits._
-    // force the fallback with a 1-row collect guard: allocation degrades
-    // to (rn, phi, seed, comp) rank order and the diag must SAY so — the
-    // round-13 sharp edge was a stderr WARN nothing recorded
+    // force the guard with a 1-row limit: round 15 replaced the rank-order
+    // fallback (which forfeited the greedy coverage property) with the
+    // distributed greedy — the diag must say so and the PICKS must be the
+    // driver greedy's, column for column
     val edges = sym(Seq(
       0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L, 1L -> 2L, 3L -> 4L,
       20L -> 21L, 20L -> 22L, 21L -> 22L))
@@ -142,11 +143,121 @@ class EgoSplitSpec extends AnyFunSuite {
       maxCollectRows = 1L)
     val byCol = cover.collect().groupBy(_.getInt(0))
       .map { case (c, rows) => c -> rows.map(_.getLong(1)).toSet }
-    // rank order: both rn=1 personas (one per seed), phi ascending
-    assert(byCol(0) == Set(0L, 1L, 2L) && byCol(1) == Set(20L, 21L, 22L),
-      s"got $byCol")
-    assert(diag.allocator == "rank-fallback" && diag.picked == 2 &&
-      diag.coveredNodes == 6L && diag.memberRows > 1L, s"got $diag")
+    val (coverRef, diagRef) = GraphOps.egoSplitCover(edges, ranked, k = 2)
+    val byColRef = coverRef.collect().groupBy(_.getInt(0))
+      .map { case (c, rows) => c -> rows.map(_.getLong(1)).toSet }
+    assert(diagRef.allocator == "greedy")
+    assert(byCol == byColRef, s"dist picks $byCol vs driver $byColRef")
+    assert(diag.allocator == "greedy-dist" && diag.picked == 2 &&
+      diag.coveredNodes == diagRef.coveredNodes && diag.memberRows > 1L,
+      s"got $diag")
+  }
+
+  test("greedyAllocDistributed picks the exact driver-greedy sequence") {
+    import spark.implicits._
+    import scala.util.Random
+    // random persona pools vs an in-test EAGER greedy reference (the exact
+    // semantics of egoSplitCover's driver allocator: order personas by
+    // (rn, phi, seed, comp), pick argmax marginal gain, ties to the
+    // earliest order index, zero-gain personas still fill columns). The
+    // 3-row batch budget forces many rounds through the θ-threshold logic
+    // — including picks that DROPPED to θ and must wait for a fresh sort.
+    for (seed <- Seq(3, 14, 27)) {
+      val rnd = new Random(seed)
+      val personas: Seq[(Long, Long, Set[Long])] = for {
+        s <- 0L until 8L
+        c <- 0L until (1 + rnd.nextInt(3)).toLong
+      } yield (s, c, (0 until (1 + rnd.nextInt(6)))
+        .map(_ => rnd.nextInt(25).toLong).toSet)
+      val phi = (0L until 8L).map(s => s -> rnd.nextDouble()).toMap
+      // rn: per-seed rank by (size desc, comp asc) — the production order
+      val rnOf = personas.groupBy(_._1).flatMap { case (s, ps) =>
+        ps.sortBy(p => (-p._3.size, p._2)).zipWithIndex
+          .map { case (p, i) => (p._1, p._2) -> (i + 1) }
+      }
+      val members = personas.flatMap { case (s, c, us) =>
+        us.map(u => (s, u, c)) }.toDF("seed", "u", "comp")
+      val keys = personas.map { case (s, c, us) =>
+        (s, c, us.size.toLong, phi(s), rnOf((s, c))) }
+        .toDF("seed", "comp", "sz", "phi", "rn")
+      // eager reference
+      def eager(k: Int): Seq[(Long, Long)] = {
+        val order = personas.map { case (s, c, us) =>
+          ((rnOf((s, c)), phi(s), s, c), (s, c), us) }
+          .sortBy(_._1).map(p => (p._2, p._3))
+        val covered = scala.collection.mutable.HashSet.empty[Long]
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val used = scala.collection.mutable.HashSet.empty[Int]
+        while (picked.size < k && used.size < order.size) {
+          val (bi, _) = order.zipWithIndex
+            .filterNot { case (_, i) => used(i) }
+            .map { case ((key, us), i) => (i, us.count(m => !covered(m))) }
+            .maxBy { case (i, g) => (g, -i) }
+          used += bi
+          picked += order(bi)._1
+          order(bi)._2.foreach(covered += _)
+        }
+        picked.toSeq
+      }
+      for (k <- Seq(3, 7, personas.size + 2)) {
+        val want = eager(k)
+        val (got, _) = GraphOps.greedyAllocDistributed(members, keys, k,
+          batchRowBudget = 3L)
+        val gotSeq = got.orderBy("c").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(gotSeq == want, s"seed=$seed k=$k: dist=$gotSeq eager=$want")
+        // and with a roomy budget (single batch, θ = −1 path)
+        val (got2, _) = GraphOps.greedyAllocDistributed(members, keys, k)
+        val gotSeq2 = got2.orderBy("c").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(gotSeq2 == want, s"seed=$seed k=$k roomy: $gotSeq2 vs $want")
+      }
+    }
+  }
+
+  test("abandonWatcher: window discipline, hopeless kill, closer and close-race immunity") {
+    // hopeless: flat far-below candidate — silent through the 20-measure
+    // window, fires on the first verdict after it
+    var hit = Option.empty[Int]
+    val w1 = BigClam.abandonWatcher(-1e6, budget = 120, tol = 1e-4,
+      onAbandon = at => hit = Some(at))
+    for (it <- 1 to 20)
+      assert(!w1(it, -1e7), s"no verdict inside the window (measure $it)")
+    assert(w1(21, -1e7) && hit.contains(21))
+    // fast closer: trailing 2× but rising hard (the recorded sparse-control
+    // shape) — the projection clears the leader, never abandoned
+    val w2 = BigClam.abandonWatcher(-1e6, budget = 120, tol = 1e-4)
+    for (it <- 1 to 60)
+      assert(!w2(it, -2.0e6 + 5e4 * it), s"closer wrongly abandoned at $it")
+    // close race: flat candidate 0.05% under the leader sits inside the
+    // 10·tol margin — never abandoned even with zero rate
+    val w3 = BigClam.abandonWatcher(-1e6, budget = 120, tol = 1e-4)
+    for (it <- 1 to 120)
+      assert(!w3(it, -1.0005e6), s"close race wrongly abandoned at $it")
+    // best-so-far is monotone: a sawtooth whose best reached the leader
+    // never abandons, whatever the later dips do
+    val w4 = BigClam.abandonWatcher(-1e6, budget = 120, tol = 1e-4)
+    assert(!w4(1, -0.99e6))
+    for (it <- 2 to 80)
+      assert(!w4(it, -5e6), s"sawtooth wrongly abandoned at $it")
+  }
+
+  test("fitSparse llhWatch stops at the best iterate, like a stall stop") {
+    val cliques = sym(Seq(
+      1L -> 2L, 1L -> 3L, 2L -> 3L, 0L -> 1L, 0L -> 2L, 0L -> 3L,
+      5L -> 6L, 5L -> 7L, 6L -> 7L, 0L -> 5L, 0L -> 6L, 0L -> 7L))
+    val p = BigClam.Params(k = 2)
+    // watcher fires at measure 3 → the fit returns its best F among the
+    // first 3 measures; ascent is monotone here, so that is the F after 2
+    // updates — bit-identical to a 2-iteration fit from the same init
+    val (fa, ha) = BigClam.fitSparse(cliques, p, iterations = 10,
+      llhWatch = Some((it, _) => it >= 3))
+    assert(ha.size == 4, s"3 measures + the appended best: $ha") // abandoned at 3
+    assert(ha.last == ha.take(3).max, "history.last must be the best measure")
+    val (fb, _) = BigClam.fitSparse(cliques, p, iterations = 2)
+    val a = fa.orderBy("id").collect().map(_.toString).toSeq
+    val b = fb.orderBy("id").collect().map(_.toString).toSeq
+    assert(a == b, "abandoned fit must hand back the best iterate")
   }
 
   test("fitSparse initMode=auto decides by the LLH race and records it") {

@@ -171,6 +171,53 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ceilingDiag flags a >50%-of-batch near-family but not boilerplate") {
+    // 13 fox variants = 65% of the 20 survivors: the family core shingles
+    // sit at batch df=13, past BOTH max(10, half-the-batch) ceilings, so
+    // processBatch accepts the family wholesale — the documented blind
+    // spot (round-14 scope note). The round-15 diagnostic must FLAG the
+    // batch (an over-ceiling anchor pair passes whole-document Jaccard)
+    // without touching the keep decision.
+    val variants = Seq("ring", "chime", "toll", "peal", "sound", "echo",
+      "hum", "clang", "boom", "knell", "din", "song", "call")
+    val family = variants.zipWithIndex.map { case (w, i) =>
+      (700L + i) -> (fox.stripSuffix("ring") + w)
+    }
+    val fillers = (0 until 7).map { i =>
+      (800L + i) -> (s"filler document number$i with entirely distinct tokens " +
+        s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i")
+    }
+    val docs = mkDocs(family ++ fillers)
+    val st = IncrementalDedup.emptyState(spark)
+    val r = IncrementalDedup.processBatch(docs, st)
+    val d = r.decisions.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(d.values.forall(_ == 1L),
+      s"precondition: the >50% family IS the blind spot (all accepted): $d")
+    val diag = IncrementalDedup.ceilingDiag(docs, st)
+    assert(diag.nSurvivors == 20L, s"got $diag")
+    assert(diag.overCeilingShingles >= 10L,
+      s"the family core must be over-ceiling: $diag")
+    assert(diag.sampledPairs >= 1L && diag.sampledNearHits >= 1L &&
+      diag.flagged, s"a giant near-family must fire the flag: $diag")
+
+    // true boilerplate (shared sentence, distinct bodies) has the same
+    // over-ceiling signature but fails the whole-document Jaccard: no flag
+    val boiler = "all rights reserved contact the site administrator for details today"
+    val bdocs = mkDocs((0 until 30).map { i =>
+      (900L + i) -> (boiler + s" body$i " +
+        (0 until 15).map(j => s"tok${i}_$j").mkString(" "))
+    })
+    val bdiag = IncrementalDedup.ceilingDiag(bdocs, st)
+    assert(bdiag.overCeilingShingles >= 1L,
+      s"boilerplate shingles must be over-ceiling: $bdiag")
+    assert(bdiag.sampledPairs >= 1L && bdiag.sampledNearHits == 0L &&
+      !bdiag.flagged, s"boilerplate must NOT fire the flag: $bdiag")
+
+    // a batch with no over-ceiling shingles reports a clean zero diag
+    val cdiag = IncrementalDedup.ceilingDiag(mkDocs(batch0), st)
+    assert(!cdiag.flagged && cdiag.overCeilingShingles == 0L, s"got $cdiag")
+  }
+
   test("foreachBatch streaming flow produces the same labels as batch runs") {
     import spark.implicits._
     // batch-sequential reference

@@ -212,6 +212,64 @@ class ModelSelectionSpec extends AnyFunSuite {
     assert(viaSeam.except(direct).count() == 0 && direct.except(viaSeam).count() == 0)
   }
 
+  test("selectKSparse criterion=modularity walks the full grid and picks the q peak") {
+    import s.implicits._
+    // two 5-cliques joined by one bridge edge — natural scale K=2: the
+    // argmax partition at K=2 cuts only the bridge, K=1 is the single-part
+    // floor (q = 0), K=4 cannot beat the two-clique cut (fragmenting a
+    // clique loses intra-edge mass faster than ΣD_c² shrinks)
+    val cliq = GraphOps.symEdges((
+      (for (a <- 0 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)) ++
+      (for (a <- 5 to 9; b <- (a + 1) to 9) yield (a.toLong, b.toLong)) ++
+      Seq((4L, 5L))).toDF("src", "dst")).cache()
+    var probes = Vector.empty[(Int, Double, Double)]
+    var decided = ""
+    val (k, fs, history) = BigClam.selectKSparse(cliq, BigClam.Params(k = 1),
+      minK = 1, maxK = 4, steps = 2, fitIterations = 30,
+      llhTol = Some(1e-4), criterion = "modularity",
+      criterionProbe = (kk, l, q) => probes = probes :+ ((kk, l, q)),
+      decisionProbe = d => decided = d)
+    assert(decided == "modularity")
+    assert(probes.map(_._1) == BigClam.logSpacedK(1, 4, 2),
+      s"modularity must walk the FULL grid (no kTol stop): $probes")
+    assert(probes.forall(p => !p._3.isNaN), s"q must be scored per K: $probes")
+    assert(k == 2, s"q peak must be the two-clique cut: $probes")
+    assert(fs.count() == 10)
+    assert(history.map(_._1) == probes.map(_._1).toList,
+      "the returned curve stays (k, llh) in every mode")
+  }
+
+  test("selectKSparse criterion=auto dispatches by the recorded LLH-curve evidence") {
+    val grid = BigClam.logSpacedK(2, 6, 2)
+    var probes = Vector.empty[(Int, Double, Double)]
+    var decided = ""
+    val (k, _, _) = BigClam.selectKSparse(edges, BigClam.Params(k = 2),
+      minK = 2, maxK = 6, steps = 2, fitIterations = 20, llhTol = Some(1e-4),
+      criterion = "auto",
+      criterionProbe = (kk, l, q) => probes = probes :+ ((kk, l, q)),
+      decisionProbe = d => decided = d)
+    assert(probes.forall(p => !p._3.isNaN), "auto must score q for every K")
+    // reconstruct the documented dispatch from the probe record alone:
+    // kTol stop fired (truncated walk) or interior LLH argmax → llh;
+    // boundary-riding monotone curve → modularity
+    val lastK = probes.last._1
+    val llhPick = probes.maxBy(_._2) // first max wins ties, like bestL
+    val stopFired = probes.size < grid.size
+    val expectBy = if (stopFired || llhPick._1 != lastK) "llh" else "modularity"
+    assert(decided == expectBy, s"probes=$probes decided=$decided")
+    val expectK =
+      if (expectBy == "llh") llhPick._1 else probes.maxBy(_._3)._1
+    assert(k == expectK, s"probes=$probes decided=$decided k=$k")
+  }
+
+  test("selectKSparse criterion=llh never pays the modularity pass") {
+    var sawQ = false
+    val (_, _, h) = BigClam.selectKSparse(edges, BigClam.Params(k = 2),
+      minK = 2, maxK = 4, steps = 2, fitIterations = 2,
+      criterionProbe = (_, _, q) => sawQ = sawQ || !q.isNaN)
+    assert(h.nonEmpty && !sawQ, "default criterion must record q as NaN")
+  }
+
   test("fitConverged terminates and improves LLH overall") {
     // NOTE: per-node Armijo acceptance does not guarantee *joint* LLH
     // monotonicity under simultaneous updates — the reference has the same

@@ -222,6 +222,51 @@ class PropertySpec extends AnyFunSuite {
     assert(entries == Map(0 -> 2.5, 2 -> 2.0, 3 -> 0.5))
   }
 
+  test("llhTol fit returns the best measured iterate: LLH(F) = max(history)") {
+    // uncapped fits are pure Armijo ascent → monotone → the max is the
+    // last measure, and every stop path (consecutive rule, stall backstop,
+    // budget) returns exactly that iterate; re-scoring the returned F must
+    // reproduce it (same DECIMAL reduction, float-exact modulo merge order)
+    for ((seed, tol) <- Seq((7, 1e-2), (21, 1e-3), (42, 1e-4))) {
+      val (edges, _, _, _) = fixtures(seed, 10)
+      val (fs, hist) = BigClam.fitSparse(edges, p, iterations = 25,
+        llhTol = Some(tol))
+      val llh = BigClam.llhSparse(edges, fs, p)
+      val best = hist.max
+      assert(math.abs(llh - best) <= 1e-9 * math.max(1.0, math.abs(best)),
+        s"seed=$seed tol=$tol: returned F scores $llh, best measured $best, " +
+          s"hist=$hist")
+    }
+    // capped fits can oscillate around the prune fixpoint; the convergence
+    // rule itself only promises the returned iterate within tol·|best| of
+    // the best measure (a consecutive-delta stop may land on a sub-tol dip)
+    for (seed <- Seq(5, 19)) {
+      val (edges, _, _, _) = fixtures(seed, 10)
+      val tol = 1e-3
+      val (fs, hist) = BigClam.fitSparse(edges, p, iterations = 60,
+        llhTol = Some(tol), supportCap = Some(1))
+      val llh = BigClam.llhSparse(edges, fs, p)
+      val best = hist.max
+      assert(llh >= best - tol * math.abs(best) - 1e-9,
+        s"seed=$seed capped: returned F scores $llh, best measured $best, " +
+          s"hist=$hist")
+    }
+  }
+
+  test("stall backstop off vs on: monotone fits are bit-identical") {
+    for (seed <- Seq(5, 19)) {
+      val (edges, _, _, _) = fixtures(seed, 10)
+      val (fa, ha) = BigClam.fitSparse(edges, p, iterations = 25,
+        llhTol = Some(1e-3))
+      val (fb, hb) = BigClam.fitSparse(edges, p, iterations = 25,
+        llhTol = Some(1e-3), stallWindow = Int.MaxValue)
+      assert(ha == hb, s"seed=$seed: backstop changed the history: $ha vs $hb")
+      val a = fa.orderBy("id").collect().map(_.toString).toSeq
+      val b = fb.orderBy("id").collect().map(_.toString).toSeq
+      assert(a == b, s"seed=$seed: backstop changed F on a monotone fit")
+    }
+  }
+
   test("initSparse matches toSparse(init) row-for-row, incl. hash padding") {
     // k well above the seed count so rankTopSeeds returns fewer than k egos
     // and some nodes take the xxhash64 padding path in both implementations
