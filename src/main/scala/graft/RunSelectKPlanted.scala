@@ -51,7 +51,7 @@ object RunSelectKPlanted {
         "[arms=all — comma list of grid,bar,warm,random,spread,staged," +
         "gridsplit,egosplit,egosplitlpa,egosplitlpa2x,egosplitlpa4x," +
         "egosplitlpanp,egosplitlpa2xnp,egosplitlpa4xnp,oraclepartial," +
-        "oraclepartialnp,alloconly,auto,gridauto," +
+        "oraclepartialnp,alloconly,allocdist,auto,gridauto," +
         "restart,heldout,heldoutsplit; add nodiag to skip the seed-coverage " +
         "and oracle-bar preambles]")
       sys.exit(2)
@@ -481,6 +481,32 @@ object RunSelectKPlanted {
       cover.unpersist()
     }
 
+    // DIAGNOSTIC 9b — DISTRIBUTED-ALLOCATOR parity at scale (round 15 #2):
+    // the same egosplit cover twice — driver greedy (guard raised) vs the
+    // distributed greedy (guard forced to 0) — printing both CoverDiags and
+    // wall. The picks are exact-parity by construction (EgoSplitSpec pins
+    // the sequence); this run RECORDS coverage equality and the cost ratio
+    // at a memberRows scale where the driver path collects in bulk.
+    if (arm("allocdist")) {
+      val spread = GraphOps.rankTopSeedsSpread(
+          GraphOps.seedRank(edges, hotCap), edges, 2 * kStar)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val t1 = System.nanoTime()
+      val (_, dDrv) = GraphOps.egoSplitCover(edges, spread, kStar,
+        maxCollectRows = Long.MaxValue, method = "lpa")
+      val sDrv = (System.nanoTime() - t1) / 1e9
+      println(f"[selectk*] ALLOC driver-greedy: $dDrv ($sDrv%.0f s)")
+      val t2 = System.nanoTime()
+      val (_, dDist) = GraphOps.egoSplitCover(edges, spread, kStar,
+        maxCollectRows = 0L, method = "lpa")
+      val sDist = (System.nanoTime() - t2) / 1e9
+      println(f"[selectk*] ALLOC greedy-dist:   $dDist ($sDist%.0f s)")
+      println(f"[selectk*] ALLOC coverage delta: " +
+        f"${dDist.coveredNodes - dDrv.coveredNodes} nodes " +
+        f"(dist ${dDist.coveredNodes} vs driver ${dDrv.coveredNodes})")
+      spread.unpersist()
+    }
+
     // DIAGNOSTIC 10 — initMode="auto" end-to-end (round 14 #1): the fit
     // must pick the measured-best init for THIS fixture's regime on its
     // own (dense overlapping 10k/100 -> egosplit; sparse 4k/40 -> padded
@@ -494,7 +520,10 @@ object RunSelectKPlanted {
         initProbe = d => {
           picked = d.chosen
           println(s"[selectk*] AUTO init decision: requested=${d.requested} " +
-            s"chosen=${d.chosen} ${d.cover.fold("")(_.toString)}")
+            s"chosen=${d.chosen} egoLlh=${d.egoLlh.getOrElse(Double.NaN)} " +
+            s"splitLlh=${d.splitLlh.getOrElse(Double.NaN)} " +
+            s"abandonedAt=${d.abandonedAtIter.getOrElse(-1)} " +
+            d.cover.fold("")(_.toString))
         })
       println(f"[selectk*] auto-init cold fit (chose $picked, llhTol-stop): " +
         f"${histA.length} LLH points, ${histA.head}%.4e -> ${histA.last}%.4e")

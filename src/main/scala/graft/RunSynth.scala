@@ -27,12 +27,15 @@ object RunSynth {
     if (args.length < 5) {
       System.err.println(
         "usage: RunSynth <nNodes> <nEdges> <K> <maxIterations> <supportCap> " +
-          "[hotDegCap=200] [stableTol — e.g. 0.01 stops at <1% argmax churn]")
+          "[hotDegCap=200] [stableTol — e.g. 0.01 stops at <1% argmax churn] " +
+          "[initMode=ego|egosplit|auto] [llhTol=0 — 0 disables]")
       sys.exit(2)
     }
     val Array(nNodes, nEdges, k, iters, cap) = args.take(5).map(_.toLong)
     val hotCap = args.lift(5).map(_.toLong).getOrElse(200L)
-    val stableTol = args.lift(6).map(_.toDouble)
+    val stableTol = args.lift(6).map(_.toDouble).filter(_ > 0)
+    val initMode = args.lift(7).getOrElse("ego")
+    val llhTol = args.lift(8).map(_.toDouble).filter(_ > 0)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -55,7 +58,13 @@ object RunSynth {
 
     val p = BigClam.Params(k = k.toInt)
     val (fs, history) = BigClam.fitSparse(edges, p, iterations = iters.toInt,
-      ranked = Some(ranked), supportCap = Some(cap.toInt), stableTol = stableTol)
+      ranked = Some(ranked), supportCap = Some(cap.toInt), stableTol = stableTol,
+      llhTol = llhTol, initMode = initMode,
+      initProbe = d => println(s"[synth] init: requested=${d.requested} " +
+        s"chosen=${d.chosen} egoLlh=${d.egoLlh.getOrElse(Double.NaN)} " +
+        s"splitLlh=${d.splitLlh.getOrElse(Double.NaN)} " +
+        s"abandonedAt=${d.abandonedAtIter.getOrElse(-1)} " +
+        d.cover.fold("")(_.toString)))
     val fit = fs.persist(StorageLevel.MEMORY_AND_DISK)
     val supp = fit.agg(
       count(lit(1)).as("rows"),
