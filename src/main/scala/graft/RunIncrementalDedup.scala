@@ -62,6 +62,15 @@ object RunIncrementalDedup {
       println(f"[incdedup] batch $b/$nBatches: ${stats.getLong(0)}%6d docs, " +
         f"${stats.getLong(1)}%5d exact-dup, ${stats.getLong(2)}%5d near-hit, " +
         f"${stats.getLong(3)}%6d accepted ($secs%.1f s)")
+      // round-15 audit of the min-anchor ceiling's blind spot: a batch that
+      // IS one giant near-family (>50% of survivors) sails through the
+      // keep decision — flag it here so it is at least VISIBLE. Diagnostic
+      // only; decisions above are already persisted.
+      val cd = IncrementalDedup.ceilingDiag(batch, state)
+      if (cd.overCeilingShingles > 0)
+        println(s"[incdedup] batch $b ceiling audit: $cd" +
+          (if (cd.flagged) "  <- AUDIT: probable giant near-family accepted"
+           else ""))
       dec.unpersist()
     }
 
