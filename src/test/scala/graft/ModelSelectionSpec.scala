@@ -262,6 +262,31 @@ class ModelSelectionSpec extends AnyFunSuite {
     assert(k == expectK, s"probes=$probes decided=$decided k=$k")
   }
 
+  test("selectKSparse criterion=auto on a hub-dominated power-law micro graph") {
+    // the organic regime in miniature: a deterministic power-law graph
+    // with no planted K. Whatever the LLH curve does here is itself
+    // deterministic — the test pins that the dispatch follows the
+    // documented rule for THIS curve (and on hub-dominated graphs that is
+    // typically the boundary-riding branch, i.e. the modularity pick)
+    val pl = GraphOps.symEdges(
+      graft.graph.GraphGen.powerLawEdges(s, 300, 900)).cache()
+    val grid = BigClam.logSpacedK(2, 8, 2)
+    var probes = Vector.empty[(Int, Double, Double)]
+    var decided = ""
+    val (k, _, _) = BigClam.selectKSparse(pl, BigClam.Params(k = 2),
+      minK = 2, maxK = 8, steps = 2, fitIterations = 25, llhTol = Some(1e-4),
+      supportCap = Some(4), criterion = "auto",
+      criterionProbe = (kk, l, q) => probes = probes :+ ((kk, l, q)),
+      decisionProbe = d => decided = d)
+    val lastK = probes.last._1
+    val llhPick = probes.maxBy(_._2)
+    val stopFired = probes.size < grid.size
+    val expectBy = if (stopFired || llhPick._1 != lastK) "llh" else "modularity"
+    assert(decided == expectBy, s"probes=$probes decided=$decided")
+    val expectK = if (expectBy == "llh") llhPick._1 else probes.maxBy(_._3)._1
+    assert(k == expectK, s"probes=$probes decided=$decided k=$k")
+  }
+
   test("selectKSparse criterion=llh never pays the modularity pass") {
     var sawQ = false
     val (_, _, h) = BigClam.selectKSparse(edges, BigClam.Params(k = 2),
