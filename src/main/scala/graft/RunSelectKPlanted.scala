@@ -51,7 +51,7 @@ object RunSelectKPlanted {
         "[arms=all — comma list of grid,bar,warm,random,spread,staged," +
         "gridsplit,egosplit,egosplitlpa,egosplitlpa2x,egosplitlpa4x," +
         "egosplitlpanp,egosplitlpa2xnp,egosplitlpa4xnp,oraclepartial," +
-        "oraclepartialnp,alloconly,allocdist,auto,gridauto," +
+        "oraclepartialnp,alloconly,allocdist,auto,gridauto,gridautomem," +
         "restart,heldout,heldoutsplit; add nodiag to skip the seed-coverage " +
         "and oracle-bar preambles]")
       sys.exit(2)
@@ -176,14 +176,14 @@ object RunSelectKPlanted {
     //     round-13 "done" criterion is an INTERIOR LLH peak at/near K* —
     //     the padded walk always picked the grid floor because every
     //     large-K fit collapsed.
-    def gridArm(im: String): Unit = {
+    def gridArm(im: String, raceMemory: Boolean = false): Unit = {
       val (bk, bestF, grid) = BigClam.selectKSparse(edges,
         BigClam.Params(k = minK), minK = minK, maxK = maxK, steps = steps,
         kTol = 0.0, fitIterations = iters, supportCap = Some(cap),
         stableTol = None, hotDegCap = hotCap, llhTol = llhTol,
-        initMode = im,
+        initMode = im, raceMemory = raceMemory,
         initProbe = d => println(s"[selectk*]   grid($im) init: " +
-          s"chosen=${d.chosen}" +
+          s"requested=${d.requested} chosen=${d.chosen}" +
           d.egoLlh.fold("")(e => f" egoLlh=$e%.4e") +
           d.splitLlh.fold("")(sp => f" splitLlh=$sp%.4e")))
       println(f"[selectk*] $im grid walked in $secs%.0f s:")
@@ -200,6 +200,9 @@ object RunSelectKPlanted {
     // the fully-unattended v4 capability: K-grid walk where every grid
     // point also selects its own init by the final-LLH race
     if (arm("gridauto")) gridArm("auto")
+    // gridauto + race memory: skip re-racing once two consecutive
+    // decisive same-side verdicts have been recorded (round 15)
+    if (arm("gridautomem")) gridArm("auto", raceMemory = true)
 
     // 3. two K* bars:
     //    (a) the ACHIEVABLE bar — a K=K* fit under the membership-churn

@@ -273,6 +273,49 @@ object BigClam {
     }
   }
 
+  /** Race-memory policy for ascending-K grid walks (round 15, opt-in via
+    * `selectKSparse(raceMemory = true)`): once the per-K `auto` race has
+    * returned [[Window]] CONSECUTIVE decisive verdicts for the SAME init —
+    * decisive = the loser's LLH magnitude exceeds the winner's by
+    * [[DecisiveRatio]]× — subsequent grid points skip the race and fit the
+    * remembered winner directly. Rationale, measured on the 10k/K*=100
+    * grid: the only regime flip ever observed is at the LOW-K grid floor
+    * (coarse optima tie and ego wins by a hair — a ratio ≈ 1.0 verdict
+    * that is NOT decisive and never arms the memory); from K=50 up the
+    * egosplit side wins by 2.4-5.5×, monotonically more decisively, so two
+    * consecutive ≥1.5× verdicts in an ASCENDING walk are past the flip by
+    * construction. Close verdicts reset nothing and never arm: a grid
+    * whose races stay tight keeps racing every point. */
+  final class RaceMemory(decisiveRatio: Double = RaceMemory.DecisiveRatio,
+      window: Int = RaceMemory.Window) {
+    private var side = Option.empty[String]
+    private var streak = 0
+    private var armed = Option.empty[String]
+    /** Feed one completed race's [[InitDiag]]; non-race diags are ignored. */
+    def observe(d: InitDiag): Unit = if (armed.isEmpty) {
+      (d.egoLlh, d.splitLlh) match {
+        case (Some(e), Some(sp)) =>
+          val (w, wl, ll) =
+            if (sp >= e) ("egosplit", sp, e) else ("ego", e, sp)
+          val decisive = math.abs(ll) >= decisiveRatio * math.abs(wl)
+          if (decisive && side.contains(w)) streak += 1
+          else if (decisive) { side = Some(w); streak = 1 }
+          else { side = None; streak = 0 }
+          if (streak >= window) armed = Some(w)
+        case _ => ()
+      }
+    }
+    /** The remembered winner once armed — fit this init, skip the race. */
+    def sticky: Option[String] = armed
+  }
+  object RaceMemory {
+    /** Loser magnitude ≥ 1.5× winner = decisive: every recorded regime-flip
+      * tie sits within 0.5% (ratio ≈ 1.005) and every recorded one-sided
+      * race at 2.4× or beyond — an order of magnitude of separation. */
+    val DecisiveRatio = 1.5
+    val Window = 2
+  }
+
   /** Stall window for the llhTol stop rule — see the fitSparse loop
     * comment: consecutive-delta convergence cannot see a prune-fixpoint
     * OSCILLATION (every delta above tol, no net gain); after this many
@@ -1045,6 +1088,9 @@ object BigClam {
     *    wins. `decisionProbe` receives "llh" or "modularity".
     * `criterionProbe` fires per evaluated K with (k, llh, q) — q is NaN
     * under `criterion="llh"`, which skips the per-K modularity pass.
+    * `raceMemory` (opt-in, initMode="auto" only) arms [[RaceMemory]]: after
+    * two consecutive decisive (≥1.5×) same-side race verdicts, later grid
+    * points fit the remembered winner directly instead of re-racing.
     * Retention: one current F plus one best-so-far per active criterion
     * (≤ 3 alive under "auto"; `retainedProbe` reports the live count).
     * The returned curve stays (k, final LLH) in every mode. */
@@ -1058,10 +1104,13 @@ object BigClam {
       initProbe: InitDiag => Unit = _ => (),
       criterion: String = "llh",
       criterionProbe: (Int, Double, Double) => Unit = (_, _, _) => (),
-      decisionProbe: String => Unit = _ => ()): (Int, DataFrame, Seq[(Int, Double)]) = {
+      decisionProbe: String => Unit = _ => (),
+      raceMemory: Boolean = false): (Int, DataFrame, Seq[(Int, Double)]) = {
     requireEdges(edges)
     require(Set("llh", "modularity", "auto")(criterion),
       s"criterion must be llh, modularity or auto, got $criterion")
+    require(!raceMemory || initMode == "auto",
+      "raceMemory only applies to initMode=auto")
     val grid = logSpacedK(minK, maxK, steps)
     val ranked = GraphOps.seedRank(edges, hotDegCap).persist(StorageLevel.MEMORY_AND_DISK)
     val needQ = criterion != "llh"
@@ -1072,10 +1121,18 @@ object BigClam {
     var prevLlh = Option.empty[Double]
     var stop = false
     var kTolFired = false
+    val mem = new RaceMemory()
     for (k <- grid if !stop) {
+      // race memory (opt-in): after two consecutive decisive same-side
+      // verdicts in this ascending walk, fit the remembered winner
+      // directly — the skipped race's ~30-45 loser-leg iterations were
+      // pure confirmation of a verdict already measured twice
+      val im = if (raceMemory) mem.sticky.getOrElse(initMode) else initMode
+      val probe: InitDiag => Unit =
+        if (raceMemory) { d => mem.observe(d); initProbe(d) } else initProbe
       val (fs, hist) = fitSparse(edges, base.copy(k = k), fitIterations,
         ranked = Some(ranked), supportCap = supportCap, stableTol = stableTol,
-        llhTol = llhTol, initMode = initMode, initProbe = initProbe)
+        llhTol = llhTol, initMode = im, initProbe = probe)
       val llh = hist.last
       val q = if (needQ) {
         // one modularity pass over the fitted argmax partition: two label

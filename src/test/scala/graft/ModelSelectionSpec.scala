@@ -287,6 +287,39 @@ class ModelSelectionSpec extends AnyFunSuite {
     assert(k == expectK, s"probes=$probes decided=$decided k=$k")
   }
 
+  test("RaceMemory arms only on consecutive decisive same-side verdicts") {
+    def diag(ego: Double, split: Double) =
+      BigClam.InitDiag("auto", if (split >= ego) "egosplit" else "ego", None,
+        egoLlh = Some(ego), splitLlh = Some(split))
+    val m = new BigClam.RaceMemory()
+    m.observe(diag(-1.00e6, -1.005e6)) // grid-floor tie (0.5%): not decisive
+    assert(m.sticky.isEmpty)
+    m.observe(diag(-5e6, -2e6)) // egosplit decisive #1
+    assert(m.sticky.isEmpty)
+    m.observe(diag(-1.001e6, -1.0e6)) // close verdict resets the streak
+    m.observe(diag(-5e6, -2e6)) // decisive #1 again
+    assert(m.sticky.isEmpty, "a reset streak must need two fresh verdicts")
+    m.observe(diag(-6e6, -2.2e6)) // decisive #2 -> armed
+    assert(m.sticky.contains("egosplit"))
+    m.observe(diag(-1e6, -9e6)) // armed is permanent within a walk
+    assert(m.sticky.contains("egosplit"))
+    // opposite-side decisive verdicts never accumulate into one streak
+    val m2 = new BigClam.RaceMemory()
+    m2.observe(diag(-5e6, -2e6))
+    m2.observe(diag(-2e6, -5e6))
+    m2.observe(diag(-5e6, -2e6))
+    assert(m2.sticky.isEmpty)
+    // non-race diags (manual init paths) are ignored
+    val m3 = new BigClam.RaceMemory()
+    m3.observe(BigClam.InitDiag("ego", "ego", None))
+    assert(m3.sticky.isEmpty)
+    // raceMemory demands the auto dispatch
+    intercept[IllegalArgumentException] {
+      BigClam.selectKSparse(edges, BigClam.Params(k = 2), minK = 2, maxK = 4,
+        steps = 1, raceMemory = true)
+    }
+  }
+
   test("selectKSparse criterion=llh never pays the modularity pass") {
     var sawQ = false
     val (_, _, h) = BigClam.selectKSparse(edges, BigClam.Params(k = 2),
