@@ -19,6 +19,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val only = args.toSet
+    // wipe guard (round-16 item 5): the driver wipes target/ between rounds
+    // and leaves STUB classes whose query map is empty — a "fresh-boot"
+    // bench against them prints total 0.0 s and the pair is silently lost
+    // (the round-15 fresh pair died exactly this way, README "fresh-boot
+    // pair"). An empty map can never be a real benchmark: abort loudly
+    // BEFORE starting a session so the caller recompiles first.
+    if (SparkEntry.queries.isEmpty) {
+      System.err.println("BENCH ABORT: SparkEntry.queries is empty — " +
+        "target/ holds the driver's stub classes, not the compiled " +
+        "library. Run `sbt -batch compile` first, then re-run the bench.")
+      sys.exit(3)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -10,13 +10,18 @@ import graft.ops.IncrementalDedup
   * sequence), each batch deduping against the parquet index the previous
   * batches persisted, never against re-read historical text.
   *
-  *   runMain graft.RunIncrementalDedup <sfDir> <stateDir> <nBatches> [batchIdx]
+  *   runMain graft.RunIncrementalDedup <sfDir> <stateDir> <nBatches> \
+  *     [batchIdx] [--audit]
   *
   * With `batchIdx` given, processes exactly that batch against whatever
   * state `stateDir` holds — run 0, then 1, ... as separate processes to
   * demonstrate state survival across JVMs. Without it, runs every batch in
-  * order in one process. After the FINAL batch (either mode), audits the
-  * accumulated decisions:
+  * order in one process. `--audit` turns on the per-batch giant-near-family
+  * ceiling audit (processBatch(audit = true) — computed from the batch's
+  * own PRE-append frames, so the just-appended state can never feed the
+  * audit its own hashes; roughly one extra survivor-count job plus the
+  * sampled melts per batch). After the FINAL batch (either mode), audits
+  * the accumulated decisions:
   *   (1) every corpus doc has exactly one decision row;
   *   (2) kept docs' md5s are globally UNIQUE — batch k can never re-accept
   *       content batch j<k accepted (the cross-JVM state-correctness bit);
@@ -26,15 +31,17 @@ import graft.ops.IncrementalDedup
   */
 object RunIncrementalDedup {
   def main(args: Array[String]): Unit = {
-    if (args.length < 3) {
+    val audit = args.contains("--audit")
+    val pos = args.filterNot(_ == "--audit")
+    if (pos.length < 3) {
       System.err.println("usage: RunIncrementalDedup <sfDir> <stateDir> " +
-        "<nBatches> [batchIdx]")
+        "<nBatches> [batchIdx] [--audit]")
       sys.exit(2)
     }
-    val d = args(0)
-    val stateDir = args(1)
-    val nBatches = args(2).toInt
-    val only = args.lift(3).map(_.toInt)
+    val d = pos(0)
+    val stateDir = pos(1)
+    val nBatches = pos(2).toInt
+    val only = pos.lift(3).map(_.toInt)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -51,7 +58,13 @@ object RunIncrementalDedup {
     def runBatch(b: Int): Unit = {
       val batch = docs.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b)
       val state = IncrementalDedup.loadState(spark, stateDir)
-      val r = IncrementalDedup.processBatch(batch, state)
+      // audit (opt-in): processBatch computes the ceiling diag EAGERLY from
+      // its own pre-append frames and hands back plain longs — by the time
+      // appendState below has re-listed the state dirs, the audit is done,
+      // so it can never see the batch's own just-appended hashes (the
+      // round-16 ordering fix; the old post-append ceilingDiag call flipped
+      // every accepted survivor to exact-dup and silently never flagged)
+      val r = IncrementalDedup.processBatch(batch, state, audit = audit)
       // one materialization; the three writes below reuse it
       val dec = r.decisions
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -62,15 +75,12 @@ object RunIncrementalDedup {
       println(f"[incdedup] batch $b/$nBatches: ${stats.getLong(0)}%6d docs, " +
         f"${stats.getLong(1)}%5d exact-dup, ${stats.getLong(2)}%5d near-hit, " +
         f"${stats.getLong(3)}%6d accepted ($secs%.1f s)")
-      // round-15 audit of the min-anchor ceiling's blind spot: a batch that
-      // IS one giant near-family (>50% of survivors) sails through the
-      // keep decision — flag it here so it is at least VISIBLE. Diagnostic
-      // only; decisions above are already persisted.
-      val cd = IncrementalDedup.ceilingDiag(batch, state)
-      if (cd.overCeilingShingles > 0)
-        println(s"[incdedup] batch $b ceiling audit: $cd" +
-          (if (cd.flagged) "  <- AUDIT: probable giant near-family accepted"
-           else ""))
+      r.ceiling.foreach { cd =>
+        if (cd.overCeilingShingles > 0)
+          println(s"[incdedup] batch $b ceiling audit: $cd" +
+            (if (cd.flagged) "  <- AUDIT: probable giant near-family accepted"
+             else ""))
+      }
       dec.unpersist()
     }
 

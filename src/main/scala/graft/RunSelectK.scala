@@ -28,7 +28,8 @@ object RunSelectK {
         "[heldFrac=0 — >0 runs the HELD-OUT sparse walk instead] " +
         "[modwalk=0 — 1 walks the grid printing fitted-argmax MODULARITY " +
         "per K instead of selecting] [initMode=ego|egosplit|auto] " +
-        "[criterion=llh|modularity|auto — sparse selection walk only]")
+        "[criterion=llh|modularity|auto — sparse selection walk only] " +
+        "[raceMemory=0|1 — initMode=auto selection walk only]")
       sys.exit(2)
     }
     val Array(path, minK, maxK, steps, iters) = args.take(5)
@@ -45,6 +46,7 @@ object RunSelectK {
     val modwalk = args.lift(10).contains("1")
     val initMode = args.lift(11).getOrElse("ego")
     val criterion = args.lift(12).getOrElse("llh")
+    val raceMemory = args.lift(13).contains("1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -126,10 +128,19 @@ object RunSelectK {
             fitIterations = iters.toInt, supportCap = supportCap,
             stableTol = stableTol, hotDegCap = hotDegCap, llhTol = llhTol,
             initMode = initMode, criterion = criterion,
+            // per-grid-point init provenance: which init was requested vs
+            // chosen (race or memory), both race LLHs, where the loser was
+            // abandoned — the capstone walk's audit trail
+            initProbe = d => println(s"[selectk]   init: " +
+              s"requested=${d.requested} chosen=${d.chosen} " +
+              s"egoLlh=${d.egoLlh.getOrElse(Double.NaN)} " +
+              s"splitLlh=${d.splitLlh.getOrElse(Double.NaN)} " +
+              s"abandonedAt=${d.abandonedAtIter.getOrElse(-1)}"),
             criterionProbe = (k, llh, q) => println(
               f"[selectk]   K=$k%-6d llh=$llh%.4e" +
                 (if (q.isNaN) "" else f" q=$q%.4f")),
-            decisionProbe = d => decidedBy = d)
+            decisionProbe = d => decidedBy = d,
+            raceMemory = raceMemory)
         else
           BigClam.selectK(edges, BigClam.Params(k = minK.toInt),
             minK = minK.toInt, maxK = maxK.toInt, steps = steps.toInt,

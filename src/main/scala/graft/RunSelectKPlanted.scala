@@ -494,6 +494,15 @@ object RunSelectKPlanted {
       val spread = GraphOps.rankTopSeedsSpread(
           GraphOps.seedRank(edges, hotCap), edges, 2 * kStar)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // leg 0 (round 16 #2): the NATURAL dispatch — default 8M guard, no
+      // forcing. On a cover genuinely past the guard this must read
+      // allocator=greedy-dist with AllocDiag (rounds, max batch rows,
+      // overshoots) recorded; below it, allocator=greedy.
+      val t0n = System.nanoTime()
+      val (_, dNat) = GraphOps.egoSplitCover(edges, spread, kStar,
+        method = "lpa")
+      val sNat = (System.nanoTime() - t0n) / 1e9
+      println(f"[selectk*] ALLOC natural:       $dNat ($sNat%.0f s)")
       val t1 = System.nanoTime()
       val (_, dDrv) = GraphOps.egoSplitCover(edges, spread, kStar,
         maxCollectRows = Long.MaxValue, method = "lpa")
@@ -506,7 +515,8 @@ object RunSelectKPlanted {
       println(f"[selectk*] ALLOC greedy-dist:   $dDist ($sDist%.0f s)")
       println(f"[selectk*] ALLOC coverage delta: " +
         f"${dDist.coveredNodes - dDrv.coveredNodes} nodes " +
-        f"(dist ${dDist.coveredNodes} vs driver ${dDrv.coveredNodes})")
+        f"(dist ${dDist.coveredNodes} vs driver ${dDrv.coveredNodes}); " +
+        f"natural-vs-driver ${dNat.coveredNodes - dDrv.coveredNodes}")
       spread.unpersist()
     }
 

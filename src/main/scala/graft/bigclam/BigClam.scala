@@ -316,6 +316,17 @@ object BigClam {
     val Window = 2
   }
 
+  /** Elbow-vs-saturation threshold for the `criterion="auto"` dispatch
+    * when the kTol stop fires: the stop is elbow evidence only if the
+    * firing gain collapsed to ≤ this fraction of the previous gain.
+    * Calibration (recorded curves): the planted 10k/K*=100 knee collapses
+    * 0.225 → 0.0105 (ratio 0.047); the organic 200k curve's consecutive
+    * gains sit at 0.1265 → 0.1208 (ratio 0.955), and any smooth geometric
+    * decay crosses a kTol stop at its per-step ratio (≥ ~0.5). 0.2 sits
+    * an order of magnitude above the measured collapse and well below
+    * smooth decay. */
+  private[graft] val ElbowCollapseRatio = 0.2
+
   /** Stall window for the llhTol stop rule — see the fitSparse loop
     * comment: consecutive-delta convergence cannot see a prune-fixpoint
     * OSCILLATION (every delta above tol, no net gain); after this many
@@ -1081,11 +1092,16 @@ object BigClam {
     *    natural scale (the 200k organic fixture: interior q peak at K=200
     *    against monotone LLH).
     *  - `"auto"`: walk with the kTol stop armed and score BOTH signals per
-    *    K; decide at the end — if the LLH curve elbowed (the kTol stop
-    *    fired) or its argmax is interior to the evaluated grid, LLH
-    *    discriminates and its argmax wins; otherwise the curve is
-    *    boundary-picking (the organic signature) and the modularity argmax
-    *    wins. `decisionProbe` receives "llh" or "modularity".
+    *    K; decide at the end — if the LLH argmax is interior to the
+    *    evaluated grid, or the kTol stop fired on a gain COLLAPSE (the
+    *    firing gain ≤ [[ElbowCollapseRatio]] × the previous gain — a true
+    *    elbow, not the tail of a smooth decay), LLH discriminates and its
+    *    argmax wins; otherwise the curve is boundary-riding monotone (the
+    *    organic signature — including a SATURATING monotone whose smoothly
+    *    decaying gains eventually cross kTol, the round-15 ADVICE case)
+    *    and the modularity argmax wins. A fire with no prior gain (second
+    *    grid point) carries no shape evidence and goes to modularity.
+    *    `decisionProbe` receives "llh" or "modularity".
     * `criterionProbe` fires per evaluated K with (k, llh, q) — q is NaN
     * under `criterion="llh"`, which skips the per-K modularity pass.
     * `raceMemory` (opt-in, initMode="auto" only) arms [[RaceMemory]]: after
@@ -1121,6 +1137,8 @@ object BigClam {
     var prevLlh = Option.empty[Double]
     var stop = false
     var kTolFired = false
+    var lastGain = Option.empty[Double]
+    var fireCollapse = false
     val mem = new RaceMemory()
     for (k <- grid if !stop) {
       // race memory (opt-in): after two consecutive decisive same-side
@@ -1145,7 +1163,17 @@ object BigClam {
       criterionProbe(k, llh, q)
       if (kTolArmed) {
         prevLlh.foreach { pl =>
-          if (math.abs(1.0 - llh / pl) < kTol) { stop = true; kTolFired = true }
+          val g = math.abs(1.0 - llh / pl)
+          if (g < kTol) {
+            stop = true; kTolFired = true
+            // elbow vs saturation shape evidence for the auto dispatch: a
+            // planted knee COLLAPSES the gain (recorded 10k/K*=100 curve:
+            // 0.225 -> 0.0105, ratio 0.047), a saturating organic curve
+            // decays smoothly into the stop (recorded 200k organic:
+            // consecutive gains 0.1265 -> 0.1208, ratio 0.955)
+            fireCollapse = lastGain.exists(pg => g <= ElbowCollapseRatio * pg)
+          }
+          lastGain = Some(g)
         }
         prevLlh = Some(llh)
       }
@@ -1159,13 +1187,18 @@ object BigClam {
       case "llh" => "llh"
       case "modularity" => "modularity"
       case "auto" =>
-        // elbow evidence: the reference's relative-gain stop fired, or the
-        // LLH argmax sits strictly inside the evaluated grid — either means
-        // raw LLH discriminates K and stays the selection signal (planted
-        // regime); a boundary-riding monotone curve is the organic
-        // signature, where modularity is the capacity-penalized instrument
+        // elbow evidence: the LLH argmax sits strictly inside the evaluated
+        // grid, or the reference's relative-gain stop fired on a gain
+        // COLLAPSE — either means raw LLH discriminates K and stays the
+        // selection signal (planted regime). A boundary-riding monotone
+        // curve is the organic signature — and a SATURATING monotone that
+        // smoothly decays into the kTol stop is the same regime (round-15
+        // ADVICE: kTolFired alone also fires there, and routing it to LLH
+        // would pick the stop boundary instead of the modularity peak) —
+        // where modularity is the capacity-penalized instrument.
         val lastEvaluatedK = evals.head._1
-        if (kTolFired || bestL.exists(_._1 != lastEvaluatedK)) "llh"
+        if (bestL.exists(_._1 != lastEvaluatedK) || (kTolFired && fireCollapse))
+          "llh"
         else "modularity"
     }
     decisionProbe(decidedBy)

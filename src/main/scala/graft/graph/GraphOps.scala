@@ -461,14 +461,30 @@ object GraphOps {
     * sparse covers don't); `memberRows` is what the collect guard saw. */
   case class CoverDiag(allocator: String, picked: Int, k: Int,
       coveredNodes: Long, seeds: Long, personas: Long,
-      multiPersonaSeeds: Long, memberRows: Long) {
+      multiPersonaSeeds: Long, memberRows: Long,
+      alloc: Option[AllocDiag] = None) {
     def multiPersonaFrac: Double =
       if (seeds == 0L) 0.0 else multiPersonaSeeds.toDouble / seeds
     override def toString: String =
       f"CoverDiag(allocator=$allocator, picked=$picked/$k, " +
         f"coveredNodes=$coveredNodes, seeds=$seeds, personas=$personas, " +
         f"multiPersonaSeeds=$multiPersonaSeeds (frac=$multiPersonaFrac%.3f), " +
-        f"memberRows=$memberRows)"
+        f"memberRows=$memberRows" +
+        alloc.map(a => s", $a").getOrElse("") + ")"
+  }
+
+  /** Per-run diagnostics of [[greedyAllocDistributed]], riding on
+    * [[CoverDiag.alloc]] when that path ran: `rounds` outer batched-greedy
+    * rounds; `maxBatchRows` the largest restricted-member batch any round
+    * collected (computed driver-side from the candidate gains — per
+    * persona, restricted rows = marginal gain — so the guard costs no
+    * extra job); `overshootRounds` rounds where the batch exceeded
+    * `batchRowBudget` via the rank-1 escape hatch. */
+  case class AllocDiag(rounds: Int, maxBatchRows: Long,
+      overshootRounds: Int) {
+    override def toString: String =
+      s"AllocDiag(rounds=$rounds, maxBatchRows=$maxBatchRows, " +
+        s"overshootRounds=$overshootRounds)"
   }
 
   /** Allocate `k` init columns over ego-split personas: a (c, member) cover
@@ -548,7 +564,8 @@ object GraphOps {
     val (nSeeds, nPersonas, nMulti) =
       (splitStats.getLong(0), splitStats.getLong(1), splitStats.getLong(2))
     val memberRows = members.count()
-    val (chosen: DataFrame, allocator: String, coveredGreedy: Option[Long]) =
+    val (chosen: DataFrame, allocator: String, coveredGreedy: Option[Long],
+        allocDiag: Option[AllocDiag]) =
       if (memberRows > maxCollectRows) {
         // round-15 item 2: past the guard the allocation used to degrade to
         // rank order, forfeiting the greedy coverage property (measured
@@ -558,8 +575,8 @@ object GraphOps {
         System.err.println(s"[egoSplitCover] persona membership " +
           s"($memberRows rows) exceeds $maxCollectRows; running the " +
           s"distributed greedy allocator")
-        val (picks, coveredCount) = greedyAllocDistributed(members, keys, k)
-        (picks, "greedy-dist", Some(coveredCount))
+        val (picks, coveredCount, ad) = greedyAllocDistributed(members, keys, k)
+        (picks, "greedy-dist", Some(coveredCount), Some(ad))
       } else {
         val memRows = members.collect()
           .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1)))
@@ -587,7 +604,8 @@ object GraphOps {
             memRows.get(key).foreach(_.foreach(covered += _))
           } else pq.enqueue((gain, idx))
         }
-        (picked.toSeq.toDF("seed", "comp", "c"), "greedy", Some(covered.size.toLong))
+        (picked.toSeq.toDF("seed", "comp", "c"), "greedy",
+          Some(covered.size.toLong), None)
       }
     val nPicked = chosen.count()
     val out = cutLineage(members.join(broadcast(chosen), Seq("seed", "comp"))
@@ -596,7 +614,7 @@ object GraphOps {
     val coveredNodes = coveredGreedy.getOrElse(
       out.agg(countDistinct(col("member"))).collect()(0).getLong(0))
     (out, CoverDiag(allocator, nPicked.toInt, k, coveredNodes,
-      nSeeds, nPersonas, nMulti, memberRows))
+      nSeeds, nPersonas, nMulti, memberRows, allocDiag))
   }
 
   /** Distributed greedy max-coverage allocation — the past-the-collect-guard
@@ -631,10 +649,22 @@ object GraphOps {
     * pool-sized sort window (persona KEYS, not members) + one ≤ budget
     * collect — the same per-round shape as the iterative graph fixpoints,
     * linear in postings. Driver state: the ≤ k picks and one batch of
-    * restricted member rows. */
+    * restricted member rows. θ is read off the SAME windowed pass that
+    * builds the batch (the windowed pool-sized frame is checkpointed once
+    * and the max excluded gain is the first row past the cum cutoff —
+    * gains are sorted desc, so no second |members|-row aggregation).
+    *
+    * ESCAPE HATCH: the rank-1 candidate is collected regardless of
+    * `batchRowBudget` (`ord === 1` bypasses the cum filter) — without it a
+    * single persona whose uncovered membership alone exceeds the budget
+    * would deadlock the round. The "≤ budget" bound above is therefore
+    * soft at the first candidate; overshoot is detected driver-side
+    * before the collect (per persona, restricted rows = marginal gain, so
+    * the batch size is the sum of collected candidates' gains — no extra
+    * job), WARNed, and recorded in the returned [[AllocDiag]]. */
   private[graft] def greedyAllocDistributed(members: DataFrame,
       keys: DataFrame, k: Int,
-      batchRowBudget: Long = 2000000L): (DataFrame, Long) = {
+      batchRowBudget: Long = 2000000L): (DataFrame, Long, AllocDiag) = {
     val s = members.sparkSession
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
@@ -648,7 +678,11 @@ object GraphOps {
     var covered = cutLineage(Seq.empty[Long].toDF("u"))
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
     var exhausted = false
+    var rounds = 0
+    var maxBatchRows = 0L
+    var overshootRounds = 0
     while (picked.length < k && !exhausted) {
+      rounds += 1
       val pickedDF = broadcast(
         picked.map(p => (p._1, p._2)).toSeq.toDF("seed", "comp"))
       // marginal gain of every unpicked persona vs the covered set; the
@@ -660,22 +694,41 @@ object GraphOps {
         .agg(sum(when(col("cov").isNull, 1L).otherwise(0L)).as("gain"))
         .join(rankedKeys, Seq("seed", "comp"))
       val ordW = W.orderBy(col("gain").desc, col("ri"))
-      val cand = gains
+      // one checkpointed pool-sized windowed pass feeds BOTH the candidate
+      // batch and θ: cum is monotone in ord (sz >= 1), so the excluded set
+      // is a contiguous suffix and its max gain — gains sorted desc — is
+      // the FIRST excluded row's gain. The old left_anti + max re-ran the
+      // full |members|-row gain aggregation a second time per round.
+      val windowed = gains
         .withColumn("ord", row_number().over(ordW))
         .withColumn("cum", sum(col("sz")).over(ordW))
+        .localCheckpoint(true) // read three times below
+      val cand = windowed
         .filter(col("ord") === 1 || col("cum") <= batchRowBudget)
         .select(col("seed"), col("comp"), col("gain"), col("ri"))
-        .localCheckpoint(true) // read three times below
       val candKeys = cand.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
         .sortBy(_._4)
       if (candKeys.isEmpty) exhausted = true
       else {
-        val thetaRow = gains
-          .join(cand.select(col("seed"), col("comp")), Seq("seed", "comp"),
-            "left_anti")
-          .agg(max(col("gain"))).collect()(0)
-        val theta = if (thetaRow.isNullAt(0)) -1L else thetaRow.getLong(0)
+        val thetaRow = windowed
+          .filter(col("ord") =!= 1 && col("cum") > batchRowBudget)
+          .orderBy(col("ord"))
+          .select(col("gain")).limit(1).collect()
+        val theta = if (thetaRow.isEmpty) -1L else thetaRow(0).getLong(0)
+        // budget guard (no job: per persona, restricted rows = gain). The
+        // rank-1 hatch is the only way past the budget — cum uses FULL
+        // persona size sz >= restricted gain, so cum <= budget rows
+        // cannot overshoot.
+        val batchRows = candKeys.iterator.map(_._3).sum
+        if (batchRows > maxBatchRows) maxBatchRows = batchRows
+        if (batchRows > batchRowBudget) {
+          overshootRounds += 1
+          System.err.println(s"[greedyAllocDistributed] round $rounds: " +
+            s"rank-1 candidate's restricted membership ($batchRows rows) " +
+            s"exceeds batchRowBudget=$batchRowBudget; collecting it anyway " +
+            s"(the escape hatch — a round must advance)")
+        }
         val restricted = mem
           .join(broadcast(cand.select(col("seed"), col("comp"))),
             Seq("seed", "comp"), "left_semi")
@@ -712,7 +765,8 @@ object GraphOps {
       }
     }
     val coveredCount = covered.count()
-    (picked.toSeq.toDF("seed", "comp", "c"), coveredCount)
+    (picked.toSeq.toDF("seed", "comp", "c"), coveredCount,
+      AllocDiag(rounds, maxBatchRows, overshootRounds))
   }
 
   def q_graph_seed_rank(s: SparkSession, d: String): DataFrame =

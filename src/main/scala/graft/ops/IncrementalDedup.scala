@@ -52,9 +52,13 @@ object IncrementalDedup {
   /** Per-doc batch decisions plus the state delta the caller appends on
     * accept: `decisions` one row per batch doc (doc_id, is_exact_dup,
     * n_near, keep); `acceptedHashes`/`acceptedPostings` cover exactly the
-    * keep=1 docs. */
+    * keep=1 docs. `ceiling` is the giant-near-family audit, present only
+    * when [[processBatch]] ran with `audit = true`; it is MATERIALIZED
+    * (plain longs) at processBatch time — i.e. against the pre-append
+    * state — so a caller may append first and read the diag after without
+    * the audit ever seeing the batch's own accepted hashes. */
   case class BatchResult(decisions: DataFrame, acceptedHashes: DataFrame,
-      acceptedPostings: DataFrame)
+      acceptedPostings: DataFrame, ceiling: Option[CeilingDiag] = None)
 
   def emptyState(s: SparkSession): State = {
     import s.implicits._
@@ -99,20 +103,6 @@ object IncrementalDedup {
     dcs.write.mode("append").parquet(s"$dir/decisions")
   }
 
-  /** Process one batch of (doc_id, text) against the index. Pure plan
-    * construction — nothing here runs a job; the caller materializes (and
-    * at scale should localCheckpoint/persist `decisions` before writing the
-    * three outputs, which share it).
-    *
-    * PRECONDITION: doc_ids are globally unique across every batch ever
-    * processed against this state — the Jaccard melt fetches posting lists
-    * by doc_id, so a batch doc_id colliding with an indexed one merges two
-    * documents' shingle sets. There is NO defensive dedup of the combined
-    * postings (round 14 removed the (shingle, doc_id) distinct — it cost a
-    * full shuffle of the accepted-corpus postings every batch for a case
-    * the contract excludes), so a colliding id now yields double-counted
-    * posting rows in the Jaccard melt: |A|+|B| and the per-shingle counts
-    * are both wrong for that id, not merely computed over a merged set. */
   /** Exact-dedup phase shared by [[processBatch]] and [[ceilingDiag]]:
     * (hashed batch, exact-dup doc ids, exact survivors). */
   private def exactPhase(batch: DataFrame,
@@ -130,7 +120,28 @@ object IncrementalDedup {
     (withH, exactDup, exactSurvivors)
   }
 
-  def processBatch(batch: DataFrame, state: State): BatchResult = {
+  /** Process one batch of (doc_id, text) against the index. Pure plan
+    * construction by default — nothing runs a job; the caller materializes
+    * (and at scale should localCheckpoint/persist `decisions` before
+    * writing the three outputs, which share it). With `audit = true` the
+    * giant-near-family ceiling audit runs EAGERLY here (a few jobs: one
+    * survivor count, one shingle-df aggregation, ≤ `auditSamplePairs`
+    * posting-list melts) against the pre-append state, reusing this
+    * batch's own survivor/posting frames — the result rides on
+    * [[BatchResult.ceiling]] as plain longs, immune to any later
+    * appendState re-listing the state directories.
+    *
+    * PRECONDITION: doc_ids are globally unique across every batch ever
+    * processed against this state — the Jaccard melt fetches posting lists
+    * by doc_id, so a batch doc_id colliding with an indexed one merges two
+    * documents' shingle sets. There is NO defensive dedup of the combined
+    * postings (round 14 removed the (shingle, doc_id) distinct — it cost a
+    * full shuffle of the accepted-corpus postings every batch for a case
+    * the contract excludes), so a colliding id now yields double-counted
+    * posting rows in the Jaccard melt: |A|+|B| and the per-shingle counts
+    * are both wrong for that id, not merely computed over a merged set. */
+  def processBatch(batch: DataFrame, state: State, audit: Boolean = false,
+      auditSamplePairs: Int = 8): BatchResult = {
     val (withH, exactDup, exactSurvivors) = exactPhase(batch, state)
 
     // near-dup: rare-shingle blocking over index+batch postings together,
@@ -141,8 +152,19 @@ object IncrementalDedup {
     // batch carrying internal near-families accepted them all — the 24×-
     // replication run's batch 0 accepted 19,968 docs with 0 near-hits).
     // Exact Jaccard ≥ 0.5 verifies every proposed pair.
-    val batchPost = TextOps.docShinglesOf(exactSurvivors)
+    val batchPost0 = TextOps.docShinglesOf(exactSurvivors)
       .select(col("shingle"), col("doc_id"))
+    // audit mode materializes the batch postings once (the ceiling diag
+    // reads them three times) and the near-dup plan below reuses the same
+    // checkpoint instead of re-deriving shingles; audit=false keeps the
+    // default path pure lazy plan construction, plans unchanged
+    val batchPost =
+      if (audit) batchPost0.localCheckpoint(true) else batchPost0
+    val ceiling =
+      if (audit)
+        Some(ceilingDiagFrom(exactSurvivors.count(), batchPost,
+          auditSamplePairs))
+      else None
     // BY NAME: state.postings comes back from parquet in storage order —
     // a positional union would zip shingles into doc_ids. No distinct:
     // postings are distinct per doc on both sides by construction
@@ -239,7 +261,8 @@ object IncrementalDedup {
       decisions,
       withH.join(kept, Seq("doc_id"), "left_semi").select(col("h")),
       batchPost.join(kept, Seq("doc_id"), "left_semi")
-        .select(col("shingle"), col("doc_id")))
+        .select(col("shingle"), col("doc_id")),
+      ceiling)
   }
 
   /** What [[ceilingDiag]] measured about a batch's over-ceiling shingles —
@@ -273,17 +296,30 @@ object IncrementalDedup {
     * verifies a deterministic sample of anchor pairs drawn from the
     * highest-df over-ceiling shingles (each shingle's min batch doc_id vs
     * its max holder — the widest-separated members a family has). Zero
-    * effect on [[processBatch]]'s keep decisions: this is a separate,
-    * diagnostic-only pass the production loop runs after the decision when
-    * auditing is on. Cost: one shingle-df aggregation over the batch
-    * postings plus ≤ `samplePairs` posting-list melts. */
+    * effect on [[processBatch]]'s keep decisions. This STANDALONE form
+    * re-derives the exact phase and batch postings from `state` — which
+    * must therefore still be the PRE-append state; running it after
+    * appendState lets the audit see the batch's own accepted hashes and
+    * every survivor flips to exact-dup, silencing the flag. The production
+    * loop should instead pass `audit = true` to [[processBatch]], which
+    * computes this same diag from its own pre-append frames at no extra
+    * shingle derivation and hands it back on [[BatchResult.ceiling]].
+    * Cost here: one exact phase + full batch shingle derivation + one
+    * shingle-df aggregation plus ≤ `samplePairs` posting-list melts. */
   def ceilingDiag(batch: DataFrame, state: State,
       samplePairs: Int = 8): CeilingDiag = {
     val (_, _, exactSurvivors) = exactPhase(batch, state)
     val batchPost = TextOps.docShinglesOf(exactSurvivors)
       .select(col("shingle"), col("doc_id"))
       .localCheckpoint(true) // read thrice below; one materialization
-    val nSurv = exactSurvivors.count()
+    ceilingDiagFrom(exactSurvivors.count(), batchPost, samplePairs)
+  }
+
+  /** The diag core over already-derived frames: `batchPost` MUST be
+    * materialized (it is read three times) and restricted to the exact
+    * survivors counted by `nSurv`. */
+  private def ceilingDiagFrom(nSurv: Long, batchPost: DataFrame,
+      samplePairs: Int): CeilingDiag = {
     val ceiling = math.max(10.0, nSurv * 0.5)
     val over = batchPost.groupBy("shingle")
       .agg(min(col("doc_id")).as("c"), count(lit(1)).as("bdf"))

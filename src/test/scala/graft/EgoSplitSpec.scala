@@ -201,18 +201,41 @@ class EgoSplitSpec extends AnyFunSuite {
       }
       for (k <- Seq(3, 7, personas.size + 2)) {
         val want = eager(k)
-        val (got, _) = GraphOps.greedyAllocDistributed(members, keys, k,
+        val (got, _, ad) = GraphOps.greedyAllocDistributed(members, keys, k,
           batchRowBudget = 3L)
         val gotSeq = got.orderBy("c").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSeq
         assert(gotSeq == want, s"seed=$seed k=$k: dist=$gotSeq eager=$want")
+        assert(ad.rounds >= 1 && ad.maxBatchRows >= 0L, s"got $ad")
         // and with a roomy budget (single batch, θ = −1 path)
-        val (got2, _) = GraphOps.greedyAllocDistributed(members, keys, k)
+        val (got2, _, ad2) = GraphOps.greedyAllocDistributed(members, keys, k)
         val gotSeq2 = got2.orderBy("c").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSeq
         assert(gotSeq2 == want, s"seed=$seed k=$k roomy: $gotSeq2 vs $want")
+        assert(ad2.overshootRounds == 0, s"roomy budget must not overshoot: $ad2")
       }
     }
+  }
+
+  test("greedyAllocDistributed records the rank-1 budget escape hatch") {
+    import spark.implicits._
+    // one 10-member persona vs a budget of 3: the cum filter would exclude
+    // it, the ord===1 hatch collects it anyway (a round must advance), and
+    // the guard — computed from the candidate gains BEFORE the collect —
+    // must record the overshoot instead of silently absorbing it. A second
+    // disjoint 2-member persona stays within budget on its own round.
+    val members = ((0L until 10L).map(u => (1L, u, 0L)) ++
+      Seq((2L, 100L, 0L), (2L, 101L, 0L))).toDF("seed", "u", "comp")
+    val keys = Seq((1L, 0L, 10L, 0.1, 1), (2L, 0L, 2L, 0.2, 1))
+      .toDF("seed", "comp", "sz", "phi", "rn")
+    val (got, coveredN, ad) = GraphOps.greedyAllocDistributed(
+      members, keys, k = 2, batchRowBudget = 3L)
+    val picks = got.orderBy("c").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(picks == Seq((1L, 0L), (2L, 0L)), s"got $picks")
+    assert(coveredN == 12L)
+    assert(ad.overshootRounds >= 1 && ad.maxBatchRows == 10L,
+      s"the oversized rank-1 persona must be recorded as overshoot: $ad")
   }
 
   test("abandonWatcher: window discipline, hopeless kill, closer and close-race immunity") {

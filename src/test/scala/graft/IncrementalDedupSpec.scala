@@ -218,6 +218,46 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(!cdiag.flagged && cdiag.overCeilingShingles == 0L, s"got $cdiag")
   }
 
+  test("processBatch(audit=true) carries the ceiling flag pre-append") {
+    // the production path (round-16 ordering fix): the audit rides on
+    // BatchResult.ceiling as materialized longs, computed against the
+    // PRE-append state inside processBatch — so the RunIncrementalDedup
+    // flow (process -> append -> print) can never feed the audit the
+    // batch's own just-appended hashes. Same 65% family as above, but the
+    // flag must arrive through processBatch and SURVIVE an appendState
+    // that writes the very directories the state frames read.
+    val variants = Seq("ring", "chime", "toll", "peal", "sound", "echo",
+      "hum", "clang", "boom", "knell", "din", "song", "call")
+    val family = variants.zipWithIndex.map { case (w, i) =>
+      (700L + i) -> (fox.stripSuffix("ring") + w)
+    }
+    val fillers = (0 until 7).map { i =>
+      (800L + i) -> (s"filler document number$i with entirely distinct tokens " +
+        s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i")
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("incdedup-audit").toString
+    val st = IncrementalDedup.loadState(spark, dir) // empty disk state
+    val r = IncrementalDedup.processBatch(mkDocs(family ++ fillers), st,
+      audit = true)
+    IncrementalDedup.appendState(dir, 0L, r)
+    val cd = r.ceiling.getOrElse(fail("audit=true must populate ceiling"))
+    assert(cd.nSurvivors == 20L && cd.flagged,
+      s"the 65% family must flag through processBatch's audit: $cd")
+    // a post-append STANDALONE re-run is exactly the documented misuse:
+    // the state now contains the batch's own hashes, every survivor goes
+    // exact-dup, and the diag degrades to a silent zero — pinned here so
+    // the failure mode stays visible if someone reorders the Run flow back
+    val stale = IncrementalDedup.ceilingDiag(mkDocs(family ++ fillers),
+      IncrementalDedup.loadState(spark, dir))
+    assert(stale.nSurvivors == 0L && !stale.flagged,
+      s"post-append audit must be the degraded zero diag: $stale")
+    // audit off (the default) leaves the result and plans untouched
+    val off = IncrementalDedup.processBatch(mkDocs(batch0),
+      IncrementalDedup.emptyState(spark))
+    assert(off.ceiling.isEmpty)
+  }
+
   test("foreachBatch streaming flow produces the same labels as batch runs") {
     import spark.implicits._
     // batch-sequential reference

@@ -239,6 +239,23 @@ class ModelSelectionSpec extends AnyFunSuite {
       "the returned curve stays (k, llh) in every mode")
   }
 
+  /** Reconstruct the documented auto dispatch from the probe record alone:
+    * interior LLH argmax → llh; kTol stop fired on a gain COLLAPSE (last
+    * gain ≤ ElbowCollapseRatio × the gain before it; a fire with no prior
+    * gain carries no shape evidence) → llh; otherwise (boundary-riding or
+    * saturating monotone) → modularity. */
+  private def expectDispatch(probes: Vector[(Int, Double, Double)],
+      gridSize: Int): String = {
+    val lastK = probes.last._1
+    val llhPick = probes.maxBy(_._2) // first max wins ties, like bestL
+    val stopFired = probes.size < gridSize
+    val gains = probes.map(_._2).sliding(2).collect {
+      case Seq(a, b) => math.abs(1.0 - b / a) }.toVector
+    val collapsed = stopFired && gains.size >= 2 &&
+      gains.last <= 0.2 * gains(gains.size - 2)
+    if (llhPick._1 != lastK || collapsed) "llh" else "modularity"
+  }
+
   test("selectKSparse criterion=auto dispatches by the recorded LLH-curve evidence") {
     val grid = BigClam.logSpacedK(2, 6, 2)
     var probes = Vector.empty[(Int, Double, Double)]
@@ -249,17 +266,39 @@ class ModelSelectionSpec extends AnyFunSuite {
       criterionProbe = (kk, l, q) => probes = probes :+ ((kk, l, q)),
       decisionProbe = d => decided = d)
     assert(probes.forall(p => !p._3.isNaN), "auto must score q for every K")
-    // reconstruct the documented dispatch from the probe record alone:
-    // kTol stop fired (truncated walk) or interior LLH argmax → llh;
-    // boundary-riding monotone curve → modularity
-    val lastK = probes.last._1
-    val llhPick = probes.maxBy(_._2) // first max wins ties, like bestL
-    val stopFired = probes.size < grid.size
-    val expectBy = if (stopFired || llhPick._1 != lastK) "llh" else "modularity"
+    val expectBy = expectDispatch(probes, grid.size)
     assert(decided == expectBy, s"probes=$probes decided=$decided")
     val expectK =
-      if (expectBy == "llh") llhPick._1 else probes.maxBy(_._3)._1
+      if (expectBy == "llh") probes.maxBy(_._2)._1 else probes.maxBy(_._3)._1
     assert(k == expectK, s"probes=$probes decided=$decided k=$k")
+  }
+
+  test("selectKSparse criterion=auto: a kTol fire with no shape evidence goes to modularity") {
+    // kTol = 0.9 swallows almost any relative gain, so the stop fires on
+    // the FIRST measured gain (grid point 2) — there is no previous gain
+    // to compare against, the fire carries no elbow evidence, and the
+    // round-16 dispatch must route to modularity instead of handing the
+    // stop boundary to the LLH argmax (the round-15 ADVICE blind spot:
+    // kTolFired alone used to force "llh")
+    var probes = Vector.empty[(Int, Double, Double)]
+    var decided = ""
+    val (k, _, _) = BigClam.selectKSparse(edges, BigClam.Params(k = 2),
+      minK = 2, maxK = 8, steps = 3, fitIterations = 20, llhTol = Some(1e-4),
+      kTol = 0.9, criterion = "auto",
+      criterionProbe = (kk, l, q) => probes = probes :+ ((kk, l, q)),
+      decisionProbe = d => decided = d)
+    assert(probes.size == 2,
+      s"kTol=0.9 must stop the walk at the second point: $probes")
+    // regardless of which side of the boundary the LLH argmax fell on,
+    // the documented rule must hold; and when the argmax rides the stop
+    // boundary the decision must be modularity (the fixed blind spot)
+    assert(decided == expectDispatch(probes, 3),
+      s"probes=$probes decided=$decided")
+    if (probes.maxBy(_._2)._1 == probes.last._1)
+      assert(decided == "modularity",
+        s"boundary argmax + no-evidence fire must dispatch modularity: $probes")
+    assert(k == (if (decided == "llh") probes.maxBy(_._2)._1
+                 else probes.maxBy(_._3)._1))
   }
 
   test("selectKSparse criterion=auto on a hub-dominated power-law micro graph") {
@@ -278,12 +317,10 @@ class ModelSelectionSpec extends AnyFunSuite {
       supportCap = Some(4), criterion = "auto",
       criterionProbe = (kk, l, q) => probes = probes :+ ((kk, l, q)),
       decisionProbe = d => decided = d)
-    val lastK = probes.last._1
-    val llhPick = probes.maxBy(_._2)
-    val stopFired = probes.size < grid.size
-    val expectBy = if (stopFired || llhPick._1 != lastK) "llh" else "modularity"
+    val expectBy = expectDispatch(probes, grid.size)
     assert(decided == expectBy, s"probes=$probes decided=$decided")
-    val expectK = if (expectBy == "llh") llhPick._1 else probes.maxBy(_._3)._1
+    val expectK = if (expectBy == "llh") probes.maxBy(_._2)._1
+                  else probes.maxBy(_._3)._1
     assert(k == expectK, s"probes=$probes decided=$decided k=$k")
   }
 

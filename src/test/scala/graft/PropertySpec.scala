@@ -267,6 +267,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("RaceMemory over generated verdict streams: armed iff two consecutive " +
+      "decisive same-side race verdicts (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    // verdict alphabet: a completed race with a controlled side and
+    // decisiveness margin, or a non-race diag (manual init paths, which
+    // RaceMemory must ignore). Decisive = |loser| >= 1.5 x |winner| —
+    // generated strictly either side of the threshold so the property
+    // never rides the boundary.
+    sealed trait V
+    final case class Race(side: String, decisive: Boolean) extends V
+    case object NonRace extends V
+    val genRace: Gen[V] = for {
+      side <- Gen.oneOf("ego", "egosplit")
+      decisive <- Gen.oneOf(true, false)
+    } yield Race(side, decisive)
+    val genV: Gen[V] = Gen.frequency(5 -> genRace, 1 -> Gen.const(NonRace))
+    def toDiag(v: V, mag: Double): BigClam.InitDiag = v match {
+      case NonRace => BigClam.InitDiag("ego", "ego", None)
+      case Race(side, decisive) =>
+        val ratio = if (decisive) 2.0 + (mag % 5.0) else 1.05 + (mag % 0.4)
+        val w = 1e5 * (1.0 + (mag % 9.0)) // winner magnitude
+        val (win, lose) = (-w, -w * ratio)
+        if (side == "egosplit")
+          BigClam.InitDiag("auto", side, None,
+            egoLlh = Some(lose), splitLlh = Some(win))
+        else
+          BigClam.InitDiag("auto", side, None,
+            egoLlh = Some(win), splitLlh = Some(lose))
+    }
+    // independent oracle, NOT the class's fold: with window = 2, armed <=>
+    // some adjacent pair of RACE verdicts (non-race filtered out) is
+    // decisive on the same side; the remembered side is the EARLIEST such
+    // pair's — anything observed after arming must be ignored
+    def oracle(stream: List[V]): Option[String] = {
+      val races = stream.collect { case r: Race => r }
+      races.zip(races.drop(1)).collectFirst {
+        case (a, b) if a.decisive && b.decisive && a.side == b.side => a.side
+      }
+    }
+    val prop = Prop.forAll(Gen.listOf(genV), Gen.choose(0.0, 1e4)) {
+      (stream: List[V], jitter: Double) =>
+        val m = new BigClam.RaceMemory()
+        stream.zipWithIndex.foreach { case (v, i) =>
+          m.observe(toDiag(v, jitter + i))
+        }
+        m.sticky == oracle(stream)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(300)
+      .withInitialSeed(Seed(20260816L)), prop)
+    assert(res.passed, s"scalacheck: $res")
+  }
+
   test("initSparse matches toSparse(init) row-for-row, incl. hash padding") {
     // k well above the seed count so rankTopSeeds returns fewer than k egos
     // and some nodes take the xxhash64 padding path in both implementations

@@ -5,6 +5,18 @@
 # (spark.driver.memory set after launch is a no-op), default 96g here.
 set -euo pipefail
 CLS=$1; shift
+# Wipe guard (round-16 item 5): the driver wipes target/ between rounds and
+# can leave STUB Bench/Verify/SparkEntry classes with an empty query map — a
+# bench against them prints total 0.0 s and the measurement is silently lost
+# (it killed the round-15 fresh-boot pair). The stubs never include the ops
+# package, so its absence = not the compiled library. Checked here rather
+# than in Bench's main because the stub Bench wouldn't contain the check.
+if [ ! -f /root/repo/target/scala-2.13/classes/graft/ops/Relational.class ]; then
+  echo "run_main ABORT: target/scala-2.13/classes is missing graft/ops —" \
+    "these are the driver's stub classes (or an empty target/), not the" \
+    "compiled library. Run 'sbt -batch compile' first." >&2
+  exit 3
+fi
 exec java -Xmx"${GRAFT_XMX:-96g}" -XX:+UseG1GC \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
