@@ -3,6 +3,11 @@
 # skipping sbt's JVM startup: tools/run_main.sh graft.RunSynth 1000000 ...
 # Heap: local-mode Spark takes its driver heap from this JVM's -Xmx
 # (spark.driver.memory set after launch is a no-op), default 96g here.
+# periodicGC 5min (vs Spark's 30min default): shuffle files are reclaimed
+# by ContextCleaner only when the JVM garbage-collects the dereferenced
+# ShuffleDependency objects — a 96g heap under an hours-long iterative
+# fit may never GC, so spill accumulates ~1 GB/iteration until the disk
+# fills (killed the first round-16 capstone walk at 69 iterations).
 set -euo pipefail
 CLS=$1; shift
 # Wipe guard (round-16 item 5): the driver wipes target/ between rounds and
@@ -34,5 +39,6 @@ exec java -Xmx"${GRAFT_XMX:-96g}" -XX:+UseG1GC \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
   --enable-native-access=ALL-UNNAMED \
   -Dderby.system.home=/tmp/derby \
+  -Dspark.cleaner.periodicGC.interval=5min \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$CLS" "$@"
