@@ -25,6 +25,12 @@ object Bench {
     // (the round-15 fresh pair died exactly this way, README "fresh-boot
     // pair"). An empty map can never be a real benchmark: abort loudly
     // BEFORE starting a session so the caller recompiles first.
+    // Defense-in-depth only (round-16 ADVICE): when target/ holds the FULL
+    // stub set, the stub Bench (without this check) is what runs, so this
+    // guard can't fire — tools/run_main.sh's graft/ops class-file check is
+    // the effective layer for that case, and ROUND_CLOSE.md requires
+    // launching benches through it. This in-process check covers the
+    // mixed/partial-compile states the launcher check can't see.
     if (SparkEntry.queries.isEmpty) {
       System.err.println("BENCH ABORT: SparkEntry.queries is empty — " +
         "target/ holds the driver's stub classes, not the compiled " +

@@ -29,7 +29,11 @@ object RunSelectK {
         "[modwalk=0 — 1 walks the grid printing fitted-argmax MODULARITY " +
         "per K instead of selecting] [initMode=ego|egosplit|auto] " +
         "[criterion=llh|modularity|auto — sparse selection walk only] " +
-        "[raceMemory=0|1 — initMode=auto selection walk only]")
+        "[raceMemory=0|1 — initMode=auto selection walk only] " +
+        "[escalateCap=0 — extra log steps past maxK while the deciding " +
+        "argmax rides the grid boundary] " +
+        "[stateDir=- — crash-resume directory: completed grid points " +
+        "replay instead of refitting]")
       sys.exit(2)
     }
     val Array(path, minK, maxK, steps, iters) = args.take(5)
@@ -47,6 +51,8 @@ object RunSelectK {
     val initMode = args.lift(11).getOrElse("ego")
     val criterion = args.lift(12).getOrElse("llh")
     val raceMemory = args.lift(13).contains("1")
+    val escalateCap = args.lift(14).map(_.toInt).getOrElse(0)
+    val stateDir = args.lift(15).filter(_ != "-")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -120,7 +126,10 @@ object RunSelectK {
     } else {
       require(criterion == "llh" || mode.startsWith("sparse"),
         "criterion=modularity|auto needs the sparse walk")
+      require((escalateCap == 0 && stateDir.isEmpty) || mode.startsWith("sparse"),
+        "escalateCap/stateDir need the sparse walk")
       var decidedBy = criterion
+      var diag = Option.empty[BigClam.SelectKDiag]
       val (bestK, _, grid) =
         if (mode.startsWith("sparse"))
           BigClam.selectKSparse(edges, BigClam.Params(k = minK.toInt),
@@ -140,7 +149,9 @@ object RunSelectK {
               f"[selectk]   K=$k%-6d llh=$llh%.4e" +
                 (if (q.isNaN) "" else f" q=$q%.4f")),
             decisionProbe = d => decidedBy = d,
-            raceMemory = raceMemory)
+            raceMemory = raceMemory,
+            escalateCap = escalateCap, stateDir = stateDir,
+            diagProbe = d => diag = Some(d))
         else
           BigClam.selectK(edges, BigClam.Params(k = minK.toInt),
             minK = minK.toInt, maxK = maxK.toInt, steps = steps.toInt,
@@ -152,6 +163,15 @@ object RunSelectK {
       grid.foreach { case (k, llh) => println(f"[selectk]   K=$k%-6d llh=$llh%.2f") }
       println(s"[selectk] chosen K=$bestK" +
         (if (criterion == "llh") "" else s" (criterion=$criterion decided-by=$decidedBy)"))
+      diag.foreach { d =>
+        println(s"[selectk] decision: decided-by=${d.decidedBy} " +
+          s"boundary_pick=${d.boundaryPick} kTolFired=${d.kTolFired} " +
+          s"fireCollapse=${d.fireCollapse} " +
+          s"escalations=${d.escalations}/${d.escalateCap} " +
+          s"evaluated=${d.evaluated.mkString("{", ",", "}")}" +
+          (if (d.replayed.isEmpty) ""
+           else s" replayed=${d.replayed.mkString("{", ",", "}")}"))
+      }
     }
     spark.stop()
   }

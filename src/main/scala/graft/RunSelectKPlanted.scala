@@ -52,8 +52,10 @@ object RunSelectKPlanted {
         "gridsplit,egosplit,egosplitlpa,egosplitlpa2x,egosplitlpa4x," +
         "egosplitlpanp,egosplitlpa2xnp,egosplitlpa4xnp,oraclepartial," +
         "oraclepartialnp,alloconly,allocdist,auto,gridauto,gridautomem," +
-        "restart,heldout,heldoutsplit; add nodiag to skip the seed-coverage " +
-        "and oracle-bar preambles]")
+        "gridknee,restart,heldout,heldoutsplit; add nodiag to skip the " +
+        "seed-coverage and oracle-bar preambles] " +
+        "[kneeKTol=0.05 — gridknee arm's kTol, set BETWEEN the knee's " +
+        "pre/post gains so the stop fires AT the knee]")
       sys.exit(2)
     }
     val nNodes = args(0).toLong
@@ -203,6 +205,47 @@ object RunSelectKPlanted {
     // gridauto + race memory: skip re-racing once two consecutive
     // decisive same-side verdicts have been recorded (round 15)
     if (arm("gridautomem")) gridArm("auto", raceMemory = true)
+
+    // 1c. LIVE-FIRE of the ElbowCollapseRatio branch (round-17 item 2): the
+    //     collapse rule was calibrated on recorded curves but no recorded
+    //     walk ever tripped kTol. Walk the same grid under criterion=auto
+    //     with kTol set BETWEEN the knee's pre/post gains (recorded
+    //     10k/K*=100 curve: 0.225 -> 0.0105), so the reference's
+    //     relative-gain stop fires AT the knee; the fire must register as a
+    //     gain COLLAPSE (ratio 0.047 <= 0.2) and the dispatch must stay
+    //     with LLH, choosing K* — converting the 0.2 threshold from
+    //     curve-reading calibration to observed behavior.
+    if (arm("gridknee")) {
+      val kneeKTol = args.lift(13).map(_.toDouble).getOrElse(0.05)
+      var kneeDiag = Option.empty[BigClam.SelectKDiag]
+      val (bk, bestF, grid) = BigClam.selectKSparse(edges,
+        BigClam.Params(k = minK), minK = minK, maxK = maxK, steps = steps,
+        kTol = kneeKTol, fitIterations = iters, supportCap = Some(cap),
+        stableTol = None, hotDegCap = hotCap, llhTol = llhTol,
+        initMode = "auto", raceMemory = true, criterion = "auto",
+        criterionProbe = (k, l, q) =>
+          println(f"[selectk*]   gridknee K=$k%-6d llh=$l%.4e q=$q%.4f"),
+        initProbe = d => println(s"[selectk*]   gridknee init: " +
+          s"requested=${d.requested} chosen=${d.chosen}" +
+          d.egoLlh.fold("")(e => f" egoLlh=$e%.4e") +
+          d.splitLlh.fold("")(sp => f" splitLlh=$sp%.4e") +
+          d.abandonedAtIter.fold("")(a => s" abandonedAt=$a")),
+        diagProbe = d => kneeDiag = Some(d))
+      println(f"[selectk*] gridknee(kTol=$kneeKTol) walked in $secs%.0f s:")
+      grid.foreach { case (k, llh) =>
+        println(f"[selectk*]   K=$k%-6d llh=$llh%.4e") }
+      kneeDiag.foreach { d =>
+        val gains = grid.map(_._2).sliding(2).collect {
+          case Seq(a, b) => math.abs(1.0 - b / a) }.toVector
+        println(s"[selectk*] gridknee: planted K*=$kStar chosen K=$bk " +
+          s"decided-by=${d.decidedBy} kTolFired=${d.kTolFired} " +
+          s"fireCollapse=${d.fireCollapse} boundary_pick=${d.boundaryPick} " +
+          s"gains=${gains.map(g => f"$g%.4f").mkString("{", ",", "}")}" +
+          (if (gains.size >= 2)
+             f" fireRatio=${gains.last / gains(gains.size - 2)}%.4f" else ""))
+      }
+      scoreFit(bestF, bk, "gridknee chosen-K fit")
+    }
 
     // 3. two K* bars:
     //    (a) the ACHIEVABLE bar — a K=K* fit under the membership-churn

@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus scale-up for pipeline stress runs: replicate every
-  * document R×, writing `<outDir>/documents.parquet` with the source
-  * schema. Replica i of doc_id D gets doc_id D*R+i and:
+  * document R× (and, round-17, every embedding R× — same replica rule with
+  * a one-coordinate ε nudge standing in for the text marker), writing
+  * `<outDir>/documents.parquet` / `<outDir>/embeddings.parquet` with the
+  * source schemas. Replica i of doc_id D gets doc_id D*R+i and:
   *   - i = 0: the original text;
   *   - odd i: an EXACT copy (exact-dedup food);
   *   - even i > 0: the text plus a per-replica marker token (a near-dup —
@@ -48,6 +50,29 @@ object ScaleCorpus {
       .select(cols.map(col): _*)
     scaled.write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"[scale-corpus] wrote ${spark.read.parquet(s"$out/documents.parquet").count()} docs (R=$r) to $out")
+    // embeddings too (round-17 item 6: the semantic/ANN scale rows need
+    // them): replica i of vec_id V gets vec_id V*R+i; odd i is an EXACT
+    // copy (semantic exact-dup food), even i > 0 nudges ONE coordinate by
+    // a tiny deterministic ε — cosine stays ≈ 1, a near-dup family of ~R/2
+    // distinct members per original, the same mass-duplication shape the
+    // documents side gets
+    val emb = Tables.embeddings(spark, src)
+    val embCols = emb.columns
+    val scaledEmb = emb
+      .select(col("*"), posexplode(sequence(lit(0), lit(r - 1))).as(Seq("i", "unused")))
+      .withColumn("new_id", col("vec_id") * r + col("i"))
+      .withColumn("new_emb",
+        when(col("i") === 0 || pmod(col("i"), lit(2)) === 1, col("embedding"))
+          .otherwise(concat(
+            array((col("embedding").getItem(0) +
+              col("i").cast("float") * lit(1e-4f)).cast("float")),
+            slice(col("embedding"), 2, 1000000))))
+      .drop("vec_id", "embedding", "unused", "i")
+      .withColumnRenamed("new_id", "vec_id")
+      .withColumnRenamed("new_emb", "embedding")
+      .select(embCols.map(col): _*)
+    scaledEmb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scale-corpus] wrote ${spark.read.parquet(s"$out/embeddings.parquet").count()} vectors (R=$r) to $out")
     spark.stop()
   }
 }

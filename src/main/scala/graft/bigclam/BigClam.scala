@@ -188,6 +188,28 @@ object BigClam {
       egoLlh: Option[Double] = None, splitLlh: Option[Double] = None,
       abandonedAtIter: Option[Int] = None)
 
+  /** Decision provenance for one [[selectKSparse]] walk (round-17: the
+    * capstone's weakly-supported boundary pick, and the round-16 ADVICE
+    * that tests had to INFER the stop from probe counts — a kTol fire on
+    * the last grid point was invisible). Carries what the walk actually
+    * observed:
+    *  - `kTolFired` / `fireCollapse`: whether the reference's relative-gain
+    *    stop fired, and whether it fired on a gain COLLAPSE (elbow) rather
+    *    than a saturating decay — the auto dispatch's shape evidence,
+    *    now directly visible instead of reconstructed.
+    *  - `boundaryPick`: the deciding criterion's argmax is the LAST
+    *    evaluated grid point — an evidence-free choice (the curve may
+    *    still be rising past the grid). True only when escalation was
+    *    exhausted (or disabled) with the argmax still on the edge.
+    *  - `escalations`: extra log-step grid points walked past `maxK`
+    *    chasing a boundary argmax (≤ `escalateCap`).
+    *  - `evaluated`: every grid point walked, ascending, escalations
+    *    included; `replayed`: the subset restored from `stateDir` instead
+    *    of fitted in this process. */
+  case class SelectKDiag(decidedBy: String, chosenK: Int, kTolFired: Boolean,
+      fireCollapse: Boolean, boundaryPick: Boolean, escalations: Int,
+      escalateCap: Int, evaluated: Seq[Int], replayed: Seq[Int])
+
   /** `initMode="auto"` probe cap: each candidate init runs a full
     * candidate fit — same convergence rule (llhTol, default 1e-4) and
     * supportCap as the caller's fit — bounded by min(caller iterations,
@@ -326,6 +348,31 @@ object BigClam {
     * an order of magnitude above the measured collapse and well below
     * smooth decay. */
   private[graft] val ElbowCollapseRatio = 0.2
+
+  /** One-per-JVM operational WARN (round-16 sharp edge 3): a library user
+    * driving a long [[fitSparse]] from their own session — without
+    * tools/run_main.sh's `spark.cleaner.periodicGC.interval=5min` — hits
+    * the ~1 GB/iteration shuffle-spill growth the first capstone attempt
+    * died of (80 GB at iteration 69). Checked only when the iteration
+    * budget says "long fit" (≥ [[PeriodicGCWarnIterations]]); the check is
+    * a conf read, zero jobs. */
+  private[graft] val PeriodicGCWarnIterations = 50
+  @volatile private var checkedPeriodicGC = false
+  private def warnSlowPeriodicGC(spark: SparkSession): Unit =
+    if (!checkedPeriodicGC) {
+      checkedPeriodicGC = true
+      val conf = spark.sparkContext.getConf
+        .get("spark.cleaner.periodicGC.interval", "30min")
+      val secs =
+        try org.apache.spark.network.util.JavaUtils.timeStringAsSec(conf)
+        catch { case _: Throwable => Long.MaxValue }
+      if (secs > 600)
+        System.err.println("[bigclam] WARN: long fit with " +
+          s"spark.cleaner.periodicGC.interval=$conf — shuffle spill from " +
+          "retired iterations is only reclaimed after a JVM GC, and a " +
+          "large heap may not GC for hours (~1 GB spill/iteration, " +
+          "measured). Set the interval to 5min for hours-long fits.")
+    }
 
   /** Stall window for the llhTol stop rule — see the fitSparse loop
     * comment: consecutive-delta convergence cannot see a prune-fixpoint
@@ -777,7 +824,18 @@ object BigClam {
     * stops the fit at its best iterate, exactly like a stall stop.
     * `stallWindow` overrides [[LlhStallWindow]] for tests (Int.MaxValue
     * disables the backstop; monotone fits are bit-identical either way —
-    * PropertySpec pins this). */
+    * PropertySpec pins this).
+    *
+    * OPERATIONAL NOTE for hours-long fits (round-16 sharp edge 3): each
+    * iteration retires a shuffle whose files are reclaimed by Spark's
+    * ContextCleaner only after a JVM GC collects the frame references —
+    * and a large heap (96g) under this workload may not GC for hours, so
+    * spill accumulates at ~1 GB/iteration until the disk fills (the first
+    * v3-magnitude capstone attempt died at 80 GB of spill, iteration 69).
+    * Set `spark.cleaner.periodicGC.interval` to `5min` (Spark's default
+    * is 30min — too slow at this leak rate) on any session driving a long
+    * fit; [[fitSparse]] WARNs once per JVM when a large iteration budget
+    * runs under a slower setting. */
   def fitSparse(edges: DataFrame, p: Params, iterations: Int,
       trackHistory: Boolean = true, ranked: Option[DataFrame] = None,
       supportCap: Option[Int] = None,
@@ -789,6 +847,8 @@ object BigClam {
       llhWatch: Option[(Int, Double) => Boolean] = None,
       stallWindow: Int = LlhStallWindow): (DataFrame, Seq[Double]) = {
     requireEdges(edges)
+    if (iterations >= PeriodicGCWarnIterations)
+      warnSlowPeriodicGC(edges.sparkSession)
     // cap >= K can't prune anything: use the uncapped path so "no-op cap"
     // means bit-identical, not merely value-close (float op order matters)
     val cap = supportCap.filter(_ < p.k)
@@ -1109,7 +1169,30 @@ object BigClam {
     * points fit the remembered winner directly instead of re-racing.
     * Retention: one current F plus one best-so-far per active criterion
     * (≤ 3 alive under "auto"; `retainedProbe` reports the live count).
-    * The returned curve stays (k, final LLH) in every mode. */
+    * The returned curve stays (k, final LLH) in every mode.
+    *
+    * `escalateCap` (round-17 item 1 — the boundary-riding hole the
+    * capstone exposed): when the DECIDING criterion's argmax is the last
+    * evaluated grid point, the choice is evidence-free — the curve may
+    * still be rising past the grid (the capstone chose K=8000, the top of
+    * a 3-point grid, with q still rising 0.2835→0.3125→0.3194). This is
+    * the reference's own walk-until-no-gain contract
+    * (bigclam4-7.scala:16-20,259) applied to the signal that actually
+    * decides: while the deciding argmax sits on the boundary, extend the
+    * walk one log step of the declared grid (above `maxK`), up to
+    * `escalateCap` extra points. The LLH side never escalates past a kTol
+    * fire (the stop IS the no-gain evidence); the modularity side has no
+    * stop, so only the cap bounds it. The default 0 keeps every recorded
+    * walk bit-identical; whenever the cap (or 0) leaves the deciding
+    * argmax on the edge, the decision diag carries `boundaryPick = true`.
+    *
+    * `stateDir` (round-17 item 3) makes the walk crash-resumable: each
+    * completed grid point persists (LLH, q, init provenance, fitted F) via
+    * [[SelectKStateStore]]; a relaunch with the same parameters replays
+    * completed points — probes fire from the stored records, RaceMemory
+    * re-observes the stored race verdicts, no refit — and resumes at the
+    * first missing point. `diagProbe` receives the [[SelectKDiag]]
+    * decision provenance once, after any escalation settles. */
   def selectKSparse(edges: DataFrame, base: Params, minK: Int, maxK: Int,
       steps: Int, kTol: Double = 1e-3, fitIterations: Int = 3,
       supportCap: Option[Int] = None, stableTol: Option[Double] = None,
@@ -1121,13 +1204,36 @@ object BigClam {
       criterion: String = "llh",
       criterionProbe: (Int, Double, Double) => Unit = (_, _, _) => (),
       decisionProbe: String => Unit = _ => (),
-      raceMemory: Boolean = false): (Int, DataFrame, Seq[(Int, Double)]) = {
+      raceMemory: Boolean = false,
+      escalateCap: Int = 0,
+      stateDir: Option[String] = None,
+      diagProbe: SelectKDiag => Unit = _ => ()): (Int, DataFrame, Seq[(Int, Double)]) = {
     requireEdges(edges)
     require(Set("llh", "modularity", "auto")(criterion),
       s"criterion must be llh, modularity or auto, got $criterion")
     require(!raceMemory || initMode == "auto",
       "raceMemory only applies to initMode=auto")
+    require(escalateCap >= 0, s"escalateCap must be >= 0, got $escalateCap")
     val grid = logSpacedK(minK, maxK, steps)
+    // the escalation stride is the declared grid's own log step; a
+    // degenerate single-point grid (minK == maxK) escalates by doubling
+    val escGap = {
+      val g = math.exp(math.log(maxK.toDouble / minK) / steps.max(1))
+      if (g > 1.0) g else 2.0
+    }
+    val store = stateDir.map { d =>
+      val st = new SelectKStateStore(d, edges.sparkSession)
+      st.metaCheck(Map(
+        "minK" -> minK.toString, "maxK" -> maxK.toString,
+        "steps" -> steps.toString, "kTol" -> kTol.toString,
+        "fitIterations" -> fitIterations.toString,
+        "supportCap" -> supportCap.mkString(","),
+        "stableTol" -> stableTol.mkString(","),
+        "llhTol" -> llhTol.mkString(","),
+        "initMode" -> initMode, "criterion" -> criterion,
+        "raceMemory" -> raceMemory.toString))
+      st
+    }
     val ranked = GraphOps.seedRank(edges, hotDegCap).persist(StorageLevel.MEMORY_AND_DISK)
     val needQ = criterion != "llh"
     val kTolArmed = criterion != "modularity"
@@ -1139,15 +1245,48 @@ object BigClam {
     var kTolFired = false
     var lastGain = Option.empty[Double]
     var fireCollapse = false
+    var replayed = List.empty[Int]
     val mem = new RaceMemory()
-    for (k <- grid if !stop) {
+    // shared per-point bookkeeping — identical for a live fit and a
+    // state-store replay, so a resumed walk reconstructs the stop flags,
+    // the bests, and the race memory deterministically from the records
+    def bookkeep(k: Int, llh: Double, q: Double, fs: DataFrame): Unit = {
+      criterionProbe(k, llh, q)
+      if (kTolArmed) {
+        prevLlh.foreach { pl =>
+          val g = math.abs(1.0 - llh / pl)
+          if (g < kTol && !kTolFired) {
+            stop = true; kTolFired = true
+            // elbow vs saturation shape evidence for the auto dispatch: a
+            // planted knee COLLAPSES the gain (recorded 10k/K*=100 curve:
+            // 0.225 -> 0.0105, ratio 0.047), a saturating organic curve
+            // decays smoothly into the stop (recorded 200k organic:
+            // consecutive gains 0.1265 -> 0.1208, ratio 0.955). The flags
+            // freeze at the FIRST fire: escalated points walked for the
+            // modularity side afterwards must not rewrite the evidence.
+            fireCollapse = lastGain.exists(pg => g <= ElbowCollapseRatio * pg)
+          }
+          lastGain = Some(g)
+        }
+        prevLlh = Some(llh)
+      }
+      if (bestL.forall(_._2 < llh)) bestL = Some((k, llh, fs))
+      if (needQ && bestQ.forall(_._2 < q)) bestQ = Some((k, q, fs))
+      retainedProbe(1 + Set(bestL.map(_._3), bestQ.map(_._3)).flatten.size)
+      evals = (k, llh) :: evals
+    }
+    def evalLive(k: Int): Unit = {
       // race memory (opt-in): after two consecutive decisive same-side
       // verdicts in this ascending walk, fit the remembered winner
       // directly — the skipped race's ~30-45 loser-leg iterations were
       // pure confirmation of a verdict already measured twice
       val im = if (raceMemory) mem.sticky.getOrElse(initMode) else initMode
-      val probe: InitDiag => Unit =
-        if (raceMemory) { d => mem.observe(d); initProbe(d) } else initProbe
+      var lastDiag = Option.empty[InitDiag]
+      val probe: InitDiag => Unit = { d =>
+        lastDiag = Some(d)
+        if (raceMemory) mem.observe(d)
+        initProbe(d)
+      }
       val (fs, hist) = fitSparse(edges, base.copy(k = k), fitIterations,
         ranked = Some(ranked), supportCap = supportCap, stableTol = stableTol,
         llhTol = llhTol, initMode = im, initProbe = probe)
@@ -1160,30 +1299,29 @@ object BigClam {
           SparseF.argmaxIndex(col("fi"), col("fv")).as("lab"))
         GraphOps.modularity(edges, labels, s"k$k").collect()(0).getDouble(3)
       } else Double.NaN
-      criterionProbe(k, llh, q)
-      if (kTolArmed) {
-        prevLlh.foreach { pl =>
-          val g = math.abs(1.0 - llh / pl)
-          if (g < kTol) {
-            stop = true; kTolFired = true
-            // elbow vs saturation shape evidence for the auto dispatch: a
-            // planted knee COLLAPSES the gain (recorded 10k/K*=100 curve:
-            // 0.225 -> 0.0105, ratio 0.047), a saturating organic curve
-            // decays smoothly into the stop (recorded 200k organic:
-            // consecutive gains 0.1265 -> 0.1208, ratio 0.955)
-            fireCollapse = lastGain.exists(pg => g <= ElbowCollapseRatio * pg)
-          }
-          lastGain = Some(g)
-        }
-        prevLlh = Some(llh)
-      }
-      if (bestL.forall(_._2 < llh)) bestL = Some((k, llh, fs))
-      if (needQ && bestQ.forall(_._2 < q)) bestQ = Some((k, q, fs))
-      retainedProbe(1 + Set(bestL.map(_._3), bestQ.map(_._3)).flatten.size)
-      evals = (k, llh) :: evals
+      store.foreach(_.put(SelectKStateStore.Point(k, llh, q,
+        lastDiag.map(_.requested).getOrElse(im),
+        lastDiag.map(_.chosen).getOrElse(im),
+        lastDiag.flatMap(_.egoLlh), lastDiag.flatMap(_.splitLlh),
+        lastDiag.flatMap(_.abandonedAtIter)), fs))
+      bookkeep(k, llh, q, fs)
     }
-    ranked.unpersist()
-    val decidedBy = criterion match {
+    // replay a prior process's completed point, or fit it live: the probes
+    // fire either way (the resumed walk's provenance trail stays whole),
+    // the race memory re-observes stored verdicts, F reads lazily from the
+    // store's parquet — no refit
+    def runPoint(k: Int): Unit = store.flatMap(_.get(k)) match {
+      case Some(p) =>
+        replayed ::= k
+        val d = InitDiag(p.requested, p.chosen, None, p.egoLlh, p.splitLlh,
+          p.abandonedAt)
+        if (raceMemory) mem.observe(d)
+        initProbe(d)
+        bookkeep(k, p.llh, p.q, store.get.readF(k))
+      case None => evalLive(k)
+    }
+    for (k <- grid if !stop) runPoint(k)
+    def decide(): String = criterion match {
       case "llh" => "llh"
       case "modularity" => "modularity"
       case "auto" =>
@@ -1201,10 +1339,36 @@ object BigClam {
           "llh"
         else "modularity"
     }
+    var decidedBy = decide()
+    def decidingK: Int = (if (decidedBy == "llh") bestL else bestQ).get._1
+    // grid escalation (round-17 item 1): a deciding argmax on the LAST
+    // evaluated point is an evidence-free boundary pick — the signal may
+    // still be rising past the grid (the capstone's K=8000 with q rising
+    // across the whole grid). Walk one log step further per escalation,
+    // re-decide, repeat until the argmax is interior or the cap is spent.
+    // The LLH side never escalates past a kTol fire: the stop IS the
+    // reference's no-gain evidence (bigclam4-7.scala:259); the modularity
+    // side has no stop, so the cap is its only bound.
+    var esc = 0
+    while (esc < escalateCap && decidingK == evals.head._1 &&
+        !(decidedBy == "llh" && kTolFired)) {
+      val nk = math.max(evals.head._1 + 1,
+        math.round(evals.head._1 * escGap).toInt)
+      runPoint(nk)
+      esc += 1
+      decidedBy = decide()
+    }
+    ranked.unpersist()
+    val boundaryPick = decidingK == evals.head._1
     decisionProbe(decidedBy)
     val (bk, score, bf) = (if (decidedBy == "llh") bestL else bestQ).get
+    diagProbe(SelectKDiag(decidedBy, bk, kTolFired, fireCollapse,
+      boundaryPick, esc, escalateCap, evals.reverse.map(_._1),
+      replayed.reverse))
     System.err.println(f"[bigclam] selectKSparse criterion=$criterion " +
-      f"decided-by=$decidedBy chosen K=$bk (score=$score%.6e)")
+      f"decided-by=$decidedBy chosen K=$bk (score=$score%.6e" +
+      (if (boundaryPick) ", BOUNDARY pick — curve may still be rising" else "") +
+      (if (esc > 0) s", escalations=$esc" else "") + ")")
     (bk, bf, evals.reverse)
   }
 

@@ -212,16 +212,19 @@ class ModelSelectionSpec extends AnyFunSuite {
     assert(viaSeam.except(direct).count() == 0 && direct.except(viaSeam).count() == 0)
   }
 
-  test("selectKSparse criterion=modularity walks the full grid and picks the q peak") {
+  // two 5-cliques joined by one bridge edge — natural scale K=2: the
+  // argmax partition at K=2 cuts only the bridge, K=1 is the single-part
+  // floor (q = 0), K=4 cannot beat the two-clique cut (fragmenting a
+  // clique loses intra-edge mass faster than ΣD_c² shrinks)
+  private lazy val cliq = {
     import s.implicits._
-    // two 5-cliques joined by one bridge edge — natural scale K=2: the
-    // argmax partition at K=2 cuts only the bridge, K=1 is the single-part
-    // floor (q = 0), K=4 cannot beat the two-clique cut (fragmenting a
-    // clique loses intra-edge mass faster than ΣD_c² shrinks)
-    val cliq = GraphOps.symEdges((
+    GraphOps.symEdges((
       (for (a <- 0 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)) ++
       (for (a <- 5 to 9; b <- (a + 1) to 9) yield (a.toLong, b.toLong)) ++
       Seq((4L, 5L))).toDF("src", "dst")).cache()
+  }
+
+  test("selectKSparse criterion=modularity walks the full grid and picks the q peak") {
     var probes = Vector.empty[(Int, Double, Double)]
     var decided = ""
     val (k, fs, history) = BigClam.selectKSparse(cliq, BigClam.Params(k = 1),
@@ -239,35 +242,52 @@ class ModelSelectionSpec extends AnyFunSuite {
       "the returned curve stays (k, llh) in every mode")
   }
 
-  /** Reconstruct the documented auto dispatch from the probe record alone:
-    * interior LLH argmax → llh; kTol stop fired on a gain COLLAPSE (last
-    * gain ≤ ElbowCollapseRatio × the gain before it; a fire with no prior
-    * gain carries no shape evidence) → llh; otherwise (boundary-riding or
-    * saturating monotone) → modularity. */
+  /** Reconstruct the documented auto dispatch from the probe record plus
+    * the walk's own [[BigClam.SelectKDiag]] stop flags (round-16 ADVICE:
+    * the old oracle INFERRED the stop from `probes.size < gridSize`, so a
+    * kTol fire landing exactly on the last grid point was invisible — a
+    * latent false failure). The flags are cross-checked against an
+    * independent recomputation of the gain sequence from the probes, so
+    * the oracle is not circular: interior LLH argmax → llh; kTol stop
+    * fired on a gain COLLAPSE (firing gain ≤ ElbowCollapseRatio × the
+    * prior gain; a fire with no prior gain carries no shape evidence) →
+    * llh; otherwise (boundary-riding or saturating monotone) →
+    * modularity. */
   private def expectDispatch(probes: Vector[(Int, Double, Double)],
-      gridSize: Int): String = {
+      diag: BigClam.SelectKDiag, kTol: Double = 1e-3): String = {
     val lastK = probes.last._1
     val llhPick = probes.maxBy(_._2) // first max wins ties, like bestL
-    val stopFired = probes.size < gridSize
+    // independent stop-flag recomputation from the recorded curve: the
+    // fire is the FIRST gain under kTol (the walk stops there — unless
+    // escalation appended modularity-side points after a saturating fire)
     val gains = probes.map(_._2).sliding(2).collect {
       case Seq(a, b) => math.abs(1.0 - b / a) }.toVector
-    val collapsed = stopFired && gains.size >= 2 &&
-      gains.last <= 0.2 * gains(gains.size - 2)
-    if (llhPick._1 != lastK || collapsed) "llh" else "modularity"
+    val fireIdx = gains.indexWhere(_ < kTol)
+    assert(diag.kTolFired == (fireIdx >= 0),
+      s"kTolFired=${diag.kTolFired} but recomputed gains=$gains kTol=$kTol")
+    if (fireIdx >= 0)
+      assert(diag.fireCollapse ==
+          (fireIdx >= 1 && gains(fireIdx) <= 0.2 * gains(fireIdx - 1)),
+        s"fireCollapse=${diag.fireCollapse} gains=$gains fireIdx=$fireIdx")
+    if (llhPick._1 != lastK || (diag.kTolFired && diag.fireCollapse)) "llh"
+    else "modularity"
   }
 
   test("selectKSparse criterion=auto dispatches by the recorded LLH-curve evidence") {
-    val grid = BigClam.logSpacedK(2, 6, 2)
     var probes = Vector.empty[(Int, Double, Double)]
     var decided = ""
+    var diag = Option.empty[BigClam.SelectKDiag]
     val (k, _, _) = BigClam.selectKSparse(edges, BigClam.Params(k = 2),
       minK = 2, maxK = 6, steps = 2, fitIterations = 20, llhTol = Some(1e-4),
       criterion = "auto",
       criterionProbe = (kk, l, q) => probes = probes :+ ((kk, l, q)),
-      decisionProbe = d => decided = d)
+      decisionProbe = d => decided = d,
+      diagProbe = d => diag = Some(d))
     assert(probes.forall(p => !p._3.isNaN), "auto must score q for every K")
-    val expectBy = expectDispatch(probes, grid.size)
+    val expectBy = expectDispatch(probes, diag.get)
     assert(decided == expectBy, s"probes=$probes decided=$decided")
+    assert(diag.get.decidedBy == decided && diag.get.escalations == 0 &&
+      diag.get.evaluated == probes.map(_._1))
     val expectK =
       if (expectBy == "llh") probes.maxBy(_._2)._1 else probes.maxBy(_._3)._1
     assert(k == expectK, s"probes=$probes decided=$decided k=$k")
@@ -282,17 +302,21 @@ class ModelSelectionSpec extends AnyFunSuite {
     // kTolFired alone used to force "llh")
     var probes = Vector.empty[(Int, Double, Double)]
     var decided = ""
+    var diag = Option.empty[BigClam.SelectKDiag]
     val (k, _, _) = BigClam.selectKSparse(edges, BigClam.Params(k = 2),
       minK = 2, maxK = 8, steps = 3, fitIterations = 20, llhTol = Some(1e-4),
       kTol = 0.9, criterion = "auto",
       criterionProbe = (kk, l, q) => probes = probes :+ ((kk, l, q)),
-      decisionProbe = d => decided = d)
+      decisionProbe = d => decided = d,
+      diagProbe = d => diag = Some(d))
     assert(probes.size == 2,
       s"kTol=0.9 must stop the walk at the second point: $probes")
+    assert(diag.get.kTolFired && !diag.get.fireCollapse,
+      s"a first-gain fire carries no shape evidence: ${diag.get}")
     // regardless of which side of the boundary the LLH argmax fell on,
     // the documented rule must hold; and when the argmax rides the stop
     // boundary the decision must be modularity (the fixed blind spot)
-    assert(decided == expectDispatch(probes, 3),
+    assert(decided == expectDispatch(probes, diag.get, kTol = 0.9),
       s"probes=$probes decided=$decided")
     if (probes.maxBy(_._2)._1 == probes.last._1)
       assert(decided == "modularity",
@@ -309,15 +333,16 @@ class ModelSelectionSpec extends AnyFunSuite {
     // typically the boundary-riding branch, i.e. the modularity pick)
     val pl = GraphOps.symEdges(
       graft.graph.GraphGen.powerLawEdges(s, 300, 900)).cache()
-    val grid = BigClam.logSpacedK(2, 8, 2)
     var probes = Vector.empty[(Int, Double, Double)]
     var decided = ""
+    var diag = Option.empty[BigClam.SelectKDiag]
     val (k, _, _) = BigClam.selectKSparse(pl, BigClam.Params(k = 2),
       minK = 2, maxK = 8, steps = 2, fitIterations = 25, llhTol = Some(1e-4),
       supportCap = Some(4), criterion = "auto",
       criterionProbe = (kk, l, q) => probes = probes :+ ((kk, l, q)),
-      decisionProbe = d => decided = d)
-    val expectBy = expectDispatch(probes, grid.size)
+      decisionProbe = d => decided = d,
+      diagProbe = d => diag = Some(d))
+    val expectBy = expectDispatch(probes, diag.get)
     assert(decided == expectBy, s"probes=$probes decided=$decided")
     val expectK = if (expectBy == "llh") probes.maxBy(_._2)._1
                   else probes.maxBy(_._3)._1
@@ -363,6 +388,155 @@ class ModelSelectionSpec extends AnyFunSuite {
       minK = 2, maxK = 4, steps = 2, fitIterations = 2,
       criterionProbe = (_, _, q) => sawQ = sawQ || !q.isNaN)
     assert(h.nonEmpty && !sawQ, "default criterion must record q as NaN")
+  }
+
+  test("selectKSparse criterion=auto: a kTol fire on a genuine gain collapse keeps LLH the signal") {
+    // the REAL collapse-fire path (round-17 item 2): not the kTol=0.9
+    // degenerate (which fires on the FIRST gain and tests the no-evidence
+    // branch), but a fire at a measured knee with a prior gain to collapse
+    // against. Pass 1 measures the curve with no stop; kTol is then set
+    // between the knee's pre/post gains so pass 2's fire lands exactly at
+    // the knee — and, because the knee sits on the LAST grid point, the
+    // old probe-count oracle would have called this fire invisible (the
+    // round-16 ADVICE latent false failure, exercised for real here).
+    var probes0 = Vector.empty[(Int, Double, Double)]
+    BigClam.selectKSparse(cliq, BigClam.Params(k = 1),
+      minK = 1, maxK = 4, steps = 2, fitIterations = 30, llhTol = Some(1e-4),
+      criterion = "modularity",
+      criterionProbe = (kk, l, q) => probes0 = probes0 :+ ((kk, l, q)))
+    val gains = probes0.map(_._2).sliding(2).collect {
+      case Seq(a, b) => math.abs(1.0 - b / a) }.toVector
+    assert(gains.size == 2 && gains(1) <= 0.2 * gains(0),
+      s"fixture must have a collapsing knee on the last gain: $gains")
+    // between the two gains; on this fixture the K=4 fit converges to the
+    // IDENTICAL two-community solution (gain exactly 0), where the
+    // geometric mean degenerates to 0 and would never fire — halve the
+    // pre-knee gain instead
+    val kneeKTol =
+      if (gains(1) > 0) math.sqrt(gains(0) * gains(1)) else gains(0) / 2
+    var probes = Vector.empty[(Int, Double, Double)]
+    var decided = ""
+    var diag = Option.empty[BigClam.SelectKDiag]
+    val (k, _, _) = BigClam.selectKSparse(cliq, BigClam.Params(k = 1),
+      minK = 1, maxK = 4, steps = 2, fitIterations = 30, llhTol = Some(1e-4),
+      kTol = kneeKTol, criterion = "auto", escalateCap = 2,
+      criterionProbe = (kk, l, q) => probes = probes :+ ((kk, l, q)),
+      decisionProbe = d => decided = d,
+      diagProbe = d => diag = Some(d))
+    val dg = diag.get
+    assert(dg.kTolFired && dg.fireCollapse,
+      s"the stop must fire AT the knee and register the collapse: $dg")
+    assert(decided == "llh" && dg.decidedBy == "llh",
+      s"a collapse fire is elbow evidence — LLH stays the signal: $dg")
+    assert(decided == expectDispatch(probes, dg, kTol = kneeKTol))
+    assert(k == probes.maxBy(_._2)._1, s"chosen K must be the LLH argmax")
+    // the LLH side never escalates past a kTol fire: the stop IS the
+    // reference's no-gain evidence (escalateCap=2 granted, none used)
+    assert(dg.escalations == 0 && probes.map(_._1) == probes0.map(_._1))
+  }
+
+  test("selectKSparse escalates a modularity boundary argmax to an interior q peak") {
+    // mis-specified grid {1,2} on the two-clique graph: q(1)=0, q(2) is
+    // the natural-scale peak — the walk's q argmax rides the grid
+    // boundary, the exact evidence-free pick the capstone recorded at
+    // K=8000. With escalateCap the walk extends one log step (to 4, the
+    // declared grid's own stride), sees q(4) < q(2), and lands on the
+    // interior peak a wider grid would have found.
+    var probes = Vector.empty[(Int, Double, Double)]
+    var diag = Option.empty[BigClam.SelectKDiag]
+    val (k, fs, history) = BigClam.selectKSparse(cliq, BigClam.Params(k = 1),
+      minK = 1, maxK = 2, steps = 1, fitIterations = 30, llhTol = Some(1e-4),
+      criterion = "modularity", escalateCap = 2,
+      criterionProbe = (kk, l, q) => probes = probes :+ ((kk, l, q)),
+      diagProbe = d => diag = Some(d))
+    val dg = diag.get
+    assert(dg.evaluated == Seq(1, 2, 4),
+      s"one escalation step past maxK=2 at the grid's own stride: $dg")
+    assert(dg.escalations == 1 && !dg.boundaryPick,
+      s"the escalated point turned the boundary pick interior: $dg")
+    assert(k == 2, s"interior q peak is the two-clique cut: $probes")
+    // the escalated K=4 fit converges to the same two-community structure
+    // (q ties exactly); the strict-improvement best rule keeps the FIRST
+    // argmax, so the tie still turns the pick interior
+    assert(probes(2)._3 <= probes(1)._3,
+      s"q must not rise at the escalated K=4: $probes")
+    assert(history.map(_._1) == Seq(1, 2, 4),
+      "escalated points join the returned curve")
+    assert(fs.count() == 10)
+  }
+
+  test("selectKSparse escalateCap=0 leaves the pick flagged as boundary") {
+    var diag = Option.empty[BigClam.SelectKDiag]
+    val (k, _, _) = BigClam.selectKSparse(cliq, BigClam.Params(k = 1),
+      minK = 1, maxK = 2, steps = 1, fitIterations = 30, llhTol = Some(1e-4),
+      criterion = "modularity",
+      diagProbe = d => diag = Some(d))
+    val dg = diag.get
+    assert(k == 2 && dg.boundaryPick && dg.escalations == 0 &&
+      dg.evaluated == Seq(1, 2),
+      s"default escalateCap=0 keeps recorded walks bit-identical but must " +
+        s"flag the evidence-free boundary choice: $dg")
+  }
+
+  test("selectKSparse llh-side escalation walks past maxK while the argmax rides the boundary") {
+    // criterion=llh, grid exhausted mid-climb (no kTol fire): the
+    // reference's walk-until-no-gain contract says the walk is not done —
+    // escalation extends it; whether the escalated point turns the argmax
+    // interior is the curve's business, the diag must report it honestly
+    var probes = Vector.empty[(Int, Double, Double)]
+    var diag = Option.empty[BigClam.SelectKDiag]
+    val (k, _, _) = BigClam.selectKSparse(cliq, BigClam.Params(k = 1),
+      minK = 1, maxK = 2, steps = 1, fitIterations = 30, llhTol = Some(1e-4),
+      criterion = "llh", escalateCap = 1,
+      criterionProbe = (kk, l, q) => probes = probes :+ ((kk, l, q)),
+      diagProbe = d => diag = Some(d))
+    val dg = diag.get
+    assert(dg.escalations == 1 && dg.evaluated == Seq(1, 2, 4),
+      s"boundary LLH argmax at K=2 must escalate once: $dg")
+    val argmax = probes.maxBy(_._2)._1
+    assert(k == argmax && dg.chosenK == argmax)
+    assert(dg.boundaryPick == (argmax == 4), s"honest boundary flag: $dg")
+    assert(probes.forall(_._3.isNaN), "llh criterion never pays the q pass")
+  }
+
+  test("selectKSparse stateDir persists, replays, and resumes to the same choice") {
+    val dir = java.nio.file.Files.createTempDirectory("selk_state").toString
+    def walk(escalate: Int = 0) = {
+      var diag = Option.empty[BigClam.SelectKDiag]
+      val (k, fs, curve) = BigClam.selectKSparse(cliq, BigClam.Params(k = 1),
+        minK = 1, maxK = 4, steps = 2, fitIterations = 30,
+        llhTol = Some(1e-4), criterion = "auto", escalateCap = escalate,
+        stateDir = Some(dir),
+        diagProbe = d => diag = Some(d))
+      (k, fs, curve, diag.get)
+    }
+    val (k1, _, curve1, d1) = walk()
+    assert(d1.replayed.isEmpty, s"first pass fits everything live: $d1")
+    assert(new java.io.File(dir, "meta.properties").exists())
+    d1.evaluated.foreach { kk =>
+      assert(new java.io.File(dir, s"point_k$kk.properties").exists())
+      assert(new java.io.File(dir, s"f_k$kk.parquet").exists())
+    }
+    // full replay: every point restored from the store, zero refits, the
+    // returned best F reads from the store's parquet
+    val (k2, fs2, curve2, d2) = walk()
+    assert(d2.replayed == d1.evaluated, s"full replay: $d2")
+    assert(k2 == k1 && curve2 == curve1 && d2.decidedBy == d1.decidedBy)
+    assert(fs2.count() == 10)
+    // kill-and-resume: drop the LAST completed point (the crash window),
+    // the resumed walk replays the prefix and refits only the tail —
+    // deterministic fits land on the identical curve and choice
+    val lastK = d1.evaluated.last
+    assert(new java.io.File(dir, s"point_k$lastK.properties").delete())
+    val (k3, _, curve3, d3) = walk()
+    assert(d3.replayed == d1.evaluated.dropRight(1), s"partial resume: $d3")
+    assert(k3 == k1 && curve3 == curve1 && d3.decidedBy == d1.decidedBy)
+    // a resume with drifted walk parameters must fail loudly, not splice
+    intercept[IllegalArgumentException] {
+      BigClam.selectKSparse(cliq, BigClam.Params(k = 1),
+        minK = 1, maxK = 4, steps = 2, fitIterations = 31,
+        llhTol = Some(1e-4), criterion = "auto", stateDir = Some(dir))
+    }
   }
 
   test("fitConverged terminates and improves LLH overall") {
