@@ -799,10 +799,8 @@ object GraphOps {
     * checkpoint blocks stay registered until the RDD is unreferenced and
     * the ContextCleaner collects them — unlike cache(), nothing must be
     * remembered and manually unpersisted, but the release is GC-paced. */
-  private[graft] def cutLineage(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(true)
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-  }
+  private[graft] def cutLineage(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
 
   def connectedComponents(edges0: DataFrame, maxIter: Int = 50): DataFrame = {
     def cut(df: DataFrame): DataFrame = cutLineage(df)
@@ -811,7 +809,11 @@ object GraphOps {
     // upstream subtree — including any distinct/union shuffle inside a
     // symEdges — once per round (the same reason GraphX caches its graph
     // before Pregel). Already-flat inputs pay one cheap re-materialization.
-    val edges = cut(edges0)
+    // Pre-partitioned by dst — the key every round's neighbor-min join
+    // uses; the checkpoint preserves the partitioning, so the |E|-row side
+    // of that join never re-exchanges inside the loop (one shuffle up
+    // front instead of one per round).
+    val edges = cut(edges0.repartition(col("dst")))
     // symmetric input ⇒ every node appears as src
     var labels = cut(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp")))
@@ -880,8 +882,10 @@ object GraphOps {
   def pageRank(edges0: DataFrame, iterations: Int = 3): DataFrame = {
     def cut(df: DataFrame): DataFrame = cutLineage(df)
     // one edge materialization for the whole power iteration (see
-    // connectedComponents — same per-round re-derivation otherwise)
-    val edges = cut(edges0)
+    // connectedComponents — same per-round re-derivation otherwise),
+    // pre-partitioned by src: the degree agg AND every round's contrib
+    // join key on src, so neither re-exchanges the |E|-row frame
+    val edges = cut(edges0.repartition(col("src")))
     val deg = degrees(edges)
     val n = deg.count()
     // empty graph: 1.0/n would poison every rank with Infinity — return the
@@ -917,7 +921,8 @@ object GraphOps {
     * O(diameter). */
   def labelPropagation(edges0: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val edges = cutLineage(edges0)
+    // dst-partitioned: every round's label-fetch join keys on dst
+    val edges = cutLineage(edges0.repartition(col("dst")))
     var labels = cutLineage(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab")))
     for (_ <- 1 to rounds) {
@@ -967,7 +972,9 @@ object GraphOps {
   def personalizedPageRank(edges0: DataFrame, seedPred: Column,
       iterations: Int = 3): DataFrame = {
     def cut(df: DataFrame): DataFrame = cutLineage(df)
-    val edges = cut(edges0)
+    // src-partitioned for the same reason as pageRank (degree agg + the
+    // per-round contrib join both key on src)
+    val edges = cut(edges0.repartition(col("src")))
     val deg = degrees(edges)
     val nSeeds = deg.filter(seedPred).count()
     require(nSeeds > 0, "personalized PageRank requires a non-empty seed set")
@@ -1074,17 +1081,30 @@ object GraphOps {
     import spark.implicits._
     // one edge materialization for the whole frontier expansion (see
     // connectedComponents)
-    val edges = cutLineage(edges0)
-    var dist = cutLineage(Seq((source, 0)).toDF("node", "dist"))
-    var frontier = dist
+    // pre-partition by the loop's join key: the checkpoint preserves the
+    // partitioning, so every round's frontier⋈edges join shuffles ONLY the
+    // (tiny) frontier side instead of re-exchanging the edge frame per round
+    val edges = cutLineage(edges0.repartition(col("src")))
+    var frontier = cutLineage(Seq((source, 0)).toDF("node", "dist"))
+    // dist stays a LAZY union of the per-round checkpointed frontiers: each
+    // frontier is already materialized, so re-checkpointing the whole
+    // visited set every round (the pre-r17 shape) only re-wrote O(|V|)
+    // rows per round for nothing; the union of ≤ maxDepth flat scans keeps
+    // the anti-join input bounded and the plan linear in depth, not
+    // per-round-doubling. The loop witness is the new frontier's row count
+    // (one cheap job over the fresh checkpoint — replaces the extra
+    // limit(1).count() job per round).
+    var dist = frontier
+    var frontierN = 1L // the seed row, known without a job
     var depth = 0
-    while (depth < maxDepth && frontier.limit(1).count() > 0) {
+    while (depth < maxDepth && frontierN > 0) {
       val next = cutLineage(
         frontier.join(edges, frontier("node") === edges("src"))
           .select(col("dst").as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
           .withColumn("dist", lit(depth + 1)))
-      dist = cutLineage(dist.union(next))
+      frontierN = next.count()
+      dist = dist.union(next)
       frontier = next
       depth += 1
     }
