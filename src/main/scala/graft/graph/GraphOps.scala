@@ -1199,7 +1199,13 @@ object GraphOps {
     * endpoints is two joins keyed src/dst (the standard pattern); the
     * moment agg is a single map-side-collapsible pass. Nothing global. */
   def q_graph_assortativity(s: SparkSession, d: String): DataFrame =
-    assortativity(symEdges(rawEdges(s, d)))
+    // cut once: the moment join consumes the symmetrized frame from three
+    // subtrees (degrees + both endpoint joins), and the join-side subtree
+    // carries inferred isnotnull(src/dst) filters the degree side lacks —
+    // the canonical plans differ, ReuseExchange misses, and the full
+    // union+distinct (two lineitem scans + a |2E|-row exchange) ran TWICE
+    // (seen in the executed sf0.1 plan). The cut materializes it once.
+    assortativity(cutLineage(symEdges(rawEdges(s, d))))
 
   /** Core of [[q_graph_assortativity]] over any symmetrized edge frame —
     * separated so scale runs (RunGraphScale) can drive it on synthetic

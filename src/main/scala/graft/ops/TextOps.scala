@@ -91,7 +91,14 @@ object TextOps {
     val rare = docShingle.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 10))
       .select("shingle")
-    docShingle.hint("merge").join(rare, Seq("shingle"))
+    // shuffled-hash, not merge: both sides are hash-partitioned by shingle
+    // already (the df agg output and the docShingle exchange), but a
+    // sort-merge join would SORT millions of shingle STRINGS on each side
+    // before streaming — the dominant task time of the whole pipeline
+    // (guide §3.1). The build side is the rare-shingle key set: one short
+    // row per rare shingle, per-partition build bounded by |rare|/P — the
+    // shape SHJ is for. Broadcast stays wrong at 100 TB (rare set is huge).
+    docShingle.join(rare.hint("shuffle_hash"), Seq("shingle"))
       .select(col("shingle"), col("doc_id"))
       .groupBy("shingle")
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
@@ -177,11 +184,14 @@ object TextOps {
     val melt = pairs.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     // docShingle is distinct per (doc, shingle), so each (pair, shingle)
-    // appears once per side: cnt per shingle ∈ {1, 2}, 2 ⇔ shared
+    // appears once per side: the probe-row total is |A|+|B| directly and
+    // the distinct-shingle count is |A∪B| — ONE aggregation (count +
+    // count distinct share the partial pass keyed (pair, shingle), then
+    // finalize keyed (pair)) instead of the former two chained groupBys,
+    // saving a full exchange of the (pair, shingle) aggregate rows.
     melt.join(docShingle, Seq("doc_id"))
-      .groupBy("doc_a", "doc_b", "shingle").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_a", "doc_b")
-      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_union"))
+      .agg(count(lit(1)).as("tot"), countDistinct(col("shingle")).as("n_union"))
       .select(col("doc_a"), col("doc_b"),
         (col("tot") - col("n_union")).as("n_inter"),
         round((col("tot") - col("n_union")).cast("double") / col("n_union"), 6)
@@ -276,7 +286,10 @@ object TextOps {
         size(toks(col("line"))).cast("bigint").as("n_toks"))
     val df = lines.select(col("doc_id"), col("line")).distinct()
       .groupBy("line").agg(count(lit(1)).as("ndocs"))
-    lines.hint("merge").join(df, Seq("line"))
+    // shuffled-hash for the same reason as rareShinglePairRows: skip the
+    // per-side sort of millions of line STRINGS; build = the distinct-line
+    // df counts (one row per distinct line, bounded per partition)
+    lines.join(df.hint("shuffle_hash"), Seq("line"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_lines"),
@@ -302,10 +315,11 @@ object TextOps {
     val pairs = rareShinglePairRows(docShingle).distinct()
     val melt = pairs.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    // same one-agg fusion as jaccardPairs: |A∩B| = (|A|+|B|) − |A∪B| =
+    // count(*) − count(distinct shingle) per pair
     melt.join(docShingle, Seq("doc_id"))
-      .groupBy("doc_a", "doc_b", "shingle").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_a", "doc_b")
-      .agg((sum(col("cnt")) - count(lit(1))).as("n_inter"))
+      .agg((count(lit(1)) - countDistinct(col("shingle"))).as("n_inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
@@ -604,13 +618,13 @@ object TextOps {
     val docShingle = docShinglesOf(reps)
     val melt = chain.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    // docShingle is distinct per (doc, shingle): cnt ∈ {1,2}, 2 ⇔ shared;
-    // per pair Σcnt = |A|+|B| and the row count is |A∪B|, so
-    // J ≥ τ  ⇔  (Σcnt − |A∪B|) ≥ τ·|A∪B|, all integer until the final test
+    // docShingle is distinct per (doc, shingle), so per pair the probe-row
+    // count is |A|+|B| and the distinct-shingle count is |A∪B| (one fused
+    // agg — see jaccardPairs), and
+    // J ≥ τ  ⇔  ((|A|+|B|) − |A∪B|) ≥ τ·|A∪B|, all integer until the test
     val verified = melt.join(docShingle, Seq("doc_id"))
-      .groupBy("doc_a", "doc_b", "shingle").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_a", "doc_b")
-      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_union"))
+      .agg(count(lit(1)).as("tot"), countDistinct(col("shingle")).as("n_union"))
       .filter((col("tot") - col("n_union")).cast("double")
         >= col("n_union") * lit(simThreshold))
       .select("doc_a", "doc_b")
