@@ -1500,11 +1500,20 @@ object BigClam {
       .distinct.filter(k => k >= minK && k <= maxK)
   }
 
+  /** (nNodes, nUndirected) of a symmetric edge frame in ONE action — the
+    * δ-threshold inputs. Was two separate jobs (distinct().count() +
+    * count()) that each re-derived the edge subtree; count(distinct src)
+    * and count(*) share one aggregation pass. */
+  private def edgeCounts(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(countDistinct(col("src")).as("n"), count(lit(1)).as("rows"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1) / 2)
+  }
+
   /** Threshold-δ + argmax community assignment (Bigclamv2.scala:223-229),
     * output exploded (node, community). */
   def communities(f: DataFrame, edges: DataFrame, p: Params): DataFrame = {
-    val nNodes = edges.select(col("src")).distinct().count()
-    val nUndirected = edges.count() / 2
+    val (nNodes, nUndirected) = edgeCounts(edges)
     val eps = 2.0 * nUndirected / (nNodes.toDouble * (nNodes - 1.0))
     val delta = math.sqrt(-math.log(1.0 - eps))
     f.select(col("id").as("node"), col("f"),
@@ -1528,8 +1537,7 @@ object BigClam {
     * than dim 0. Fitted models have neither (BigClamSpec pins pair
     * equality with the dense path on a real fit). */
   def communitiesSparse(fs: DataFrame, edges: DataFrame, p: Params): DataFrame = {
-    val nNodes = edges.select(col("src")).distinct().count()
-    val nUndirected = edges.count() / 2
+    val (nNodes, nUndirected) = edgeCounts(edges)
     val eps = 2.0 * nUndirected / (nNodes.toDouble * (nNodes - 1.0))
     val delta = math.sqrt(-math.log(1.0 - eps))
     fs.select(col("id").as("node"),

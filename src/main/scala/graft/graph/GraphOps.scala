@@ -802,7 +802,47 @@ object GraphOps {
   private[graft] def cutLineage(df: DataFrame): DataFrame =
     df.localCheckpoint(true)
 
-  def connectedComponents(edges0: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** Budget for the driver-side CC fast path, in DIRECTED edge rows: the
+    * same bounded-collect class as the cover allocator's 2M-row per-round
+    * batches (AllocDiag) — ~32 MB of long pairs, far under the driver
+    * heap, far over every declared query's bounded subgraph. */
+  private[graft] val ccDriverMaxRows = 2000000L
+
+  /** Union-find CC on the driver over a collected edge frame — the
+    * small-graph fast path of [[connectedComponents]]. Attaching the
+    * larger root under the smaller keeps every root the MINIMUM member id
+    * of its set, so labels are identical to the hash-min fixpoint's.
+    * Returns an RDD-backed frame (never a LocalRelation — a 2M-row
+    * literal would ride into every task closure). */
+  private def driverComponents(edges: DataFrame, nRows: Long): DataFrame = {
+    val s = edges.sparkSession
+    val parent = new java.util.HashMap[Long, Long](math.max(16, nRows.toInt))
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.select(col("src"), col("dst")).collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+    }
+    import scala.jdk.CollectionConverters._
+    val out = parent.keySet().asScala.toSeq.map(n => (n.longValue(), find(n)))
+    val parts = math.max(1, out.length / 500000 + 1)
+    s.createDataFrame(s.sparkContext.parallelize(out, parts))
+      .toDF("node", "comp")
+  }
+
+  /** `driverMaxRows` dispatches the small-graph fast path (default
+    * [[ccDriverMaxRows]]; pass a negative value to force the distributed
+    * fixpoint — the spec seam). */
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 50,
+      driverMaxRows: Long = ccDriverMaxRows): DataFrame = {
     def cut(df: DataFrame): DataFrame = cutLineage(df)
     // materialize the edge frame ONCE before the loop: every propagation
     // round joins it, and without the cut each round re-derives the whole
@@ -814,6 +854,18 @@ object GraphOps {
     // of that join never re-exchanges inside the loop (one shuffle up
     // front instead of one per round).
     val edges = cut(edges0.repartition(col("dst")))
+    // SIZE DISPATCH (the allocator's bounded-collect pattern, GraphOps
+    // egoSplitCover / BigClam greedyAlloc): the fixpoint loop costs
+    // O(log diameter) rounds of ~6 driver jobs each — pure fixed overhead
+    // when the edge frame is small. Under the budget (directed rows, same
+    // 2M-row class as the allocator's per-round collect), collect the
+    // already-checkpointed edges ONCE and run union-find on the driver:
+    // identical labels (min member id per component — exactly what the
+    // hash-min fixpoint converges to), two jobs instead of dozens. Over
+    // the budget — the 100 TB shape — the distributed loop runs unchanged.
+    val nDirected = edges.count()
+    if (driverMaxRows >= 0 && nDirected <= driverMaxRows)
+      return driverComponents(edges, nDirected)
     // symmetric input ⇒ every node appears as src
     var labels = cut(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp")))
@@ -1027,10 +1079,16 @@ object GraphOps {
     * exponential plan. Round count is bounded by the peeling depth
     * (≤ max degeneracy ordering length), in practice tens of rounds on
     * power-law graphs. Input must be symmetric (both directed rows). */
-  def kcore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+  def kcore(edges: DataFrame, k: Int, maxIter: Int = 100,
+      driverMaxRows: Long = ccDriverMaxRows): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var e = cutLineage(edges)
     var nEdges = e.count()
+    // size dispatch (see connectedComponents): peeling is O(depth) rounds
+    // of 3 jobs each — under the bounded-collect budget the whole loop
+    // runs on the driver from one collect, identically
+    if (driverMaxRows >= 0 && nEdges <= driverMaxRows)
+      return driverKcore(e, k)
     var it = 0
     var stable = nEdges == 0L
     while (!stable && it < maxIter) {
@@ -1050,6 +1108,33 @@ object GraphOps {
       throw new IllegalStateException(
         s"kcore did not stabilize within $maxIter rounds")
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Driver-side k-core peeling — the small-graph fast path of [[kcore]].
+    * Same fixpoint (drop nodes of degree < k with their edges until
+    * stable), same output (surviving node → surviving degree). */
+  private def driverKcore(e: DataFrame, k: Int): DataFrame = {
+    val s = e.sparkSession
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.HashSet[Long]]
+    e.select(col("src"), col("dst")).collect().foreach { row =>
+      adj.getOrElseUpdate(row.getLong(0), mutable.HashSet.empty) += row.getLong(1)
+    }
+    // queue-based peeling: equivalent to the round-synchronous fixpoint
+    // (the k-core is unique — any removal order reaches it)
+    val queue = mutable.Queue.empty[Long]
+    adj.foreach { case (n, nbrs) => if (nbrs.size < k) queue += n }
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      adj.remove(n).foreach(_.foreach { m =>
+        adj.get(m).foreach { mn =>
+          if (mn.remove(n) && mn.size == k - 1) queue += m
+        }
+      })
+    }
+    val out = adj.iterator.map { case (n, nbrs) => (n, nbrs.size.toLong) }.toSeq
+    s.createDataFrame(s.sparkContext.parallelize(out, math.max(1, out.length / 500000 + 1)))
+      .toDF("node", "core_deg")
   }
 
   /** 3-core of the bounded bipartite subgraph. [no-oracle]: iterative
@@ -1076,7 +1161,8 @@ object GraphOps {
     * driver memory. Unlike kcore this IS oracle-expressible: DuckDB's
     * recursive CTE walks (node, dist) pairs with the same depth guard and
     * min(dist) collapse. */
-  def bfsDepth(edges0: DataFrame, source: Long, maxDepth: Int): DataFrame = {
+  def bfsDepth(edges0: DataFrame, source: Long, maxDepth: Int,
+      driverMaxRows: Long = ccDriverMaxRows): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
     // one edge materialization for the whole frontier expansion (see
@@ -1085,6 +1171,11 @@ object GraphOps {
     // partitioning, so every round's frontier⋈edges join shuffles ONLY the
     // (tiny) frontier side instead of re-exchanging the edge frame per round
     val edges = cutLineage(edges0.repartition(col("src")))
+    // size dispatch (see connectedComponents): level-synchronous expansion
+    // costs ~4 jobs per hop — under the bounded-collect budget the whole
+    // walk runs on the driver from one collect, identically
+    if (driverMaxRows >= 0 && edges.count() <= driverMaxRows)
+      return driverBfs(edges, source, maxDepth)
     var frontier = cutLineage(Seq((source, 0)).toDF("node", "dist"))
     // dist stays a LAZY union of the per-round checkpointed frontiers: each
     // frontier is already materialized, so re-checkpointing the whole
@@ -1109,6 +1200,29 @@ object GraphOps {
       depth += 1
     }
     dist
+  }
+
+  /** Driver-side BFS — the small-graph fast path of [[bfsDepth]]: same
+    * level-synchronous first-arrival distances from one edge collect. */
+  private def driverBfs(edges: DataFrame, source: Long, maxDepth: Int): DataFrame = {
+    val s = edges.sparkSession
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    edges.select(col("src"), col("dst")).collect().foreach { row =>
+      adj.getOrElseUpdate(row.getLong(0), mutable.ArrayBuffer.empty) += row.getLong(1)
+    }
+    val dist = mutable.HashMap(source -> 0)
+    var frontier = Seq(source)
+    var depth = 0
+    while (depth < maxDepth && frontier.nonEmpty) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Nil)).distinct
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = depth + 1)
+      depth += 1
+    }
+    val out = dist.iterator.map { case (n, d) => (n, d) }.toSeq
+    s.createDataFrame(s.sparkContext.parallelize(out, math.max(1, out.length / 500000 + 1)))
+      .toDF("node", "dist")
   }
 
   /** BFS hop distances from order node 1 on the bounded bipartite

@@ -68,23 +68,40 @@ class ToyGraphSpec extends AnyFunSuite {
   test("connected components: 60-node path converges under the default cap (pointer jumping)") {
     // plain hash-min needs 59 rounds here — past the 50-round default cap
     // (the silent-wrong-answer hazard before fail-loudly, the throw after);
-    // label doubling converges in O(log diameter) rounds
+    // label doubling converges in O(log diameter) rounds. driverMaxRows=-1
+    // forces the DISTRIBUTED fixpoint (the small toy would otherwise take
+    // the driver union-find fast path and test nothing).
     val path = GraphOps.symEdges(
       (0L until 59L).map(i => (i, i + 1)).toDF("src", "dst"))
-    val labels = GraphOps.connectedComponents(path)
+    val labels = GraphOps.connectedComponents(path, driverMaxRows = -1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == (0L to 59L).map(_ -> 0L).toMap)
   }
 
   test("connected components fail loudly at the iteration cap instead of returning wrong labels") {
     // a 12-node path needs ~11 hash-min rounds; cap at 3 must throw, not
-    // silently return a split component
+    // silently return a split component (distributed path forced — the
+    // driver union-find has no cap to trip)
     val path = GraphOps.symEdges(
       (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst"))
     val e = intercept[IllegalStateException] {
-      GraphOps.connectedComponents(path, maxIter = 3).collect()
+      GraphOps.connectedComponents(path, maxIter = 3, driverMaxRows = -1L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("cc size dispatch: driver union-find and distributed fixpoint label identically") {
+    // the r17 fast path must be invisible in results: same (node, comp =
+    // min member id) pairs on a multi-component graph either way
+    val g = GraphOps.symEdges(
+      (Seq((0L, 1L), (1L, 2L), (0L, 2L), (7L, 9L), (9L, 11L)) ++
+        (20L until 29L).map(i => (i, i + 1))).toDF("src", "dst"))
+    val viaDriver = GraphOps.connectedComponents(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = GraphOps.connectedComponents(g, driverMaxRows = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(2L) == 0L && viaDriver(11L) == 7L && viaDriver(29L) == 20L)
   }
 
   test("empty edge input: cc yields empty labels (no NPE), pagerank yields empty ranks (no NaN)") {
@@ -148,6 +165,18 @@ class ToyGraphSpec extends AnyFunSuite {
     val lone = GraphOps.bfsDepth(edges.filter(col("src") < 3 && col("dst") < 3), 5L, 4)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(lone == Map(5L -> 0))
+  }
+
+  test("bfs/kcore size dispatch: distributed loops label identically to the driver path") {
+    // the toy graphs above all take the driver fast path; force the
+    // distributed loops here and pin equality on the same fixtures
+    val dLoop = GraphOps.bfsDepth(edges, 0L, 10, driverMaxRows = -1L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dLoop == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 3))
+    val coreLoop = GraphOps.kcore(edges, 2, driverMaxRows = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(coreLoop == Map(0L -> 2, 1L -> 2, 2L -> 3, 3L -> 3, 4L -> 2, 5L -> 2))
+    assert(GraphOps.kcore(edges, 3, driverMaxRows = -1L).count() == 0L)
   }
 
   test("q_graph_kcore: every surviving node keeps degree >= 3 in the core") {
