@@ -390,7 +390,9 @@ object MultimodalOps {
     val shared = fdf.groupBy("fh").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 20))
       .select("fh")
-    fdf.hint("merge").join(shared, Seq("fh"))
+    // shuffled-hash (the rareShinglePairRows lesson): skips the per-side
+    // sort of the (media, fh) relation; build = the blocked fh key set
+    fdf.join(shared.hint("shuffle_hash"), Seq("fh"))
       .groupBy("fh")
       .agg(sort_array(collect_set(col("media_id"))).as("ms"))
       .select(explode(

@@ -57,9 +57,14 @@ object Aggregates {
   /** Grouping-null ambiguity sidestepped by coalescing to sentinels, so the
     * oracle needs no NULLS FIRST/LAST gymnastics. */
   def q_agg_rollup(s: SparkSession, d: String): DataFrame =
+    // pre-agg before the rollup Expand — same additive two-level trick as
+    // q_agg_cube (3 grouping sets over ~15 cells instead of 3 × |orders|)
     Tables.orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("pc"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("pt"))
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      .agg(sum(col("pc")).as("cnt"), sum(col("pt")).cast("double").as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
         coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
@@ -67,9 +72,18 @@ object Aggregates {
       .orderBy("status", "priority")
 
   def q_agg_cube(s: SparkSession, d: String): DataFrame =
+    // pre-aggregate to the (flag, status) cells BEFORE the cube: CUBE plans
+    // as Expand — every input row duplicated once per grouping set (4× the
+    // fact scan) before the partial agg. Cube is additive, so cubing the
+    // ~6 pre-aggregated cells with sum-of-sums gives bit-identical results
+    // (exact DECIMAL partials, exact count sums) while Expand runs over 6
+    // rows, not 4 × |lineitem| (guide §2.3: aggregate before you shuffle).
     Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("pc"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("pq"))
       .cube("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      .agg(sum(col("pc")).as("cnt"), sum(col("pq")).cast("double").as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
