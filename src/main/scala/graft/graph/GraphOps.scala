@@ -971,10 +971,17 @@ object GraphOps {
     * frame is materialized once for the whole loop; labels lineage-cut per
     * round. Same shuffle shape as connectedComponents, O(rounds) not
     * O(diameter). */
-  def labelPropagation(edges0: DataFrame, rounds: Int = 3): DataFrame = {
+  def labelPropagation(edges0: DataFrame, rounds: Int = 3,
+      driverMaxRows: Long = ccDriverMaxRows): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // dst-partitioned: every round's label-fetch join keys on dst
     val edges = cutLineage(edges0.repartition(col("dst")))
+    // size dispatch (see connectedComponents): the synchronous rounds and
+    // the (count desc, label asc) argmax are EXACT INTEGER semantics, so
+    // the driver mirror is result-identical (unlike PageRank/PPR, whose
+    // double sums must keep the distributed plan's summation shape)
+    if (driverMaxRows >= 0 && edges.count() <= driverMaxRows)
+      return driverLpa(edges, rounds)
     var labels = cutLineage(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab")))
     for (_ <- 1 to rounds) {
@@ -988,6 +995,35 @@ object GraphOps {
         .select(col("node"), (-col("b.nl")).as("lab")))
     }
     labels
+  }
+
+  /** Driver-side synchronous LPA — the small-graph fast path of
+    * [[labelPropagation]]: same per-round most-frequent-neighbor-label
+    * update with the (count desc, label asc) tie rule, from one collect. */
+  private def driverLpa(edges: DataFrame, rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    import scala.collection.mutable
+    val es = edges.select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var labels = mutable.HashMap.empty[Long, Long]
+    es.foreach { case (src, _) => labels(src) = src }
+    for (_ <- 1 to rounds) {
+      val counts = mutable.HashMap.empty[Long, mutable.HashMap[Long, Long]]
+      es.foreach { case (src, dst) =>
+        val m = counts.getOrElseUpdate(src, mutable.HashMap.empty)
+        val lab = labels(dst)
+        m(lab) = m.getOrElse(lab, 0L) + 1L
+      }
+      val next = mutable.HashMap.empty[Long, Long]
+      counts.foreach { case (node, m) =>
+        // max by (cnt, -lab): highest count, ties to the smallest label
+        next(node) = m.maxBy { case (lab, cnt) => (cnt, -lab) }._1
+      }
+      labels = next
+    }
+    val out = labels.iterator.map { case (n, l) => (n, l) }.toSeq
+    s.createDataFrame(s.sparkContext.parallelize(out, math.max(1, out.length / 500000 + 1)))
+      .toDF("node", "lab")
   }
 
   /** 3-round LPA communities of the bounded bipartite subgraph —
@@ -1313,13 +1349,18 @@ object GraphOps {
     * endpoints is two joins keyed src/dst (the standard pattern); the
     * moment agg is a single map-side-collapsible pass. Nothing global. */
   def q_graph_assortativity(s: SparkSession, d: String): DataFrame =
-    // cut once: the moment join consumes the symmetrized frame from three
-    // subtrees (degrees + both endpoint joins), and the join-side subtree
-    // carries inferred isnotnull(src/dst) filters the degree side lacks —
-    // the canonical plans differ, ReuseExchange misses, and the full
-    // union+distinct (two lineitem scans + a |2E|-row exchange) ran TWICE
-    // (seen in the executed sf0.1 plan). The cut materializes it once.
-    assortativity(cutLineage(symEdges(rawEdges(s, d))))
+    // explicit isnotnull on both endpoints (the docShingles idiom): the
+    // moment join consumes the symmetrized frame from three subtrees
+    // (degrees + both endpoint joins), and the join side INFERS
+    // isnotnull(src/dst) filters the degree side lacks — the canonical
+    // plans then differ, ReuseExchange misses, and the union+distinct
+    // (two lineitem scans + a |2E|-row exchange) ran TWICE in the
+    // executed sf0.1 plan. The no-op filter makes every consumer's
+    // subtree identical so the exchange is computed once and reused.
+    // (A lineage cut also deduplicates it, but serializes the two
+    // phases a reused exchange overlaps — measured slower.)
+    assortativity(symEdges(rawEdges(s, d))
+      .filter(col("src").isNotNull && col("dst").isNotNull))
 
   /** Core of [[q_graph_assortativity]] over any symmetrized edge frame —
     * separated so scale runs (RunGraphScale) can drive it on synthetic

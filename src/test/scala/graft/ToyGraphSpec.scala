@@ -197,6 +197,10 @@ class ToyGraphSpec extends AnyFunSuite {
     val l2 = GraphOps.labelPropagation(edges, 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(l == l2)
+    // and identical through the forced DISTRIBUTED path (size dispatch)
+    val lLoop = GraphOps.labelPropagation(edges, 3, driverMaxRows = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l == lLoop)
   }
 
   test("modularity hand-checked: two disjoint triangles") {
