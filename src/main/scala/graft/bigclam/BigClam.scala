@@ -1628,8 +1628,13 @@ object BigClam {
     val cut = GraphOps.cutLineage _
     val a = a0.select(col("community").as("ca"), col("node"))
     val b = b0.select(col("community").as("cb"), col("node"))
-    val sa = cut(a.groupBy("ca").agg(count(lit(1)).as("na")))
-    val sb = cut(b.groupBy("cb").agg(count(lit(1)).as("nb")))
+    // sa/sb stay LAZY (r17): they are one groupBy over the already-flat
+    // normalized cover — their two consumers re-derive a trivial agg,
+    // where an eager checkpoint costs 2 driver jobs each per scoring call.
+    // pairF1 keeps its cut: both best-match sides re-deriving it would
+    // re-run the node-keyed overlap JOIN (data-sized) twice.
+    val sa = a.groupBy("ca").agg(count(lit(1)).as("na"))
+    val sb = b.groupBy("cb").agg(count(lit(1)).as("nb"))
     val overlap = a.join(b, "node").groupBy("ca", "cb").agg(count(lit(1)).as("o"))
     val pairF1 = cut(overlap.join(broadcast(sa), "ca").join(broadcast(sb), "cb")
       .select(col("ca"), col("cb"),
@@ -1685,8 +1690,10 @@ object BigClam {
     val a = a0.select(col("node"), col("community").as("ca"))
     val b = b0.select(col("node"), col("community").as("cb"))
     val cells = cut(a.join(b, "node").groupBy("ca", "cb").agg(count(lit(1)).as("nij")))
-    val ni = cut(cells.groupBy("ca").agg(sum("nij").as("ni")))
-    val nj = cut(cells.groupBy("cb").agg(sum("nij").as("nj")))
+    // ni/nj lazy (r17, same reasoning as f1's sa/sb): one agg over the
+    // cut cells frame; re-deriving per consumer beats two eager jobs each
+    val ni = cells.groupBy("ca").agg(sum("nij").as("ni"))
+    val nj = cells.groupBy("cb").agg(sum("nij").as("nj"))
     val tot = cells.agg(coalesce(sum("nij"), lit(0L)).as("n"))
     def entropy(margin: DataFrame, m: String, out: String): DataFrame =
       margin.crossJoin(broadcast(tot))
@@ -1737,7 +1744,6 @@ object BigClam {
     omegaOnNormalized(normCover(fitted), normCover(truth))
 
   private def omegaOnNormalized(a0: DataFrame, b0: DataFrame): DataFrame = {
-    val cut = GraphOps.cutLineage _
     val a = a0.select(col("community").as("c"), col("node"))
     val b = b0.select(col("community").as("c"), col("node"))
     def pairCounts(m: DataFrame): DataFrame = {
@@ -1746,8 +1752,10 @@ object BigClam {
       l.join(r, Seq("c")).filter(col("u") < col("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("t"))
     }
-    val ta = cut(pairCounts(a))
-    val tb = cut(pairCounts(b))
+    // ta/tb lazy (r17): each feeds exactly ONE consumer (the contingency
+    // full join), so their former eager checkpoints were pure job overhead
+    val ta = pairCounts(a)
+    val tb = pairCounts(b)
     val nodes = a.select("node").union(b.select("node")).distinct().count()
     val allPairs = nodes * (nodes - 1) / 2
     // Collapse the pair-level full join to the (t_a, t_b) CONTINGENCY
