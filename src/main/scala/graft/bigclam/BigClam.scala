@@ -63,13 +63,14 @@ object BigClam {
     * (each iteration's plan embeds the previous leaf ~9 times → 9^i growth).
     * By iteration ~10 the driver spends minutes multiplying million-digit
     * BigIntegers inside SizeInBytesOnlyStatsPlanVisitor while planning each
-    * job. Rebuilding the DataFrame from the checkpointed RDD resets the leaf
-    * to default stats; the Row round-trip touches |V| rows once per
-    * iteration — negligible next to the fit's own shuffles. */
-  private def checkpointF(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(true)
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-  }
+    * job. Since r17 the fix is the shared Bridge.flatCheckpoint: it rebuilds
+    * the LogicalRDD leaf with SATURATED inherited stats (no compounding, no
+    * broadcast-decision loss) and — unlike the historical
+    * createDataFrame(cp.rdd, schema) re-wrap — keeps the internal-row RDD
+    * (no Row round-trip per consumer scan) and the preserved output
+    * partitioning. */
+  private def checkpointF(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.flatCheckpoint(df)
 
   /** Deterministic conductance init with hash padding (no JVM Random —
     * SURVEY.md §7): community c = closed neighborhood of the c-th

@@ -800,7 +800,13 @@ object GraphOps {
     * the ContextCleaner collects them — unlike cache(), nothing must be
     * remembered and manually unpersisted, but the release is GC-paced. */
   private[graft] def cutLineage(df: DataFrame): DataFrame =
-    df.localCheckpoint(true)
+    // flatCheckpoint, not a bare localCheckpoint: the bare form carries the
+    // pre-checkpoint plan's estimated stats onto the new leaf, and a
+    // checkpoint-per-round loop then compounds sizeInBytes exponentially
+    // (the BigCLAM checkpointF lesson — driver planning explodes by round
+    // ~10). The bridge rebuild keeps the internal-row RDD (no Row
+    // round-trip) and the preserved partitioning, with fresh leaf stats.
+    org.apache.spark.sql.graftbridge.Bridge.flatCheckpoint(df)
 
   /** Budget for the driver-side CC fast path, in DIRECTED edge rows: the
     * same bounded-collect class as the cover allocator's 2M-row per-round

@@ -323,11 +323,7 @@ object TextAnalysis {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok").asc)
-    // shuffled-hash: both sides are already tok-keyed aggregates; merge
-    // would sort the |doc×tok| tf relation on the token string (the
-    // rareShinglePairRows lesson); build = the df counts (one short row
-    // per distinct token, bounded per partition)
-    tf.join(df.hint("shuffle_hash"), Seq("tok"))
+    tf.join(df, Seq("tok"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
@@ -377,12 +373,9 @@ object TextAnalysis {
     val vocab = docs
       .select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct(col("tok")).as("vocab"))
-    // shuffled-hash on both model-table joins: merge would sort the raw
-    // bigram stream (strings) twice; builds = the count tables (one short
-    // row per distinct bigram/context, bounded per partition)
-    bg.join(cBg.hint("shuffle_hash"), Seq("bg"))
+    bg.join(cBg, Seq("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(cCtx.hint("shuffle_hash"), Seq("w1"))
+      .join(cCtx, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
         log((col("c2") + lit(1.0)) / (col("c1") + col("vocab"))).as("logp"))

@@ -179,6 +179,22 @@ class ToyGraphSpec extends AnyFunSuite {
     assert(GraphOps.kcore(edges, 3, driverMaxRows = -1L).count() == 0L)
   }
 
+  test("flatCheckpoint saturates inherited stats: no exponential compounding across rounds") {
+    // size-only estimation multiplies child sizes, so 12 rounds of
+    // self-join + checkpoint would compound the leaf estimate ~2^12-fold
+    // per round (million-digit BigIntegers by round ~10, the BigCLAM
+    // checkpointF lesson) — the bridge clamp must keep it word-sized
+    var df = (0L until 100L).toDF("x")
+    for (_ <- 1 to 12) {
+      val joined = df.join(df.withColumnRenamed("x", "y"), col("x") === col("y"))
+        .select("x")
+      df = org.apache.spark.sql.graftbridge.Bridge.flatCheckpoint(joined)
+    }
+    val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sz <= BigInt(Long.MaxValue / 2), s"stats compounded: $sz")
+    assert(df.count() == 100L)
+  }
+
   test("q_graph_kcore: every surviving node keeps degree >= 3 in the core") {
     val rows = GraphOps.q_graph_kcore(s, TestSpark.sf).collect()
     assert(rows.nonEmpty, "3-core of the bounded bipartite subgraph is empty")
