@@ -62,8 +62,13 @@ object IncrementalDedup {
 
   def emptyState(s: SparkSession): State = {
     import s.implicits._
+    // postings key matches TextOps.docShinglesOf: since r17 the shingle is
+    // a 128-bit composite-hash struct (h1, h2), not the string — persisted
+    // state dirs written before r17 are not schema-compatible (re-index)
     State(Seq.empty[String].toDF("h"),
-      Seq.empty[(String, Long)].toDF("shingle", "doc_id"))
+      Seq.empty[((Long, Long), Long)]
+        .toDF("shingle", "doc_id")
+        .select(col("shingle").cast("struct<h1:bigint,h2:bigint>"), col("doc_id")))
   }
 
   /** Load the index from `dir`, empty frames when a component is absent

@@ -69,8 +69,21 @@ object TextOps {
   private[graft] def docShinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        explode(graft.functions.ShingleHash.shingleArr(col("text"))).as("shingle"))
-      .filter(col("doc_id").isNotNull && col("shingle").isNotNull)
+        explode(graft.functions.ShingleHash.shingleArr(col("text"))).as("sh"))
+      .filter(col("doc_id").isNotNull && col("sh").isNotNull)
+      // r17: key the relation by a 128-bit composite hash instead of the
+      // shingle STRING. The shingle value never reaches any output — it is
+      // a pure grouping/join key — and two independent xxhash64s make the
+      // distinct/df/join/intersection pipeline move 16 fixed bytes per row
+      // instead of a ~35-byte variable string (every downstream exchange,
+      // hash-agg probe and join compare shrinks). Soundness is the SAME
+      // class as the declared md5-keyed exact dedup (q_dedup_exact equates
+      // texts by a 128-bit hash): a false shared shingle needs a 2^-128
+      // collision between two distinct shingles — ~(corpus shingles)²/2^129,
+      // ≈1e-13 even at 100 TB. Oracle hash checks pass at all three SFs.
+      .select(col("doc_id"),
+        struct(xxhash64(col("sh")).as("h1"),
+          xxhash64(col("sh"), lit(1L)).as("h2")).as("shingle"))
       .distinct()
 
   /** Rare-shingle blocking: one row per (rare shingle, ordered candidate
