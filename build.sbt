@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the bench's
+// one-line JSON from the stdout tail. sbt's default LoggedOutput strategy
+// prefixes every forked-process line with "[info] ", which has made the
+// line unparseable in every round (BENCH_rNN.json `parsed: null`).
+// StdoutOutput passes the forked JVM's stdout through undecorated, so the
+// JSON line reaches the driver exactly as Bench printed it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -810,8 +810,12 @@ object GraphOps {
 
   /** Budget for the driver-side CC fast path, in DIRECTED edge rows: the
     * same bounded-collect class as the cover allocator's 2M-row per-round
-    * batches (AllocDiag) — ~32 MB of long pairs, far under the driver
-    * heap, far over every declared query's bounded subgraph. */
+    * batches (AllocDiag). The raw payload is 32 MB of long pairs, but the
+    * collect materializes BOXED GenericRows (~100+ bytes each with the two
+    * boxed Longs) — a few hundred MB transiently at the cap, well inside
+    * the bench/driver heaps (8 g sbt default, 96 g run_main) but NOT the
+    * "~32 MB" the raw arithmetic suggests; sized accordingly. Far over
+    * every declared query's bounded subgraph either way. */
   private[graft] val ccDriverMaxRows = 2000000L
 
   /** Union-find CC on the driver over a collected edge frame — the
@@ -869,9 +873,13 @@ object GraphOps {
     // identical labels (min member id per component — exactly what the
     // hash-min fixpoint converges to), two jobs instead of dozens. Over
     // the budget — the 100 TB shape — the distributed loop runs unchanged.
-    val nDirected = edges.count()
-    if (driverMaxRows >= 0 && nDirected <= driverMaxRows)
-      return driverComponents(edges, nDirected)
+    // the dispatch count only runs when the fast path is enabled — a
+    // forced-distributed call (driverMaxRows < 0, the spec seam and the
+    // large-graph stance) must not pay a wasted driver job per call
+    if (driverMaxRows >= 0) {
+      val nDirected = edges.count()
+      if (nDirected <= driverMaxRows) return driverComponents(edges, nDirected)
+    }
     // symmetric input ⇒ every node appears as src
     var labels = cut(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp")))
@@ -1016,9 +1024,14 @@ object GraphOps {
     for (_ <- 1 to rounds) {
       val counts = mutable.HashMap.empty[Long, mutable.HashMap[Long, Long]]
       es.foreach { case (src, dst) =>
-        val m = counts.getOrElseUpdate(src, mutable.HashMap.empty)
-        val lab = labels(dst)
-        m(lab) = m.getOrElse(lab, 0L) + 1L
+        // labels.get, not labels(dst): on contract-violating non-symmetric
+        // input a dst that never appears as src has no label — the
+        // distributed path's inner join silently DROPS that row, so the
+        // driver mirror must skip it too (not throw NoSuchElementException)
+        labels.get(dst).foreach { lab =>
+          val m = counts.getOrElseUpdate(src, mutable.HashMap.empty)
+          m(lab) = m.getOrElse(lab, 0L) + 1L
+        }
       }
       val next = mutable.HashMap.empty[Long, Long]
       counts.foreach { case (node, m) =>

@@ -43,6 +43,16 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  /** Persisted-postings format version. Bumped whenever the posting key
+    * changes in a way parquet schema alone can't catch: v2 = r17's 128-bit
+    * struct<h1,h2> (h2 seed-chained from h1), v3 = r18's independent h2
+    * (see TextKernels.hashedShingles — the chained form was effectively a
+    * 64-bit key). A state dir written by an older version has DIFFERENT
+    * KEY VALUES for the same shingle, so mixing silently corrupts df
+    * counts and Jaccard decisions; [[loadState]] fails fast instead. */
+  private[graft] val PostingsVersion = "graft-postings-v3"
+  private val VersionFile = "POSTINGS_FORMAT"
+
   /** The in-memory handle on the persisted index. `hashes` (h: string),
     * `postings` (shingle, doc_id). Batch-local frames work too (the
     * streaming foreachBatch path accumulates state between micro-batches
@@ -62,9 +72,10 @@ object IncrementalDedup {
 
   def emptyState(s: SparkSession): State = {
     import s.implicits._
-    // postings key matches TextOps.docShinglesOf: since r17 the shingle is
-    // a 128-bit composite-hash struct (h1, h2), not the string — persisted
-    // state dirs written before r17 are not schema-compatible (re-index)
+    // postings key matches TextOps.docShinglesOf: a 128-bit composite-hash
+    // struct (h1, h2), not the string. Key VALUES changed in r18 (h2 is
+    // now an independent hash — see [[PostingsVersion]]); loadState fails
+    // fast on any state dir not stamped with the current format
     State(Seq.empty[String].toDF("h"),
       Seq.empty[((Long, Long), Long)]
         .toDF("shingle", "doc_id")
@@ -83,6 +94,29 @@ object IncrementalDedup {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       if (p.getFileSystem(conf).exists(p)) s.read.parquet(p.toString)
       else fallback
+    }
+    // fail fast on a stale index: a pre-v3 postings dir either has the
+    // string key (schema mismatch that would otherwise surface later as an
+    // opaque union/join AnalysisException) or — worse — the SAME
+    // struct<h1,h2> schema with r17's seed-chained h2 values, which would
+    // silently corrupt every df count and Jaccard decision. The version
+    // marker is written by [[appendState]]; its absence next to an
+    // existing postings dir means "written by an older build: re-index".
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    if (postingsPath.getFileSystem(conf).exists(postingsPath)) {
+      val vp = new org.apache.hadoop.fs.Path(s"$dir/$VersionFile")
+      val fs = vp.getFileSystem(conf)
+      val ok = fs.exists(vp) && {
+        val in = fs.open(vp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim ==
+          PostingsVersion
+        finally in.close()
+      }
+      if (!ok) throw new IllegalStateException(
+        s"incremental-dedup state at $dir was written by an incompatible " +
+          s"postings format (expected $PostingsVersion): the shingle key " +
+          "values differ between formats, so reading it would silently " +
+          "corrupt dedup decisions. Re-index from the corpus text.")
     }
     val e = emptyState(s)
     State(read("hashes", e.hashes), read("postings", e.postings))
@@ -106,6 +140,15 @@ object IncrementalDedup {
     h.write.mode("append").parquet(s"$dir/hashes")
     p.write.mode("append").parquet(s"$dir/postings")
     dcs.write.mode("append").parquet(s"$dir/decisions")
+    // stamp the postings format so a later loadState can fail fast on a
+    // stale index (idempotent overwrite; written AFTER the data appends so
+    // a crash mid-append never leaves a stamped-but-empty dir)
+    val conf = h.sparkSession.sessionState.newHadoopConf()
+    val vp = new org.apache.hadoop.fs.Path(s"$dir/$VersionFile")
+    val fs = vp.getFileSystem(conf)
+    val out = fs.create(vp, true)
+    try out.write((PostingsVersion + "\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Exact-dedup phase shared by [[processBatch]] and [[ceilingDiag]]:

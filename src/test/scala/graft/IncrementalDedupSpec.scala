@@ -258,6 +258,31 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(off.ceiling.isEmpty)
   }
 
+  test("loadState fails fast on a postings dir without the format marker") {
+    // a state dir written by a pre-r18 build has the same parquet schema
+    // (struct<h1,h2>) but DIFFERENT key values (r17 seed-chained h2) — or,
+    // pre-r17, the string key. Both lack the POSTINGS_FORMAT stamp that
+    // appendState now writes, and silently mixing either corrupts df
+    // counts and Jaccard decisions; loadState must refuse, loudly.
+    val dir = java.nio.file.Files
+      .createTempDirectory("incdedup-stale").toString
+    val r = IncrementalDedup.processBatch(mkDocs(batch0),
+      IncrementalDedup.emptyState(spark))
+    IncrementalDedup.appendState(dir, 0L, r)
+    // the stamped dir loads fine
+    IncrementalDedup.loadState(spark, dir)
+    // strip the marker — the "older build wrote this" state
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "POSTINGS_FORMAT"))
+    val err = intercept[IllegalStateException](
+      IncrementalDedup.loadState(spark, dir))
+    assert(err.getMessage.contains("incompatible"), err.getMessage)
+    // a dir with NO postings at all (first batch) still loads as empty
+    val fresh = java.nio.file.Files
+      .createTempDirectory("incdedup-fresh").toString
+    val st = IncrementalDedup.loadState(spark, fresh)
+    assert(st.postings.count() == 0L)
+  }
+
   test("foreachBatch streaming flow produces the same labels as batch runs") {
     import spark.implicits._
     // batch-sequential reference
