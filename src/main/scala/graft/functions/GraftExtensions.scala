@@ -88,7 +88,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SimHashBands].getName, "simhash_bands"),
       (c: Seq[Expression]) =>
         SimHashBands(c(0), intLit(c(1), "simhash_bands"),
-          intLit(c(2), "simhash_bands")): Expression))
+          intLit(c(2), "simhash_bands")): Expression),
+    (FunctionIdentifier("hashed_ngram_set"),
+      new ExpressionInfo(classOf[HashedNgramSet].getName, "hashed_ngram_set"),
+      (c: Seq[Expression]) =>
+        HashedNgramSet(c(0), intLit(c(1), "hashed_ngram_set")): Expression))
 
   /** Idempotently add the fusion rule + SQL functions to a live session. */
   def install(spark: SparkSession): Unit = {

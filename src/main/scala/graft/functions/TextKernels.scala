@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native shingle+hash kernels for the text-dedup hot path.
@@ -144,6 +144,69 @@ object TextKernels {
     new GenericArrayData(if (keep == 0) Array.emptyLongArray else best)
   }
 
+  /** Seed of the SECOND hash of the 128-bit composite shingle key —
+    * exactly the accumulated seed of `xxhash64(lit(1L), sh)` (Spark chains:
+    * seed 42 → hashLong(1L) → then the string bytes), kept so the kernel
+    * is bit-identical to that expression form (pinned in TextKernelsSpec).
+    * Unlike r17's `xxhash64(sh, lit(1L))` — where h2 was a pure function
+    * of h1 (h2 = hashLong(1L, seed = h1), i.e. the "128-bit" key was
+    * really 64-bit: any h1 collision collided the whole struct) — hashing
+    * the salt FIRST gives two genuinely independent passes over the
+    * shingle bytes with different seeds. */
+  private val SEED2 = XXH64.hashLong(1L, SEED)
+
+  /** Per-document DISTINCT 128-bit hashed g-token n-grams, straight off
+    * the text bytes: for each n-gram byte range (the [[ngramArray]]
+    * identity — token i start .. token i+g−1 end), h1 = XXH64(range, 42)
+    * and h2 = XXH64(range, [[SEED2]]), deduplicated with an open-addressed
+    * probe table before emission. No n-gram STRING is ever materialized,
+    * and because the output is already distinct per document (and doc ids
+    * are unique), consumers that previously ran `.distinct()` over the
+    * exploded (doc_id, shingle) relation need no exchange at all.
+    * Returns ARRAY<STRUCT<h1,h2>> (empty when the doc has <g tokens, so
+    * `explode` drops the doc exactly like the old empty-array form).
+    * Emission order is first-occurrence order — callers treat the result
+    * as a set (grouping/join keys only). */
+  def hashedNgramSet(s: UTF8String, g: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    val starts = tokenStarts(base, off, len)
+    val nTokens = starts.length - 1
+    val n = math.max(nTokens - (g - 1), 0)
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    // open-addressed table sized 2x the n-gram count (power of two)
+    var cap = 4
+    while (cap < n * 2) cap <<= 1
+    val mask = cap - 1
+    val t1 = new Array[Long](cap)
+    val t2 = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val out = new Array[AnyRef](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val from = starts(i)
+      val until = starts(i + g) - 1
+      val h1 = XXH64.hashUnsafeBytes(base, off + from, until - from, SEED)
+      val h2 = XXH64.hashUnsafeBytes(base, off + from, until - from, SEED2)
+      var slot = (h1 ^ (h1 >>> 32)).toInt & mask
+      var dup = false
+      while (used(slot) && !dup) {
+        if (t1(slot) == h1 && t2(slot) == h2) dup = true
+        else slot = (slot + 1) & mask
+      }
+      if (!dup) {
+        used(slot) = true; t1(slot) = h1; t2(slot) = h2
+        out(m) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](h1, h2))
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+
   // one MD5 instance per task thread, reset per token — getInstance per
   // token would dominate the pass
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
@@ -263,6 +326,27 @@ case class SimHashBands(child: Expression, nBands: Int, bandBits: Int)
     copy(child = c)
 }
 
+/** Native per-doc-distinct 128-bit hashed g-gram keys:
+  * ARRAY<STRUCT<h1:BIGINT,h2:BIGINT>> (empty when <g tokens). */
+case class HashedNgramSet(child: Expression, g: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "hashed_ngram_set"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.hashedNgramSet(s.asInstanceOf[UTF8String], g)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.hashedNgramSet($s, $g)")
+  override protected def withNewChildInternal(c: Expression): HashedNgramSet =
+    copy(child = c)
+}
+
 /** Native k-smallest shingle hashes: ascending ARRAY<BIGINT> of ≤ k. */
 case class ShingleMinK(child: Expression, k: Int) extends ShingleHashExpr {
   override def prettyName: String = "shingle_min_k"
@@ -286,4 +370,8 @@ object ShingleHash {
     Bridge.column(SimHashBands(Bridge.expression(text), nBands, bandBits))
   def ngramArr(text: Column, g: Int): Column =
     Bridge.column(NgramStrings(Bridge.expression(text), g))
+  def hashedNgramSet(text: Column, g: Int): Column =
+    Bridge.column(HashedNgramSet(Bridge.expression(text), g))
+  /** 5-token specialization — the dedup pipelines' shingle key relation. */
+  def hashedShingleSet(text: Column): Column = hashedNgramSet(text, 5)
 }

@@ -99,6 +99,44 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(diff.count() == 0, diff.limit(5).collect().mkString("\n"))
   }
 
+  test("HashedNgramSet matches the distinct independent-xxhash64 expression form (g = 5, 8)") {
+    // the expression form the kernel replaced: per-doc distinct
+    // struct(xxhash64(sh), xxhash64(lit(1L), sh)) over the gram STRINGS.
+    // NOTE h2 hashes the salt FIRST — xxhash64(lit(1L), sh) accumulates
+    // seed 42 → hashLong(1L) → the bytes, so h2 is an independent pass
+    // with a different seed, NOT r17's h2 = f(h1) seed chain. The kernel
+    // must reproduce the exact values AND the per-doc set semantics
+    // (order-insensitive compare via array_sort of the structs).
+    for (g <- Seq(5, 8)) {
+      val expr = corpus
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleHash.ngramArr(col("text"), g)).as("sh"))
+        .select(col("doc_id"),
+          struct(xxhash64(col("sh")).as("h1"),
+            xxhash64(lit(1L), col("sh")).as("h2")).as("k"))
+        .distinct()
+        .groupBy("doc_id").agg(array_sort(collect_list(col("k"))).as("ks"))
+      val native = corpus
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleHash.hashedNgramSet(col("text"), g)).as("k"))
+        .groupBy("doc_id").agg(array_sort(collect_list(col("k"))).as("ks2"))
+      val joined = expr.join(native, Seq("doc_id"), "full")
+      val diff = joined.filter(!(col("ks") <=> col("ks2")))
+      assert(diff.count() == 0, s"g=$g: " + diff.limit(5).collect().mkString("\n"))
+      // docs with <g tokens emit an EMPTY array (explode drops them) on
+      // both sides — the full join above would surface a one-sided doc
+    }
+    // in-doc duplicate grams collapse to ONE key (the .distinct() twin)
+    val dup = Seq((1L, "p q p q p q p q")).toDF("doc_id", "text") // 3 distinct 5-grams... 4 tokens repeated
+    val n = dup.select(explode(
+      graft.functions.ShingleHash.hashedNgramSet(col("text"), 2)).as("k"))
+      .distinct().count()
+    val raw = dup.select(explode(
+      graft.functions.ShingleHash.hashedNgramSet(col("text"), 2)).as("k")).count()
+    assert(n == raw, "kernel must emit each distinct gram exactly once")
+    assert(n == 2, s"'p q'/'q p' are the only distinct 2-grams, got $n")
+  }
+
   test("kernel queries still satisfy their invariants: exact dups share all 4 LSH buckets") {
     val dup = Seq((1L, "one two three four five six"),
       (2L, "one two three four five six"),
