@@ -1914,9 +1914,12 @@ object BigClam {
     val truthN = normCover(truth)
     // NMI scores the fit as a PARTITION: reduce the threshold-δ cover to
     // one deterministic label per node (min community id). Truth (CC
-    // labels) is a partition already.
-    val fittedPart = GraphOps.cutLineage(
-      fittedN.groupBy("node").agg(min(col("community")).as("community")))
+    // labels) is a partition already. LAZY (r18): its only consumer is
+    // NMI's contingency join, so an eager checkpoint here was pure job
+    // overhead (the r17 ta/tb lesson) — one groupBy over the already-cut
+    // fittedN re-derives it exactly once.
+    val fittedPart =
+      fittedN.groupBy("node").agg(min(col("community")).as("community"))
     f1OnNormalized(fittedN, truthN)
       .crossJoin(nmiOnNormalized(fittedPart, truthN).select(col("nmi")))
       .crossJoin(omegaOnNormalized(fittedN, truthN).select(col("omega")))

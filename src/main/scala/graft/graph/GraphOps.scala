@@ -46,9 +46,17 @@ object GraphOps {
     bounded.select(col("l_orderkey").as("src"), (col("l_suppkey") + 100000L).as("dst"))
   }
 
-  /** Undirected graph as both directed rows, deduped — the symmetrize step. */
+  /** Undirected graph as both directed rows, deduped — the symmetrize step.
+    * One scan + explode, not a two-branch self-union (r18): the union form
+    * read the upstream (a full lineitem scan for the unbounded consumers)
+    * TWICE — once per direction. Emitting both directed rows from one pass
+    * halves the scan work; the distinct is unchanged (same row set). */
   def symEdges(raw: DataFrame): DataFrame =
-    raw.union(raw.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    raw.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
 
   def degrees(edges: DataFrame): DataFrame =
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
@@ -1367,38 +1375,79 @@ object GraphOps {
     * Scale stance: degrees are one partial agg; attaching them to edge
     * endpoints is two joins keyed src/dst (the standard pattern); the
     * moment agg is a single map-side-collapsible pass. Nothing global. */
-  def q_graph_assortativity(s: SparkSession, d: String): DataFrame =
-    // explicit isnotnull on both endpoints (the docShingles idiom): the
-    // moment join consumes the symmetrized frame from three subtrees
-    // (degrees + both endpoint joins), and the join side INFERS
-    // isnotnull(src/dst) filters the degree side lacks — the canonical
-    // plans then differ, ReuseExchange misses, and the union+distinct
-    // (two lineitem scans + a |2E|-row exchange) ran TWICE in the
-    // executed sf0.1 plan. The no-op filter makes every consumer's
-    // subtree identical so the exchange is computed once and reused.
-    // (A lineage cut also deduplicates it, but serializes the two
-    // phases a reused exchange overlaps — measured slower.)
-    assortativity(symEdges(rawEdges(s, d))
-      .filter(col("src").isNotNull && col("dst").isNotNull))
+  def q_graph_assortativity(s: SparkSession, d: String): DataFrame = {
+    // fuse the symmetrize-dedup INTO the dst-keyed exchange the moment
+    // pipeline needs anyway: explode both directions off one scan, shuffle
+    // once by dst, and dedup in place — HashPartitioning(dst) satisfies
+    // the (src, dst) dedup's clustering requirement, so dropDuplicates
+    // adds NO second exchange (symEdges().repartition() would pay the
+    // (src,dst) distinct exchange AND the dst exchange back to back).
+    val raw = rawEdges(s, d)
+    val undirected = raw.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    assortativityCore(cutLineage(
+      undirected.repartition(col("dst")).dropDuplicates(Seq("src", "dst"))))
+  }
 
   /** Core of [[q_graph_assortativity]] over any symmetrized edge frame —
     * separated so scale runs (RunGraphScale) can drive it on synthetic
     * multi-million-node graphs. */
   def assortativity(e: DataFrame): DataFrame = {
-    val deg = degrees(e)
-    // DECIMAL(18,0) per side so the product stays inside DuckDB's 38-digit
-    // multiply limit; sums still land in exact DECIMAL(38,0)-class types
-    val dx = col("degree_x").cast("decimal(18,0)")
-    val dy = col("degree_y").cast("decimal(18,0)")
-    val joined = e
-      .join(deg.select(col("node").as("src"), col("degree").as("degree_x")), Seq("src"))
-      .join(deg.select(col("node").as("dst"), col("degree").as("degree_y")), Seq("dst"))
-    val m = joined.agg(
-      count(lit(1)).as("n_edges"),
-      sum(dx).as("sx"), sum(dy).as("sy"),
-      sum((dx * dy).cast("decimal(38,0)")).as("sxy"),
-      sum((dx * dx).cast("decimal(38,0)")).as("sxx"),
-      sum((dy * dy).cast("decimal(38,0)")).as("syy"))
+    // r18 restructure (guide §1.1 first-principles + §2.4): the former
+    // shape consumed the symmetrized frame from THREE subtrees (a degree
+    // agg + two endpoint joins) and relied on ReuseExchange to compute the
+    // union+distinct once — which fired at sf0.001/4 but NOT under the
+    // driver's sf0.1/32 config (r17 verdict: flat 2.06 s, the slowest
+    // bench row; ProfileQ showed the two ~5 task-s symmetrize stages
+    // running twice). Only sxy = Σ_E d(src)·d(dst) genuinely needs joint
+    // edge-level degree info; every other moment is a degree-vector
+    // functional. So: ONE dst-keyed exchange up front, degrees and the
+    // degree-attach join both consume that partitioning shuffle-free
+    // (groupBy(dst) and the dst-equi-join are satisfied by
+    // HashPartitioning(dst); shuffle_hash on the |V|-row degree side skips
+    // the SMJ sorts), then per-src aggregates carry everything the single
+    // output row needs:
+    //   d_u  = deg(u)            (row count per src — the frame is
+    //                             symmetric, every edge appears as src=u)
+    //   sy_u = Σ_{v∈N(u)} d_v    qy_u = Σ_{v∈N(u)} d_v²
+    //   n_edges = Σ d_u          sx = Σ d_u²   sxx = Σ d_u³
+    //   sy = Σ sy_u              syy = Σ qy_u  sxy = Σ d_u·sy_u
+    // All sums are exact INTEGER arithmetic in DECIMAL (same 38-digit
+    // overflow contract as the per-edge form), so the five moments are
+    // VALUE-IDENTICAL to the per-edge formulation and the final fixed
+    // sequence of double ops hash-matches DuckDB exactly as before. The
+    // single consumer chain needs no exchange reuse at all.
+    // cutLineage, not ReuseExchange: `part` has two consumers (the degree
+    // agg and the attach join), and exchange reuse across consumers is
+    // exactly the mechanism that failed under the driver config (and
+    // failed AGAIN for the bare repartition when first measured — task
+    // time rose from 14 to 18-36 s with the symmetrize running twice).
+    // The checkpoint preserves the dst partitioning, so both consumers
+    // read one materialized frame shuffle-free.
+    assortativityCore(cutLineage(e.repartition(col("dst"))))
+  }
+
+  /** Moment pipeline over a dst-partitioned MATERIALIZED symmetric frame
+    * (both callers checkpoint; the two consumers below rely on the
+    * preserved dst partitioning, not on exchange reuse). */
+  private def assortativityCore(part: DataFrame): DataFrame = {
+    val deg = part.groupBy("dst").agg(count(lit(1)).as("dy"))
+    val dy = col("dy").cast("decimal(18,0)")
+    val perSrc = part.join(deg.hint("shuffle_hash"), Seq("dst"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("d"),
+        sum(dy).as("sy_u"),
+        sum((dy * dy).cast("decimal(38,0)")).as("qy_u"))
+    val dd = col("d").cast("decimal(18,0)")
+    val m = perSrc.agg(
+      sum(col("d")).as("n_edges"),
+      sum((dd * dd).cast("decimal(38,0)")).as("sx"),
+      sum(col("sy_u")).as("sy"),
+      sum((dd * col("sy_u")).cast("decimal(38,0)")).as("sxy"),
+      sum((dd * dd * dd).cast("decimal(38,0)")).as("sxx"),
+      sum(col("qy_u")).as("syy"))
     val n = col("n_edges").cast("double")
     def d0(c: Column) = c.cast("double")
     m.select(col("n_edges"),
