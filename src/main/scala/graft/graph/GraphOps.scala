@@ -960,7 +960,13 @@ object GraphOps {
     // pre-partitioned by src: the degree agg AND every round's contrib
     // join key on src, so neither re-exchanges the |E|-row frame
     val edges = cut(edges0.repartition(col("src")))
-    val deg = degrees(edges)
+    // r18: checkpoint the degree frame too — it feeds EVERY round's contrib
+    // join, and uncut it re-derived the |E|-row aggregation from the edge
+    // checkpoint each round (a full edge scan per iteration). Cut once, each
+    // round's join reads |V| flat rows instead; the n count below rides the
+    // same materialization. Values unchanged: same rows, same per-round
+    // join/sum shape (the float-summation shape the oracle pins).
+    val deg = cut(degrees(edges))
     val n = deg.count()
     // empty graph: 1.0/n would poison every rank with Infinity — return the
     // (empty) node frame with the right schema instead
@@ -1090,7 +1096,10 @@ object GraphOps {
     // src-partitioned for the same reason as pageRank (degree agg + the
     // per-round contrib join both key on src)
     val edges = cut(edges0.repartition(col("src")))
-    val deg = degrees(edges)
+    // checkpointed for the same reason as pageRank's deg (r18): every
+    // round's contrib join consumes it — cut once, not one |E|-row
+    // re-aggregation per iteration
+    val deg = cut(degrees(edges))
     val nSeeds = deg.filter(seedPred).count()
     require(nSeeds > 0, "personalized PageRank requires a non-empty seed set")
     val reset = when(seedPred, lit(1.0) / nSeeds).otherwise(lit(0.0))

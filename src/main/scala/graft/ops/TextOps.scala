@@ -66,6 +66,24 @@ object TextOps {
   private def docShingles(s: SparkSession, d: String): DataFrame =
     docShinglesOf(Tables.documents(s, d))
 
+  /** The shingle relation, shuffled by shingle ONCE and checkpointed — the
+    * shared base every blocked-dedup query path consumes (r18, guide §2.4 +
+    * §3.3 "materialise to truncate"). The blocked pipelines read this
+    * relation from up to three subtrees (the df-count agg, the rare-join
+    * probe, the melt-join probe): un-materialized, each subtree re-runs the
+    * corpus scan + shingling kernel, and exchange reuse cannot collapse
+    * them because column pruning makes the subtrees canonicalize unequal
+    * (see rareShinglePairRows). Checkpointed after one explicit
+    * shingle-keyed shuffle, all consumers read the same flat leaf: one scan,
+    * one exchange, and the leaf's preserved hashpartitioning(shingle) means
+    * the df agg and the rare join add NO further exchange. Scale: the
+    * materialization is (doc_id, 16-byte key) rows — the same bytes the two
+    * former exchanges each carried — stored MEMORY_AND_DISK by
+    * localCheckpoint, freed by the ContextCleaner after the query. */
+  private def docShinglesParted(s: SparkSession, d: String): DataFrame =
+    graft.graph.GraphOps.cutLineage(
+      docShingles(s, d).repartition(col("shingle")))
+
   private[graft] def docShinglesOf(docs: DataFrame): DataFrame =
     docs
       // r18: the 128-bit hashed shingle keys (r17 kept the shingle value
@@ -104,13 +122,23 @@ object TextOps {
     * bounded-safe, the groupBy inherits the join's shingle partitioning,
     * and the ≤ C(10,2)=45 combinations explode with no further exchange. */
   private def rareShinglePairRows(docShingle: DataFrame): DataFrame = {
+    // r18: when the caller passes the CHECKPOINTED shingle-partitioned
+    // relation (docShinglesParted), neither the df-count agg nor the join
+    // probe below adds any exchange — the checkpoint leaf already satisfies
+    // both distributions — so the whole blocking runs off ONE shuffle and
+    // ONE corpus scan. (An un-checkpointed shared `repartition` does NOT
+    // achieve this: column pruning narrows the df subtree's exchange to
+    // (shingle) while the probe's carries (doc_id, shingle), the two
+    // exchanges no longer canonicalize equal, and reuse never fires —
+    // measured on the executed sf0.001 plan, two REPARTITION_BY_COL
+    // exchanges and two scans.)
     val rare = docShingle.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 10))
       .select("shingle")
     // shuffled-hash, not merge: both sides are hash-partitioned by shingle
     // already (the df agg output and the docShingle exchange), but a
-    // sort-merge join would SORT millions of shingle STRINGS on each side
-    // before streaming — the dominant task time of the whole pipeline
+    // sort-merge join would SORT millions of 128-bit shingle keys on each
+    // side before streaming — the dominant task time of the whole pipeline
     // (guide §3.1). The build side is the rare-shingle key set: one short
     // row per rare shingle, per-partition build bounded by |rare|/P — the
     // shape SHJ is for. Broadcast stays wrong at 100 TB (rare set is huge).
@@ -128,7 +156,7 @@ object TextOps {
   /** Near-dup candidate pairs: docs sharing >=1 *rare* 5-gram shingle
     * (2 <= doc-frequency <= 10) with a lower-id doc. */
   def q_dedup_shingle(s: SparkSession, d: String): DataFrame =
-    rareShinglePairRows(docShingles(s, d))
+    rareShinglePairRows(docShinglesParted(s, d))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_a", "doc_b")
@@ -195,7 +223,7 @@ object TextOps {
     * only the display sort + limit; [[q_dedup_incremental]] filters it to
     * the new-batch × corpus cross pairs. */
   private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val docShingle = docShingles(s, d)
+    val docShingle = docShinglesParted(s, d)
     val pairs = rareShinglePairRows(docShingle).distinct()
     val melt = pairs.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
@@ -242,9 +270,15 @@ object TextOps {
       .select(when(isNewId(col("doc_a")), col("doc_a")).otherwise(col("doc_b"))
         .as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // r18: broadcast the near-dup counts into the final left join — the
+    // planner was sort-merge-joining it (unknown stats on the blocked-pair
+    // subtree), paying an exchange + two sorts of the batch frame for a
+    // right side that is one row per near-duplicated NEW doc. Same scale
+    // class as the exact-bit side the planner already broadcasts: bounded
+    // by the daily batch's duplicated subset, not the corpus.
     newDocs.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
+      .join(near.hint("broadcast"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("is_exact"), lit(0L)).as("is_exact_dup"),
         coalesce(col("n"), lit(0L)).as("n_near"),
@@ -300,12 +334,22 @@ object TextOps {
           i => array_join(slice(t, i * 8 + 1, lit(8)), " "))).as("line"))
       .select(col("doc_id"), col("line"),
         size(toks(col("line"))).cast("bigint").as("n_toks"))
-    val df = lines.select(col("doc_id"), col("line")).distinct()
+    // r18 (the docShinglesParted pattern): the line relation is shuffled by
+    // line ONCE and checkpointed — the (doc_id, line) distinct and the
+    // per-line doc count cluster by key sets containing `line`, so the df
+    // subtree and the join probe both read the flat leaf with no further
+    // exchange, and the former second docs scan + explode + the distinct's
+    // own exchange are gone. (A shared un-checkpointed repartition does not
+    // collapse the subtrees — column pruning makes them canonicalize
+    // unequal; see rareShinglePairRows.)
+    val parted = graft.graph.GraphOps.cutLineage(
+      lines.repartition(col("line")))
+    val df = parted.select(col("doc_id"), col("line")).distinct()
       .groupBy("line").agg(count(lit(1)).as("ndocs"))
     // shuffled-hash for the same reason as rareShinglePairRows: skip the
     // per-side sort of millions of line STRINGS; build = the distinct-line
     // df counts (one row per distinct line, bounded per partition)
-    lines.join(df.hint("shuffle_hash"), Seq("line"))
+    parted.join(df.hint("shuffle_hash"), Seq("line"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_lines"),
@@ -326,18 +370,23 @@ object TextOps {
     * per-doc shingle arrays), plus one per-doc size agg joined twice by
     * doc key. Never all-pairs. */
   def q_dedup_containment(s: SparkSession, d: String): DataFrame = {
-    val docShingle = docShingles(s, d)
-    val sizes = docShingle.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val docShingle = docShinglesParted(s, d)
     val pairs = rareShinglePairRows(docShingle).distinct()
     val melt = pairs.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    // same one-agg fusion as jaccardPairs: |A∩B| = (|A|+|B|) − |A∪B| =
-    // count(*) − count(distinct shingle) per pair
+    // same one-agg fusion as jaccardPairs — |A∩B| = (|A|+|B|) − |A∪B| =
+    // count(*) − count(distinct shingle) per pair — EXTENDED (r18, guide
+    // §2.3/§2.4): the per-side sizes fall out of the SAME probe rows
+    // (each melt row (pair, doc) fans out to exactly doc's shingle set, so
+    // the doc_id=doc_a probe-row count IS |A|), as two conditional sums in
+    // the one aggregation. The former separate sizes subtree — a third
+    // full docs scan + shingling pass, its partial-agg exchange, and two
+    // join-backs — is gone entirely; values are identical.
     melt.join(docShingle, Seq("doc_id"))
       .groupBy("doc_a", "doc_b")
-      .agg((count(lit(1)) - countDistinct(col("shingle"))).as("n_inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .agg((count(lit(1)) - countDistinct(col("shingle"))).as("n_inter"),
+        sum(when(col("doc_id") === col("doc_a"), 1L).otherwise(0L)).as("sz_a"),
+        sum(when(col("doc_id") === col("doc_b"), 1L).otherwise(0L)).as("sz_b"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         round(col("n_inter").cast("double") / col("sz_a"), 6).as("cont_a"),
         round(col("n_inter").cast("double") / col("sz_b"), 6).as("cont_b"))
@@ -366,11 +415,26 @@ object TextOps {
     * arithmetic per pair. xxhash64 has no DuckDB twin → invariant-tested. */
   def q_dedup_minhash_audit(s: SparkSession, d: String): DataFrame = {
     val k = 16
-    val sk = Tables.documents(s, d)
-      .select(col("doc_id"),
-        graft.functions.ShingleHash.minK(col("text"), k).as("sk"))
-      .filter(size(col("sk")) > 0)
-    val exact = q_dedup_jaccard(s, d)
+    // r18 (guide §8 "decide with small rows"): only docs that appear in a
+    // blocked pair ever survive the two inner sketch joins, so the MinK
+    // sketch kernel — formerly TWO full corpus scans, one per broadcast
+    // join side — now runs over exactly the paired docs: the pair frame is
+    // checkpointed (it feeds both the id filter and the output join), its
+    // ≤2·|pairs| doc ids broadcast-semi-filter the corpus scan, and the
+    // tiny sketch frame is checkpointed so both join sides read one flat
+    // leaf. Corpus-side work drops from 2×|corpus| sketch passes to
+    // 1×|corpus| id-filter pass + |paired docs| sketches; join results are
+    // value-identical (inner joins on the same keys).
+    val exact = graft.graph.GraphOps.cutLineage(q_dedup_jaccard(s, d))
+    val ids = exact
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sk = graft.graph.GraphOps.cutLineage(
+      Tables.documents(s, d)
+        .join(ids.hint("broadcast"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          graft.functions.ShingleHash.minK(col("text"), k).as("sk"))
+        .filter(size(col("sk")) > 0))
     exact
       .join(sk.select(col("doc_id").as("doc_a"), col("sk").as("sk_a")), Seq("doc_a"))
       .join(sk.select(col("doc_id").as("doc_b"), col("sk").as("sk_b")), Seq("doc_b"))
@@ -540,8 +604,13 @@ object TextOps {
     // shared rare shingle — unbounded in doc length — and without the
     // dedup every duplicate row would be stored in the checkpoint and
     // re-joined in every propagation round.
+    // the shingle relation is shuffled-by-shingle + checkpointed first (the
+    // docShinglesParted pattern, r18): the blocking's df agg and rare join
+    // then read one flat leaf with no further exchange — one corpus scan +
+    // shingling pass instead of two
     val pairs = graft.graph.GraphOps.cutLineage(
-      rareShinglePairRows(docShinglesOf(docs)).distinct())
+      rareShinglePairRows(graft.graph.GraphOps.cutLineage(
+        docShinglesOf(docs).repartition(col("shingle")))).distinct())
     // symmetrize: hash-min CC expects every node to appear as src
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
